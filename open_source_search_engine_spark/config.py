@@ -1,0 +1,71 @@
+"""Scheduling constants, cloned from the reference (cites per value)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+MAX_SPIDERS_GLOBAL = 300          # SpiderLoop.h:30 MAX_SPIDERS
+MAX_WINNER_NODES = 2000           # Spider.h:52 (2000/400/1 ladder; batch scans
+                                  # everything, so the full-scan K applies —
+                                  # SpiderColl.cpp:3167-3182)
+CRAWL_DELAY_CAP_MS = 60_000       # SpiderColl.cpp:4125
+ROBOTS_TTL_S = 86_400             # Msg13.cpp:477-484
+DEFAULT_SAME_IP_WAIT_MS = 5_000   # SpiderLoop.cpp:948 (unconfigured default)
+DEFAULT_IP_MAX_SPIDERS = 1        # SpiderLoop.cpp:949
+OVERFLOW_REQUESTS_PER_IP = 10_000_000  # SpiderColl.cpp:3325
+MAX_HOP_COUNT = 65535             # XmlDoc.cpp:15371-15385 clamp
+USER_AGENT = "GigablastOpenSource"
+FETCH_DURATION_MS = 200           # deterministic simulated fetch time (no
+                                  # real network; politeness is asserted on
+                                  # the fetch_at schedule, not wall clock)
+
+
+@dataclass(frozen=True)
+class UrlFilterRule:
+    """One url-filter row (Collectiondb.h:440-460 parallel arrays)."""
+    expression: str
+    priority: int
+    spider_freq_days: float = 30.0
+    max_spiders_per_rule: int = 99
+    spider_ip_wait_ms: int = 1000     # privacore default sameIpWait
+    spider_ip_max_spiders: int = 7    # privacore default
+    force_delete: bool = False
+    harvest_links: bool = True
+
+
+def default_url_filters() -> list[UrlFilterRule]:
+    """Privacore-profile-shaped ladder (Collectiondb.cpp:1639-1840):
+    error handling first, then add-url, root pages, shallow pages, default.
+    First match wins (Spider.cpp:2202-2269)."""
+    return [
+        # tmp errors retry fast (freq in days; 2e-5 d = 1.7 s) then give up
+        UrlFilterRule("errorcount>=3 && hastmperror", 3, 1.0, 1, 1000, 1,
+                      force_delete=True),
+        UrlFilterRule("errorcount>=1 && hastmperror", 45, 2e-5, 1, 1000, 1),
+        UrlFilterRule("errorcount>=1", 2, 5.0, 1, 1000, 1, force_delete=True),
+        UrlFilterRule("isaddurl", 85, 7.0, 99, 1000, 7),
+        UrlFilterRule("hopcount==0 && iswww", 48, 7.0, 9, 1000, 7),
+        UrlFilterRule("hopcount==0", 47, 7.0, 9, 1000, 7),
+        UrlFilterRule("hopcount==1", 40, 20.0, 9, 1000, 7),
+        UrlFilterRule("hopcount==2", 30, 40.0, 9, 1000, 7),
+        UrlFilterRule("hopcount>=3 && hopcount<=5", 20, 60.0, 9, 1000, 7),
+        UrlFilterRule("default", 10, 60.0, 9, 1000, 7),
+    ]
+
+
+# EDNSNOTFOUND et al — the "tmp error" retry set (Spider.cpp:2333-2344).
+# Synthetic fetches emit 0 (ok), 404 (permanent), or one of these.
+TMP_ERROR_CODES = frozenset({32769, 32770, 32771, 32772})  # ETCPTIMEDOUT-ish ids
+
+
+@dataclass
+class CrawlConfig:
+    wave_start_ms: int = 1_700_000_000_000
+    max_rounds: int = 50
+    max_spiders_global: int = MAX_SPIDERS_GLOBAL
+    max_winner_nodes: int = MAX_WINNER_NODES
+    crawl_delay_cap_ms: int = CRAWL_DELAY_CAP_MS
+    user_agent: str = USER_AGENT
+    fetch_duration_ms: int = FETCH_DURATION_MS
+    round_interval_ms: int = 0       # 0 = next round starts when prior ends
+    url_filters: list[UrlFilterRule] = field(default_factory=default_url_filters)

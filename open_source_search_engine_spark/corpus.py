@@ -1,0 +1,237 @@
+"""Deterministic synthetic crawl corpus (FIXTURES.md schemas).
+
+Everything derives from one integer seed via ``random.Random`` — no wall
+clock, no external data.  The generator produces plain-Python row lists so
+the single-process oracle consumes them directly, plus writers to parquet
+(pyarrow) for the Spark pipeline.
+
+Shape requirements (FIXTURES.md):
+- interleaved text+media spans, 2-8 per doc, strictly increasing offsets
+- >=10% of docs with zero outlinks
+- one mega-host family owning ~30% of the URL universe (skew path)
+- robots corpus: none / disallow-all / crawl-delay-30 / crawl-delay-0.5 /
+  UA-specific group / wildcard+anchor rules
+- normalization-trap seeds (uppercase scheme/host, :80, #fragment vs #!,
+  double scheme, session-id params)
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from .functions.ghash import hash32_bytes
+from .functions.urlnorm import normalize_url
+
+BASE_TIME_S = 1_700_000_000  # fixed epoch base for added_time
+
+
+def _domain_ip(domain: str) -> int:
+    """Deterministic firstIp for a registered domain — all its subdomains
+    share it (reference 'firstip' tag semantics, Spider.h:142-152)."""
+    h = int(hash32_bytes([domain.encode()])[0])
+    return 0x0A000000 + (h % 0x00FFFFFF)
+
+
+ROBOTS_SHAPES = [
+    # (name, robots_txt) — shapes per FIXTURES.md §2
+    ("none", ""),
+    ("allow_all", "User-agent: *\nDisallow:\n"),
+    ("disallow_all", "User-agent: *\nDisallow: /\n"),
+    ("crawl_delay_30", "User-agent: *\nCrawl-delay: 30\nDisallow: /private/\n"),
+    ("crawl_delay_half", "User-agent: *\nCrawl-delay: 0.5\n"),
+    (
+        "ua_specific",
+        "User-agent: *\nDisallow: /\nCrawl-delay: 10\n\n"
+        "User-agent: GigablastOpenSource\nDisallow: /blocked/\nCrawl-delay: 2\n",
+    ),
+    (
+        "wildcard_anchor",
+        "User-agent: *\nDisallow: /dir3/*\nDisallow: /*.cgi$\n"
+        "Allow: /dir3/open/\n",
+    ),
+    (
+        "precedence",
+        "User-agent: *\nAllow: /dir1/deep/\nDisallow: /dir1/\n",
+    ),
+]
+
+
+@dataclass
+class Corpus:
+    seed: int
+    urls: list[str]                      # normalized URL universe
+    docs: list[dict]                     # {doc_id, spans:[{kind,text,media_ref,offset}]}
+    hosts: list[dict]                    # {host, first_ip, robots_txt}
+    seeds: list[dict]                    # {url, added_time}
+    existing: set[str] = field(default_factory=set)   # URLs that 200
+    tmp_error: set[str] = field(default_factory=set)  # URLs that tmp-fail
+
+
+def generate_corpus(
+    seed: int = 42,
+    n_domains: int = 12,
+    n_urls: int = 600,
+    docs_share: float = 0.85,
+    mega_share: float = 0.30,
+) -> Corpus:
+    rng = random.Random(seed)
+
+    # --- domain universe -------------------------------------------------
+    plain = [f"a{i}.example" for i in range(max(1, n_domains - 2))]
+    domains = ["mega.example", "shop.co.uk", *plain]
+    robots_by_domain: dict[str, str] = {}
+    for i, d in enumerate(domains):
+        robots_by_domain[d] = ROBOTS_SHAPES[i % len(ROBOTS_SHAPES)][1]
+    # make the mega host benign (it must actually crawl to exercise skew)
+    robots_by_domain["mega.example"] = "User-agent: *\nCrawl-delay: 0.25\n"
+
+    # hosts: www.<dom> for all; mega gets extra subdomains sharing its ip
+    hosts: list[dict] = []
+    host_of_domain: dict[str, list[str]] = {}
+    for d in domains:
+        hs = [f"www.{d}"]
+        if d == "mega.example":
+            hs += [f"sub{j}.mega.example" for j in range(4)]
+        host_of_domain[d] = hs
+        ip = _domain_ip(d)
+        for h in hs:
+            hosts.append({"host": h, "first_ip": ip,
+                          "robots_txt": robots_by_domain[d]})
+
+    # --- URL universe ----------------------------------------------------
+    n_mega = int(n_urls * mega_share)
+    urls: list[str] = []
+    mega_hosts = host_of_domain["mega.example"]
+    for k in range(n_mega):
+        h = mega_hosts[k % len(mega_hosts)]
+        urls.append(f"http://{h}/dir{k % 7}/p{k}.html")
+    other_domains = [d for d in domains if d != "mega.example"]
+    for k in range(n_urls - n_mega):
+        d = other_domains[k % len(other_domains)]
+        h = host_of_domain[d][0]
+        if k % 11 == 0:
+            urls.append(f"http://{h}/p{k}.html?id={k}&x=1")
+        elif k % 13 == 0:
+            urls.append(f"http://{h}/dir3/p{k}.html")   # robots-blocked on some
+        elif k % 17 == 0:
+            urls.append(f"http://{h}/dir1/p{k}.html")   # precedence shape
+        else:
+            urls.append(f"http://{h}/dir{k % 5}/p{k}.html")
+    # roots
+    roots = [f"http://{host_of_domain[d][0]}/" for d in domains]
+    urls = roots + urls
+    # all universe URLs are already normal-form; verify in debug runs
+    urls = [u for u in urls if normalize_url(u) is not None]
+
+    # --- page existence & fetch outcomes ---------------------------------
+    existing: set[str] = set(roots)
+    tmp_error: set[str] = set()
+    for u in urls:
+        if u in existing:
+            continue
+        r = rng.random()
+        if r < docs_share:
+            existing.add(u)
+        elif r < docs_share + 0.05:
+            tmp_error.add(u)           # retryable fetch errors
+
+    # --- docs with interleaved spans -------------------------------------
+    docs: list[dict] = []
+    url_list = list(urls)
+    for u in sorted(existing):
+        n_spans = rng.randint(2, 8)
+        zero_links = rng.random() < 0.12
+        spans = []
+        for off in range(n_spans):
+            if off % 2 == 1 and rng.random() < 0.5:
+                # media span
+                tgt = rng.choice(url_list)
+                ref = tgt.rsplit(".", 1)[0] + f"_{off}.jpg"
+                spans.append({"kind": "media_ref", "text": None,
+                              "media_ref": ref, "offset": off})
+                continue
+            frags = []
+            if not zero_links:
+                for _ in range(rng.randint(0, 4)):
+                    tgt = rng.choice(url_list)
+                    style = rng.random()
+                    if style < 0.15:
+                        # relative form of a same-host link
+                        pu = normalize_url(u)
+                        tu = normalize_url(tgt)
+                        if pu and tu and pu.host == tu.host:
+                            href = tu.path_with_cgi
+                        else:
+                            href = tgt
+                    elif style < 0.25:
+                        href = tgt + "#section2"          # fragment trap
+                    elif style < 0.30:
+                        href = tgt.replace("http://", "HTTP://", 1)
+                    else:
+                        href = tgt
+                    rel = ' rel="nofollow"' if rng.random() < 0.08 else ""
+                    tag = rng.choice(["a", "a", "a", "link", "area"])
+                    frags.append(f'<{tag} href="{href}"{rel}>x</{tag}>')
+            filler = " ".join(rng.choice(["lorem", "ipsum", "data", "web",
+                                          "page", "crawl"])
+                              for _ in range(rng.randint(3, 12)))
+            spans.append({"kind": "text",
+                          "text": filler + " " + " ".join(frags),
+                          "media_ref": None, "offset": off})
+        docs.append({"doc_id": u, "spans": spans})
+
+    # --- seeds (with normalization traps, FIXTURES §3) --------------------
+    seeds: list[dict] = []
+    t = BASE_TIME_S
+    for d in domains:
+        seeds.append({"url": f"http://www.{d}/", "added_time": t})
+    # traps: all normalize to existing roots
+    seeds += [
+        {"url": "HTTP://WWW.MEGA.EXAMPLE:80/", "added_time": t},
+        {"url": "http://http://www.a0.example/", "added_time": t},
+        {"url": "http://www.a1.example/#fragment", "added_time": t},
+        {"url": "  http://www.a2.example/./sub/../", "added_time": t},
+        {"url": "http://www.a3.example/?PHPSESSID=abcdef123456789", "added_time": t},
+    ]
+    return Corpus(seed=seed, urls=urls, docs=docs, hosts=hosts, seeds=seeds,
+                  existing=existing, tmp_error=tmp_error)
+
+
+# ---------------------------------------------------------------------------
+# parquet writers (pyarrow — usable without a SparkSession)
+# ---------------------------------------------------------------------------
+
+def write_parquet(corpus: Corpus, out_dir: str) -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    span_t = pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32()),
+    ])
+    docs_t = pa.schema([("doc_id", pa.string()),
+                        ("spans", pa.list_(span_t))])
+    pq.write_table(
+        pa.Table.from_pylist(corpus.docs, schema=docs_t),
+        os.path.join(out_dir, "docs.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(corpus.hosts, schema=pa.schema(
+            [("host", pa.string()), ("first_ip", pa.int64()),
+             ("robots_txt", pa.string())])),
+        os.path.join(out_dir, "hosts.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(corpus.seeds, schema=pa.schema(
+            [("url", pa.string()), ("added_time", pa.int64())])),
+        os.path.join(out_dir, "seeds.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"url": u,
+              "outcome": ("ok" if u in corpus.existing
+                          else "tmp" if u in corpus.tmp_error else "missing")}
+             for u in corpus.urls],
+            schema=pa.schema([("url", pa.string()), ("outcome", pa.string())])),
+        os.path.join(out_dir, "outcomes.parquet"))

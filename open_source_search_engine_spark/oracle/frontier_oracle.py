@@ -1,0 +1,294 @@
+"""Single-process reference-faithful crawl oracle.
+
+Implements the spider scheduling semantics (F5-F16, F20-F25) with plain
+dicts, producing the golden ``crawl_order`` / ``url_seen`` / ``host_final``
+outputs (FIXTURES.md §6) that the Spark pipeline must match exactly.
+
+Parity is defined at the **round boundary** (SURVEY.md §7 "hard parts"):
+the reference's logical winner order — priority desc, hopCount asc,
+eligible-time asc, uh48 asc per IP (``Spider.cpp:991-1013``,
+``SpiderColl.cpp:3185-3232``) — with politeness-respecting ``fetch_at``
+spacing within an IP (``SpiderColl.cpp:4112-4126``, ``Msg13.cpp:2069-2072``).
+Physical-race orderings (512 KB list boundaries, winner-cache TTLs, 50 ms
+timer interleaving) are NOT part of the spec.
+
+Semantics summary (each rule mirrored in ``pipeline/schedule.py``):
+
+- request supplant on same uh48 keeps min hopCount, then min discoveryTime,
+  then min parent uh48 (``SpiderColl.cpp:3125-3164``, merge keep-rule
+  ``Spider.cpp:3883-3922``)
+- only the latest reply per uh48 survives (``Spider.cpp:664-667``)
+- eligible time = max(addedTime, ipLastDownloadEnd + sameIpWait[ufn],
+  ipLastDownloadEnd + min(crawlDelay(dom), 60s), lastSpideredTime +
+  spiderFreq[ufn]) (``SpiderColl.cpp:4083-4180``)
+- crawl-delay learned from replies, first write per domain wins
+  (``SpiderColl.cpp:699-732``); politeness spacing inside a wave uses
+  max(sameIpWait, robots crawl-delay) like the hammer queue
+  (``Msg13.cpp:2069-2107``)
+- per-IP top-K winners, K = spiderIpMaxSpiders of the IP's best candidate
+  (``SpiderLoop.cpp:1015-1072``), bounded by MAX_WINNER_NODES
+- global wave cap MAX_SPIDERS (``SpiderLoop.h:30``), best-first
+- robots-disallowed URLs never enter a wave; force-deleted rules filter
+  their URLs out every round (annihilation fixpoint)
+- empty wave + future-eligible candidates → clock jumps to the min future
+  time (waiting-tree re-time, ``SpiderColl.cpp:3447-3487``); empty wave and
+  nothing within the horizon → crawl complete (``SpiderLoop.cpp:2107-2136``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..config import CrawlConfig, TMP_ERROR_CODES
+from ..corpus import Corpus, _domain_ip
+from ..functions.ghash import hash32_bytes, uh48 as uh48_of
+from ..functions.outlinks import extract_outlinks
+from ..functions.robots import parse_robots
+from ..functions.urlfilters import eval_atoms, parse_expression
+from ..functions.urlnorm import normalize_url
+
+HORIZON_MS = 86_400_000  # clock-jump horizon: 1 day
+ERR_TMP = 32769          # retryable (in TMP_ERROR_CODES)
+ERR_NOT_FOUND = 32780    # permanent
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[dict] = field(default_factory=list)
+    url_seen: list[dict] = field(default_factory=list)
+    host_final: list[dict] = field(default_factory=list)
+    rounds: int = 0
+
+
+def _h32(s: str) -> int:
+    return int(hash32_bytes([s.encode()])[0])
+
+
+def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
+    cfg = cfg or CrawlConfig()
+    rules = cfg.url_filters
+    parsed_rules = [parse_expression(r.expression) for r in rules]
+
+    host_ip = {h["host"]: h["first_ip"] for h in corpus.hosts}
+    host_robots = {h["host"]: h["robots_txt"] or "" for h in corpus.hosts}
+    robots_cache: dict[str, object] = {}
+
+    def robots_of(host: str):
+        txt = host_robots.get(host, "")
+        c = robots_cache.get(txt)
+        if c is None:
+            c = parse_robots(txt, cfg.user_agent)
+            robots_cache[txt] = c
+        return c
+
+    docs_by_url = {d["doc_id"]: d for d in corpus.docs}
+
+    # --- state ------------------------------------------------------------
+    requests: dict[int, dict] = {}     # uh48 -> best request
+    replies: dict[int, dict] = {}      # uh48 -> latest reply
+    ip_last_end: dict[int, int] = {}   # firstIp -> last download end ms
+    ip_delay_used: dict[int, int] = {} # firstIp -> last politeness delay ms
+    cd_table: dict[str, int] = {}      # domain -> crawl delay ms (first wins)
+    first_seen: dict[int, tuple[str, int]] = {}
+
+    def add_request(url_norm: str, hop: int, added_s: int, disc_s: int,
+                    parent: int | None, is_add_url: bool, round_no: int) -> None:
+        p = normalize_url(url_norm)   # already normal; re-parse for fields
+        if p is None:
+            return
+        u = uh48_of(p.url)
+        ip = host_ip.get(p.host)
+        if ip is None:
+            ip = _domain_ip(p.domain or p.host)
+        if hop == 0 or p.path_with_cgi == "/":
+            hop = 0  # site roots are hop 0 (XmlDoc.cpp:15371-15385)
+        if u not in first_seen:
+            first_seen[u] = (p.url, round_no)
+        cur = requests.get(u)
+        cand = {
+            "uh48": u, "url": p.url, "host": p.host, "domain": p.domain,
+            "tld": p.tld, "path_cgi": p.path_with_cgi, "first_ip": ip,
+            "hop_count": min(hop, 65535), "added_time": added_s,
+            "discovery_time": disc_s,
+            "parent_uh48": parent if parent is not None else -1,
+            "is_add_url": is_add_url, "is_injecting": False,
+            "is_www": p.host.startswith("www."),
+            "site_num_inlinks": 0,
+        }
+        if cur is None:
+            requests[u] = cand
+            return
+        # supplant keep-rule: min hop, then min discovery, then min parent
+        key_new = (cand["hop_count"], cand["discovery_time"], cand["parent_uh48"])
+        key_old = (cur["hop_count"], cur["discovery_time"], cur["parent_uh48"])
+        if key_new < key_old:
+            requests[u] = cand
+
+    # --- seed ingest (round 0 frontier) -----------------------------------
+    for s in corpus.seeds:
+        p = normalize_url(s["url"], strip_params=True, strip_common_file=True)
+        if p is None:
+            continue
+        add_request(p.url, 0, s["added_time"], s["added_time"], None,
+                    is_add_url=True, round_no=0)
+
+    out = OracleResult()
+    wave_start = cfg.wave_start_ms
+
+    for round_no in range(cfg.max_rounds):
+        now_s = wave_start // 1000
+        # --- candidate evaluation (F8/F9/F10) -----------------------------
+        eligible: list[dict] = []
+        min_future: int | None = None
+        for u, req in requests.items():
+            rep = replies.get(u)
+            ctx = dict(req)
+            ctx["now_s"] = now_s
+            ctx["discovery_time_s"] = req["discovery_time"]
+            if rep is not None:
+                ctx.update(has_reply=True, err_code=rep["err_code"],
+                           err_count=rep["err_count"],
+                           http_status=rep["http_status"],
+                           is_indexed=rep["is_indexed"],
+                           last_spider_time_s=rep["spidered_time"])
+            else:
+                ctx.update(has_reply=False, err_code=0, err_count=0,
+                           http_status=0, is_indexed=False,
+                           last_spider_time_s=0)
+            ufn = -1
+            for i, atoms in enumerate(parsed_rules):
+                if eval_atoms(atoms, ctx):
+                    ufn = i
+                    break
+            if ufn < 0 or rules[ufn].force_delete:
+                continue
+            rule = rules[ufn]
+            rb = robots_of(req["host"])
+            if not rb.is_allowed(req["path_cgi"]):
+                continue
+            last_end = ip_last_end.get(req["first_ip"], 0)
+            elig = req["added_time"] * 1000
+            elig = max(elig, last_end + rule.spider_ip_wait_ms)
+            cd = cd_table.get(req["domain"])
+            if cd is not None and cd >= 0:
+                elig = max(elig, last_end + min(cd, cfg.crawl_delay_cap_ms))
+            if rep is not None:
+                elig = max(elig, rep["spidered_time"] * 1000
+                           + int(rule.spider_freq_days * 86_400_000))
+            if elig > wave_start:
+                if min_future is None or elig < min_future:
+                    min_future = elig
+                continue
+            cand = dict(req)
+            cand.update(ufn=ufn, priority=rule.priority, eligible_ms=elig,
+                        ip_wait_ms=rule.spider_ip_wait_ms,
+                        ip_max=rule.spider_ip_max_spiders,
+                        harvest=rule.harvest_links)
+            eligible.append(cand)
+
+        if not eligible:
+            if min_future is not None and min_future - wave_start <= HORIZON_MS:
+                wave_start = min_future
+                continue
+            break
+
+        # --- per-IP winners (F11) + global cap (F14) ----------------------
+        order_key = lambda c: (-c["priority"], c["hop_count"],
+                               c["eligible_ms"], c["uh48"])
+        by_ip: dict[int, list[dict]] = {}
+        for c in eligible:
+            by_ip.setdefault(c["first_ip"], []).append(c)
+        selected: list[dict] = []
+        for ip, cands in by_ip.items():
+            cands.sort(key=order_key)
+            cands = cands[: cfg.max_winner_nodes]
+            k = cands[0]["ip_max"]
+            selected.extend(cands[:k])
+        selected.sort(key=order_key)
+        wave = selected[: cfg.max_spiders_global]
+
+        # --- fetch_at assignment (F16 hammer-queue analogue) --------------
+        per_ip_rank: dict[int, int] = {}
+        per_ip_delay: dict[int, int] = {}
+        for c in wave:
+            ip = c["first_ip"]
+            if ip not in per_ip_delay:
+                sel_ip = [x for x in wave if x["first_ip"] == ip]
+                rb_delay = max(
+                    (robots_of(x["host"]).crawl_delay_ms() for x in sel_ip),
+                    default=-1)
+                rb_delay = min(max(rb_delay, 0), cfg.crawl_delay_cap_ms)
+                per_ip_delay[ip] = max(
+                    max(x["ip_wait_ms"] for x in sel_ip), rb_delay)
+            delay = per_ip_delay[ip]
+            rank = per_ip_rank.get(ip, 0)
+            per_ip_rank[ip] = rank + 1
+            base = max(wave_start, ip_last_end.get(ip, 0) + delay)
+            c["fetch_at_ms"] = base + rank * delay
+
+        for seq, c in enumerate(wave):
+            out.crawl_order.append({
+                "round": round_no, "seq_in_round": seq, "uh48": c["uh48"],
+                "url_norm": c["url"], "first_ip": c["first_ip"],
+                "priority": c["priority"], "hop_count": c["hop_count"],
+                "fetch_at_ms": c["fetch_at_ms"],
+            })
+
+        # --- simulated fetch → replies + outlinks (F22-F25) ---------------
+        max_end = wave_start
+        for c in wave:
+            end_ms = c["fetch_at_ms"] + cfg.fetch_duration_ms
+            max_end = max(max_end, end_ms)
+            sp_s = end_ms // 1000
+            url = c["url"]
+            prev = replies.get(c["uh48"])
+            prev_errs = prev["err_count"] if prev else 0
+            rb = robots_of(c["host"])
+            if url in docs_by_url:
+                doc = docs_by_url[url]
+                reply = {"err_code": 0, "err_count": 0, "http_status": 200,
+                         "is_indexed": True, "spidered_time": sp_s,
+                         "download_end_ms": end_ms,
+                         "content_hash32": _h32(url),
+                         "crawl_delay_ms": rb.crawl_delay_ms()}
+                if c["harvest"]:
+                    for link in extract_outlinks(url, doc["spans"]):
+                        if link["is_media"]:
+                            continue
+                        add_request(link["url_norm"],
+                                    c["hop_count"] + 1, sp_s, sp_s,
+                                    c["uh48"], False, round_no + 1)
+            elif url in corpus.tmp_error:
+                reply = {"err_code": ERR_TMP, "err_count": prev_errs + 1,
+                         "http_status": 0, "is_indexed": False,
+                         "spidered_time": sp_s, "download_end_ms": end_ms,
+                         "content_hash32": 0,
+                         "crawl_delay_ms": rb.crawl_delay_ms()}
+            else:
+                reply = {"err_code": ERR_NOT_FOUND,
+                         "err_count": prev_errs + 1, "http_status": 404,
+                         "is_indexed": False, "spidered_time": sp_s,
+                         "download_end_ms": end_ms, "content_hash32": 0,
+                         "crawl_delay_ms": rb.crawl_delay_ms()}
+            replies[c["uh48"]] = reply
+            ip = c["first_ip"]
+            ip_last_end[ip] = max(ip_last_end.get(ip, 0),
+                                  reply["download_end_ms"])
+            ip_delay_used[ip] = per_ip_delay[ip]
+            # crawl-delay propagation (F20): first write per domain wins
+            if reply["crawl_delay_ms"] >= 0 and c["domain"] not in cd_table:
+                cd_table[c["domain"]] = reply["crawl_delay_ms"]
+
+        out.rounds = round_no + 1
+        wave_start = max(wave_start + 1, max_end)
+
+    out.url_seen = [
+        {"uh48": u, "url_norm": v[0], "first_seen_round": v[1]}
+        for u, v in sorted(first_seen.items())
+    ]
+    out.host_final = [
+        {"first_ip": ip, "last_download_end_ms": end,
+         "crawl_delay_ms": ip_delay_used.get(ip, -1)}
+        for ip, end in sorted(ip_last_end.items())
+    ]
+    return out

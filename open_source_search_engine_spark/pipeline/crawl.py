@@ -1,0 +1,424 @@
+"""Batch-iterative crawl driver: the Spark re-expression of Gigablast's
+spider loop (SpiderLoop.cpp) with round-boundary parity vs the Python oracle.
+
+One round =
+  candidates = dedup(requests)                       # F7 keep-rule
+      ⟕ latest_reply                                 # F8 (max_by per uh48)
+      ⟕ host_state (per-IP last download end)        # F21
+      ⟕ cd_table (per-domain crawl-delay)            # F20
+      → ufn/priority via compiled when() ladder      # F9
+      → eligible_ms = greatest(...)                  # F10
+  wave = per-IP winner Window + global cap + fetch_at spacing  # F11/F14/F16
+  fetch-sim → replies + outlinks                     # F22-F25
+  append to state dir, commit manifest snapshot      # F26 checkpoint
+
+Scale notes (the 10^10 design):
+- requests/replies are append-only parquet partitioned by round; at scale
+  these are Iceberg tables bucketed by ``bucket(N, first_ip)`` so the dedup
+  Window, the reply join, and the winner Window all run shuffle-free within
+  co-located buckets (SURVEY §1.4).  The per-round shuffle here is one hash
+  exchange on uh48 + one on first_ip.
+- host_state and cd_table are tiny per-IP / per-domain aggregates —
+  broadcast-joined (no shuffle of the big side).
+- the global-cap Window is a single-partition sort but its input is already
+  capped at (num_ips × ip_max) rows by the per-IP Window, i.e. bounded and
+  small; at true web scale the global budget is enforced per scheduling
+  shard exactly like the reference's host-local doledb (Hostdb.cpp:1761).
+- mega-host skew: AQE skew-join is on (session.py); the winner Window for a
+  hot IP is a single partition's sort — `MAX_WINNER_NODES` bounds what
+  survives it, and the overflow guard (F27) drops ingest for IPs past 10M.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig
+from . import snapshots as snap
+from .filters import compile_rule_match, rule_arrays
+from .udfs import (domain_ip_udf, hash32_udf, make_normalize_udf,
+                   make_robots_udfs, outlinks_map_in_pandas, uh48_udf,
+                   OUTLINK_STRUCT)
+
+HORIZON_MS = 86_400_000
+ERR_TMP = 32769
+ERR_NOT_FOUND = 32780
+
+REQUEST_COLS = [
+    "first_ip", "uh48", "url", "host", "domain", "tld", "path_cgi",
+    "hop_count", "added_time", "discovery_time", "parent_uh48",
+    "is_add_url", "is_injecting", "is_www", "site_num_inlinks",
+    "robots_allowed", "robots_delay_ms", "round",
+]
+REPLY_COLS = [
+    "first_ip", "uh48", "domain", "spidered_time", "err_code", "err_count",
+    "http_status", "is_indexed", "content_hash32", "crawl_delay_ms",
+    "download_end_ms", "round",
+]
+WAVE_COLS = [
+    "round", "seq_in_round", "uh48", "url", "first_ip", "priority",
+    "hop_count", "fetch_at_ms", "delay_ms",
+]
+
+
+@dataclass
+class RoundStats:
+    round: int
+    wave_rows: int
+    new_requests: int
+    jumped: bool
+
+
+class CrawlRunner:
+    def __init__(self, spark: SparkSession, corpus_dir: str, state_dir: str,
+                 cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.corpus_dir = corpus_dir
+        self.state_dir = state_dir
+        self.cfg = cfg or CrawlConfig()
+        self._normalize = make_normalize_udf(strip_params=True,
+                                             strip_common_file=True)
+        self._robots_allowed, self._robots_delay = make_robots_udfs(
+            self.cfg.user_agent)
+        # dims — hosts gets its robots crawl-delay compiled once (F17/F19:
+        # robots are cached per host, 24 h TTL in prod)
+        self.hosts = (
+            spark.read.parquet(os.path.join(corpus_dir, "hosts.parquet"))
+            .withColumn("robots_delay_ms", self._robots_delay("robots_txt"))
+            .cache()
+        )
+        self.docs = spark.read.parquet(
+            os.path.join(corpus_dir, "docs.parquet"))
+        self.outcomes = spark.read.parquet(
+            os.path.join(corpus_dir, "outcomes.parquet")).cache()
+
+    # ------------------------------------------------------------------ io
+    def _write(self, df: DataFrame, table: str, rnd: int, m: snap.Manifest,
+               partitions: int = 0) -> int:
+        path = snap.round_dir(self.state_dir, table, rnd)
+        if partitions:
+            df = df.repartition(partitions)
+        df.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        snap.record_write(m, self.state_dir, table, rnd, n)
+        return n
+
+    def _read_all(self, table: str, m: snap.Manifest) -> DataFrame | None:
+        dirs = snap.committed_dirs(self.state_dir, table, m)
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    # -------------------------------------------------------------- ingest
+    def ingest_seeds(self, m: snap.Manifest) -> int:
+        """Seeds → round-0 request rows (F1-F5): normalize, uh48, firstIp
+        via the hosts dim (broadcast) with deterministic fallback, robots
+        evaluated once per request (static robots model)."""
+        seeds = self.spark.read.parquet(
+            os.path.join(self.corpus_dir, "seeds.parquet"))
+        n = seeds.withColumn("n", self._normalize("url"))
+        req = (
+            n.filter(F.col("n.url_norm").isNotNull())
+            .select(
+                F.col("n.url_norm").alias("url"),
+                F.col("n.host").alias("host"),
+                F.col("n.domain").alias("domain"),
+                F.col("n.tld").alias("tld"),
+                F.col("n.path_cgi").alias("path_cgi"),
+                F.col("n.is_www").alias("is_www"),
+                F.col("added_time"),
+            )
+            .withColumn("uh48", uh48_udf("url"))
+            .withColumn("hop_count", F.lit(0))
+            .withColumn("discovery_time", F.col("added_time"))
+            .withColumn("parent_uh48", F.lit(-1).cast("long"))
+            .withColumn("is_add_url", F.lit(True))
+            .withColumn("is_injecting", F.lit(False))
+            .withColumn("site_num_inlinks", F.lit(0))
+        )
+        req = self._attach_host_dim(req)
+        req = req.withColumn("round", F.lit(0)).select(*REQUEST_COLS)
+        return self._write(req, "requests", 0, m)
+
+    def _attach_host_dim(self, df: DataFrame) -> DataFrame:
+        """Join the hosts dim (broadcast — it is the small side) for
+        first_ip + robots; unknown hosts fall back to the deterministic
+        domain hash (F3) and 'no robots' (allow all, delay -1)."""
+        dim = self.hosts.select("host", F.col("first_ip").alias("dim_ip"),
+                                "robots_txt", "robots_delay_ms")
+        out = (
+            df.join(F.broadcast(dim), "host", "left")
+            .withColumn("first_ip",
+                        F.coalesce(F.col("dim_ip"),
+                                   domain_ip_udf(F.coalesce("domain", "host"))))
+            .withColumn("robots_delay_ms",
+                        F.coalesce(F.col("robots_delay_ms"), F.lit(-1)))
+            .withColumn("robots_allowed",
+                        F.when(F.col("robots_txt").isNull(), F.lit(True))
+                        .otherwise(self._robots_allowed("robots_txt", "path_cgi")))
+            .drop("dim_ip", "robots_txt")
+        )
+        return out
+
+    # ------------------------------------------------------------- assembly
+    def _dedup_requests(self, requests: DataFrame) -> DataFrame:
+        """F7 merge keep-rule: per uh48 keep min (hopCount, discoveryTime,
+        parent, round) — Spider.cpp:3883-3922 / SpiderColl.cpp:3125-3164."""
+        w = Window.partitionBy("uh48").orderBy(
+            "hop_count", "discovery_time", "parent_uh48", "round")
+        return (requests.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def _latest_reply(self, replies: DataFrame) -> DataFrame:
+        """F8: only the newest reply per uh48 survives (Spider.cpp:664-667)."""
+        w = Window.partitionBy("uh48").orderBy(
+            F.desc("download_end_ms"), F.desc("round"))
+        return (replies.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def _candidates(self, requests: DataFrame, replies: DataFrame | None,
+                    wave_start: int) -> DataFrame:
+        cfg = self.cfg
+        req = self._dedup_requests(requests).filter(F.col("robots_allowed"))
+        if replies is not None:
+            rep = self._latest_reply(replies).select(
+                "uh48", "err_code", "err_count", "http_status", "is_indexed",
+                F.col("spidered_time").alias("last_spider_time_s"))
+            host_state = replies.groupBy("first_ip").agg(
+                F.max("download_end_ms").alias("ip_last_end"))
+            cd = (replies.filter(F.col("crawl_delay_ms") >= 0)
+                  .groupBy("domain")
+                  .agg(F.max("crawl_delay_ms").alias("cd_ms")))
+            cand = (
+                req.join(rep, "uh48", "left")
+                .withColumn("has_reply", F.col("last_spider_time_s").isNotNull())
+                .fillna({"err_code": 0, "err_count": 0, "http_status": 0,
+                         "is_indexed": False, "last_spider_time_s": 0})
+                .join(F.broadcast(host_state), "first_ip", "left")
+                .join(F.broadcast(cd), "domain", "left")
+                .fillna({"ip_last_end": 0})
+            )
+        else:
+            cand = (req.withColumn("has_reply", F.lit(False))
+                    .withColumn("err_code", F.lit(0))
+                    .withColumn("err_count", F.lit(0))
+                    .withColumn("http_status", F.lit(0))
+                    .withColumn("is_indexed", F.lit(False))
+                    .withColumn("last_spider_time_s", F.lit(0).cast("long"))
+                    .withColumn("ip_last_end", F.lit(0).cast("long"))
+                    .withColumn("cd_ms", F.lit(None).cast("int")))
+        now_s = wave_start // 1000
+        cand = cand.withColumn(
+            "ufn", compile_rule_match(cfg.url_filters, now_s))
+        arrays = rule_arrays(cfg.url_filters)
+        for name, col in arrays.items():
+            cand = cand.withColumn(name, col)
+        cand = cand.filter((F.col("ufn") >= 0) & ~F.col("force_delete"))
+        cand = cand.withColumn(
+            "eligible_ms",
+            F.greatest(
+                F.col("added_time") * 1000,
+                F.col("ip_last_end") + F.col("ip_wait_ms"),
+                F.when(F.col("cd_ms").isNotNull(),
+                       F.col("ip_last_end")
+                       + F.least(F.col("cd_ms"),
+                                 F.lit(cfg.crawl_delay_cap_ms)))
+                .otherwise(F.lit(0).cast("long")),
+                F.when(F.col("has_reply"),
+                       F.col("last_spider_time_s") * 1000
+                       + F.col("spider_freq_ms"))
+                .otherwise(F.lit(0).cast("long")),
+            ))
+        return cand
+
+    def _assemble_wave(self, cand: DataFrame, wave_start: int,
+                       rnd: int) -> DataFrame:
+        """F11 winner Window + F14 caps + F16 politeness spacing."""
+        cfg = self.cfg
+        order = [F.desc("priority"), F.asc("hop_count"),
+                 F.asc("eligible_ms"), F.asc("uh48")]
+        w_ip = Window.partitionBy("first_ip").orderBy(*order)
+        sel = (
+            cand.withColumn("ip_rn", F.row_number().over(w_ip))
+            .withColumn("ip_k", F.first("ip_max").over(w_ip))
+            .filter(F.col("ip_rn")
+                    <= F.least(F.lit(cfg.max_winner_nodes), F.col("ip_k")))
+        )
+        w_glob = Window.orderBy(*order)
+        wave = (
+            sel.withColumn("gseq", F.row_number().over(w_glob))
+            .filter(F.col("gseq") <= cfg.max_spiders_global)
+            .withColumn("seq_in_round", F.col("gseq") - 1)
+        )
+        # politeness delay per IP over SELECTED rows (hammer-queue analogue):
+        # max(sameIpWait, clamp(robots crawl-delay, 0, 60 s))
+        w_ip_all = Window.partitionBy("first_ip")
+        wave = wave.withColumn(
+            "delay_ms",
+            F.greatest(
+                F.max("ip_wait_ms").over(w_ip_all),
+                F.least(F.greatest(F.max("robots_delay_ms").over(w_ip_all),
+                                   F.lit(0)),
+                        F.lit(cfg.crawl_delay_cap_ms)),
+            ).cast("long"))
+        w_ip_seq = Window.partitionBy("first_ip").orderBy("gseq")
+        wave = (
+            wave.withColumn("ip_rank", F.row_number().over(w_ip_seq) - 1)
+            .withColumn("fetch_at_ms",
+                        F.greatest(F.lit(wave_start),
+                                   F.col("ip_last_end") + F.col("delay_ms"))
+                        + F.col("ip_rank") * F.col("delay_ms"))
+            .withColumn("round", F.lit(rnd))
+        )
+        return wave
+
+    # ---------------------------------------------------------------- fetch
+    def _simulate_fetch(self, wave: DataFrame, replies: DataFrame | None,
+                        rnd: int) -> tuple[DataFrame, DataFrame]:
+        """F25: deterministic fetch over the docs/outcomes tables; returns
+        (new_replies, new_requests[outlinks])."""
+        cfg = self.cfg
+        prev_errs = None
+        if replies is not None:
+            prev_errs = self._latest_reply(replies).select(
+                "uh48", F.col("err_count").alias("prev_err_count"))
+        f = wave.join(self.outcomes.withColumnRenamed("url", "o_url"),
+                      wave["url"] == F.col("o_url"), "left").drop("o_url")
+        if prev_errs is not None:
+            f = f.join(F.broadcast(prev_errs), "uh48", "left")
+        else:
+            f = f.withColumn("prev_err_count", F.lit(None).cast("int"))
+        f = (
+            f.fillna({"prev_err_count": 0})
+            .withColumn("download_end_ms",
+                        F.col("fetch_at_ms") + cfg.fetch_duration_ms)
+            .withColumn("spidered_time",
+                        (F.col("download_end_ms") / 1000).cast("long"))
+            .withColumn("ok", F.col("outcome") == "ok")
+            .withColumn("err_code",
+                        F.when(F.col("ok"), 0)
+                        .when(F.col("outcome") == "tmp", ERR_TMP)
+                        .otherwise(ERR_NOT_FOUND))
+            .withColumn("err_count",
+                        F.when(F.col("ok"), 0)
+                        .otherwise(F.col("prev_err_count") + 1))
+            .withColumn("http_status",
+                        F.when(F.col("ok"), 200)
+                        .when(F.col("outcome") == "tmp", 0).otherwise(404))
+            .withColumn("is_indexed", F.col("ok"))
+            .withColumn("content_hash32",
+                        F.when(F.col("ok"), hash32_udf("url"))
+                        .otherwise(F.lit(0).cast("long")))
+            .withColumn("crawl_delay_ms", F.col("robots_delay_ms"))
+            .withColumn("round", F.lit(rnd))
+        )
+        new_replies = f.select(*REPLY_COLS)
+
+        parents = (
+            f.filter(F.col("ok") & F.col("harvest"))
+            .join(self.docs, f["url"] == self.docs["doc_id"], "inner")
+            .select("url", "spans", "hop_count", "spidered_time", "uh48")
+        )
+        raw_links = parents.mapInPandas(outlinks_map_in_pandas,
+                                        schema=OUTLINK_STRUCT)
+        new_req = (
+            self._attach_host_dim(raw_links)
+            .withColumn("is_add_url", F.lit(False))
+            .withColumn("is_injecting", F.lit(False))
+            .withColumn("site_num_inlinks", F.lit(0))
+            .withColumn("round", F.lit(rnd + 1))
+            .select(*REQUEST_COLS)
+        )
+        return new_replies, new_req
+
+    # ----------------------------------------------------------------- run
+    def run(self, max_rounds: int | None = None,
+            progress=None) -> snap.Manifest:
+        """Run (or resume) the crawl to completion.  Resume reads the last
+        committed manifest and continues from completed_rounds — a killed
+        job replays nothing and loses nothing (snapshot isolation)."""
+        cfg = self.cfg
+        max_rounds = max_rounds or cfg.max_rounds
+        m = snap.load_manifest(self.state_dir)
+        if m is None:
+            m = snap.Manifest(wave_start_ms=cfg.wave_start_ms)
+            self.ingest_seeds(m)
+            snap.commit_manifest(self.state_dir, m)
+        while not m.finished and m.completed_rounds < max_rounds:
+            stats = self._run_round(m)
+            if progress:
+                progress(stats)
+        return m
+
+    def _run_round(self, m: snap.Manifest) -> RoundStats:
+        rnd = m.completed_rounds
+        wave_start = m.wave_start_ms
+        requests = self._read_all("requests", m)
+        replies = self._read_all("replies", m)
+        cand = self._candidates(requests, replies, wave_start).cache()
+        try:
+            eligible = cand.filter(F.col("eligible_ms") <= wave_start)
+            wave = self._assemble_wave(eligible, wave_start, rnd).cache()
+            n_wave = wave.count()
+            if n_wave == 0:
+                row = (cand.filter(F.col("eligible_ms") > wave_start)
+                       .agg(F.min("eligible_ms").alias("mf")).collect()[0])
+                min_future = row["mf"]
+                snap.record_write(m, self.state_dir, "waves", rnd, 0)
+                snap.record_write(m, self.state_dir, "replies", rnd, 0)
+                m.completed_rounds = rnd + 1
+                if (min_future is not None
+                        and min_future - wave_start <= HORIZON_MS):
+                    m.wave_start_ms = int(min_future)
+                else:
+                    m.finished = True
+                snap.commit_manifest(self.state_dir, m)
+                return RoundStats(rnd, 0, 0, jumped=not m.finished)
+
+            new_replies, new_req = self._simulate_fetch(wave, replies, rnd)
+            self._write(wave.select(*WAVE_COLS), "waves", rnd, m)
+            self._write(new_replies, "replies", rnd, m)
+            n_new = self._write(new_req, "requests", rnd + 1, m)
+            max_end = wave.agg(
+                F.max(F.col("fetch_at_ms") + self.cfg.fetch_duration_ms)
+            ).collect()[0][0]
+            m.completed_rounds = rnd + 1
+            m.wave_start_ms = max(wave_start + 1, int(max_end))
+            snap.commit_manifest(self.state_dir, m)
+            return RoundStats(rnd, n_wave, n_new, jumped=False)
+        finally:
+            cand.unpersist()
+
+    # -------------------------------------------------------------- outputs
+    def crawl_order(self) -> DataFrame:
+        m = snap.load_manifest(self.state_dir)
+        waves = self._read_all("waves", m)
+        assert waves is not None
+        return waves.select("round", "seq_in_round", "uh48",
+                            F.col("url").alias("url_norm"), "first_ip",
+                            "priority", "hop_count", "fetch_at_ms")
+
+    def url_seen(self) -> DataFrame:
+        m = snap.load_manifest(self.state_dir)
+        req = self._read_all("requests", m)
+        assert req is not None
+        return req.groupBy("uh48").agg(
+            F.min_by("url", "round").alias("url_norm"),
+            F.min("round").alias("first_seen_round"))
+
+    def host_final(self) -> DataFrame:
+        m = snap.load_manifest(self.state_dir)
+        replies = self._read_all("replies", m)
+        waves = self._read_all("waves", m)
+        assert replies is not None and waves is not None
+        ends = replies.groupBy("first_ip").agg(
+            F.max("download_end_ms").alias("last_download_end_ms"))
+        delays = waves.groupBy("first_ip").agg(
+            F.max_by("delay_ms", F.struct("round", "fetch_at_ms"))
+            .alias("crawl_delay_ms"))
+        return ends.join(delays, "first_ip", "left")

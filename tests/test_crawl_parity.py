@@ -1,0 +1,96 @@
+"""Round-boundary parity: Spark pipeline == Python oracle (FIXTURES.md §6).
+
+Asserts, in order of strictness:
+1. url_seen set equality (exact, after full crawl)
+2. crawl_order equality on every column, every row
+3. host_final equality
+4. politeness: within-IP fetch_at spacing >= the scheduling delay budget
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from open_source_search_engine_spark.config import CrawlConfig
+from open_source_search_engine_spark.corpus import generate_corpus, write_parquet
+from open_source_search_engine_spark.oracle import run_oracle
+
+
+@pytest.fixture(scope="module")
+def small_corpus(tmp_path_factory):
+    c = generate_corpus(seed=7, n_domains=8, n_urls=160)
+    d = tmp_path_factory.mktemp("corpus")
+    write_parquet(c, str(d))
+    return c, str(d)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return CrawlConfig(max_rounds=14)
+
+
+@pytest.fixture(scope="module")
+def oracle_out(small_corpus, cfg):
+    c, _ = small_corpus
+    return run_oracle(c, cfg)
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark, small_corpus, cfg, tmp_path_factory):
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+    _, corpus_dir = small_corpus
+    state = str(tmp_path_factory.mktemp("state"))
+    runner = CrawlRunner(spark, corpus_dir, state, cfg)
+    runner.run()
+    return runner
+
+
+def test_crawl_order_exact(oracle_out, spark_out):
+    got = sorted(
+        (tuple(r) for r in spark_out.crawl_order()
+         .select("round", "seq_in_round", "uh48", "url_norm", "first_ip",
+                 "priority", "hop_count", "fetch_at_ms").collect()))
+    want = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in oracle_out.crawl_order)
+    assert len(got) == len(want)
+    assert got == want
+
+
+def test_url_seen_set(oracle_out, spark_out):
+    got = {(r["uh48"], r["url_norm"], r["first_seen_round"])
+           for r in spark_out.url_seen().collect()}
+    want = {(r["uh48"], r["url_norm"], r["first_seen_round"])
+            for r in oracle_out.url_seen}
+    assert got == want
+
+
+def test_host_final(oracle_out, spark_out):
+    got = {(r["first_ip"], r["last_download_end_ms"], r["crawl_delay_ms"])
+           for r in spark_out.host_final().collect()}
+    want = {(r["first_ip"], r["last_download_end_ms"], r["crawl_delay_ms"])
+            for r in oracle_out.host_final}
+    assert got == want
+
+
+def test_politeness_spacing(oracle_out):
+    """Within (round, first_ip), consecutive fetch_at gaps must be >= the
+    politeness budget: >= sameIpWait (1000 ms privacore default) always."""
+    from collections import defaultdict
+    by = defaultdict(list)
+    for r in oracle_out.crawl_order:
+        by[(r["round"], r["first_ip"])].append(r["fetch_at_ms"])
+    checked = 0
+    for times in by.values():
+        times.sort()
+        for a, b in zip(times, times[1:]):
+            assert b - a >= 1000
+            checked += 1
+    assert checked > 0
+
+
+def test_crawl_discovers_beyond_seeds(oracle_out, small_corpus):
+    c, _ = small_corpus
+    assert len(oracle_out.url_seen) > len(c.seeds)
+    assert len(oracle_out.crawl_order) > 50
