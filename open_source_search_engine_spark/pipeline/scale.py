@@ -1,0 +1,69 @@
+"""Skew- and scale-handling primitives (north rule: explicit partitioning /
+shuffle / skew handling for a 10^10-URL frontier).
+
+The hazard: winner selection (F11) partitions by ``first_ip``, and real
+frontiers have mega-hosts owning 30%+ of all URLs (the reference degrades
+them via the overflow list, SpiderColl.cpp:3319-3397).  A plain Window over
+``first_ip`` serializes the mega-host into one task.  Fix: **salted two-phase
+top-K**, which is *exactly* equivalent to the single Window:
+
+  phase 1: Window over (first_ip, salt) keeps top-K per salt shard
+           → parallel sorts, each ≤ |ip| / S rows
+  phase 2: Window over first_ip on the ≤ S·K survivors keeps top-K
+
+The global per-IP top-K is always contained in the union of per-salt top-Ks
+(any row in the global top-K is also within the top-K of its own salt
+shard), so phase 2 sees every winner — identical output, bounded task size.
+
+Also here: the overflow guard (F27) and a salted repartition helper for
+writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import OVERFLOW_REQUESTS_PER_IP
+
+
+def salted_topk_per_key(df: DataFrame, key: str, order: list[Column], k: int,
+                        salt_col: str = "uh48", n_salts: int = 32,
+                        rank_name: str = "ip_rn") -> DataFrame:
+    """Top-k rows per ``key`` by ``order``, mega-key-safe.  Returns df with
+    ``rank_name`` (1-based rank within key).  Exact — see module docstring."""
+    salt = (F.col(salt_col) % n_salts).cast("int")
+    w1 = Window.partitionBy(F.col(key), salt).orderBy(*order)
+    pruned = (df.withColumn("_srn", F.row_number().over(w1))
+              .filter(F.col("_srn") <= k)
+              .drop("_srn"))
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (pruned.withColumn(rank_name, F.row_number().over(w2))
+            .filter(F.col(rank_name) <= k))
+
+
+def overflow_ips(requests: DataFrame,
+                 threshold: int = OVERFLOW_REQUESTS_PER_IP) -> DataFrame:
+    """F27: IPs whose pending request count exceeds the overflow threshold
+    (10M in the reference); new outlinks from them are dropped at ingest."""
+    return (requests.groupBy("first_ip").count()
+            .filter(F.col("count") > threshold)
+            .select("first_ip", F.lit(True).alias("overflow")))
+
+
+def drop_overflow_ingest(new_requests: DataFrame,
+                         overflow: DataFrame) -> DataFrame:
+    """Filter ingest against the (tiny, broadcast) overflow list — the batch
+    analogue of SpiderColl.cpp:2488-2511's check."""
+    return new_requests.join(F.broadcast(overflow.select("first_ip")),
+                             "first_ip", "left_anti")
+
+
+def repartition_by_ip_salted(df: DataFrame, n_partitions: int,
+                             hot_threshold: int = 1_000_000) -> DataFrame:
+    """Repartition by first_ip but shard any single IP across partitions
+    with a salt — keeps writes/shuffles balanced when one IP dominates.
+    Readers that need per-IP locality re-aggregate; for the frontier log
+    (append-only, later window'd with salted_topk_per_key) this is free."""
+    return df.repartition(n_partitions, F.col("first_ip"),
+                          (F.col("uh48") % 16).cast("int"))

@@ -1,0 +1,562 @@
+"""Driver-contract query catalog: one entry per implemented operator.
+
+Each key maps to a Spark callable ``(spark, sf_dir) -> DataFrame`` and (where
+ANSI-SQL-expressible) a DuckDB oracle SQL string over the same parquet
+tables.  The crawl-frontier operators (F-numbers from SURVEY.md §2.1) are
+exercised here over a *derived frontier*: a deterministic, engine-portable
+projection of the ``documents`` table into (uh, first_ip, url, hop_count,
+priority, ...) columns — the same shapes the real pipeline computes from
+crawled URLs, but derivable identically in Spark SQL and DuckDB so the
+driver's value-hash comparison is exact.  The true tabulation-hash/normalize/
+robots kernels are NOT SQL-expressible; they appear as rows-only entries and
+are pinned exactly by the pytest reference-vector suites instead
+(tests/test_ghash.py, test_urlnorm.py, test_robots.py, test_crawl_parity.py).
+
+Numeric discipline for cross-engine hashing: outputs are BIGINT or
+round(x, 4) doubles; orderings always carry a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# shared derived-frontier CTE — identical text runs in Spark SQL and DuckDB.
+# host_id skews ~1/3 of urls onto host 0 (the mega-host path, F4/F27).
+# ---------------------------------------------------------------------------
+
+FRONTIER_CTE = """
+WITH frontier AS (
+  SELECT
+    doc_id                                   AS uh,
+    CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 50 END AS BIGINT) AS host_id,
+    CAST(167772160 + (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 50 END) AS BIGINT) AS first_ip,
+    'http://h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 50 END AS STRING)
+        || '.example/p' || CAST(doc_id AS STRING) || '.html' AS url,
+    CAST(doc_id % 7 AS BIGINT)               AS hop_count,
+    CAST(100 - (doc_id % 97) AS BIGINT)      AS priority,
+    CAST(1700000000 + (doc_id % 1000) AS BIGINT) AS added_time,
+    CAST(n_chars AS BIGINT)                  AS n_chars
+  FROM documents
+)
+"""
+
+# replies derived from events: user_id stands in for uh, ts for fetch time
+REPLIES_CTE = """
+, replies AS (
+  SELECT
+    CAST(event_id % 200 AS BIGINT)           AS uh,
+    CAST(event_id AS BIGINT)                 AS reply_id,
+    CAST(1700000000 + (event_id % 5000) AS BIGINT) AS spidered_time,
+    CASE WHEN event_type = 'error' THEN 32769 ELSE 0 END AS err_code,
+    CAST(event_id % 4 AS BIGINT)             AS err_count
+  FROM events
+)
+"""
+
+
+def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+    return run
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _shared(name: str, sql: str) -> None:
+    """Same SQL text runs on both engines (ANSI-portable subset)."""
+    _register(name, _sql_query(sql), sql)
+
+
+# ---------------------------------------------------------------------------
+# F7 — spiderdb merge-time dedup: per uh keep min (hop, added_time)
+# (Spider.cpp:3883-3922 keep-rule; duplicate requests synthesized by % 180)
+# ---------------------------------------------------------------------------
+_shared("f7_request_dedup", FRONTIER_CTE + """
+SELECT dup_key, uh, url, hop_count, added_time
+FROM (
+  SELECT uh % 180 AS dup_key, uh, url, hop_count, added_time,
+         ROW_NUMBER() OVER (PARTITION BY uh % 180
+                            ORDER BY hop_count, added_time, uh) AS rn
+  FROM frontier
+) t WHERE rn = 1
+ORDER BY dup_key
+""")
+
+# ---------------------------------------------------------------------------
+# F8 — request ⨝ latest-reply as-of join (Spider.cpp:664-667: newest reply
+# per uh survives; SpiderColl.cpp:2535-2685 cursor → batch max_by)
+# ---------------------------------------------------------------------------
+_shared("f8_latest_reply_join", FRONTIER_CTE + REPLIES_CTE + """
+SELECT f.uh, f.url, r.spidered_time AS last_spider_time,
+       r.err_code, r.err_count
+FROM frontier f
+LEFT JOIN (
+  SELECT uh, spidered_time, err_code, err_count
+  FROM (
+    SELECT uh, spidered_time, err_code, err_count,
+           ROW_NUMBER() OVER (PARTITION BY uh
+                              ORDER BY spidered_time DESC, reply_id DESC) AS rn
+    FROM replies
+  ) x WHERE rn = 1
+) r ON f.uh = r.uh
+WHERE f.uh < 200
+ORDER BY f.uh
+""")
+
+# ---------------------------------------------------------------------------
+# F10 — next-eligible-time: greatest() of the scheduling clocks
+# (SpiderColl.cpp:4083-4180)
+# ---------------------------------------------------------------------------
+_shared("f10_eligible_time", FRONTIER_CTE + REPLIES_CTE + """
+SELECT f.uh,
+       GREATEST(
+         f.added_time * 1000,
+         1700000500000 + (f.first_ip % 5) * 1000,
+         COALESCE(r.spidered_time * 1000 + 86400000, 0)
+       ) AS eligible_ms
+FROM frontier f
+LEFT JOIN (
+  SELECT uh, MAX(spidered_time) AS spidered_time FROM replies GROUP BY uh
+) r ON f.uh = r.uh
+ORDER BY f.uh
+""")
+
+# ---------------------------------------------------------------------------
+# F11 — per-IP winner selection: top-K by (priority desc, hop asc, uh asc)
+# (SpiderColl.cpp:2513-3401, key order Spider.cpp:991-1013; K=7 privacore)
+# ---------------------------------------------------------------------------
+_shared("f11_winner_window", FRONTIER_CTE + """
+SELECT first_ip, uh, url, priority, hop_count, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT first_ip, uh, url, priority, hop_count,
+         ROW_NUMBER() OVER (PARTITION BY first_ip
+                            ORDER BY priority DESC, hop_count, uh) AS rn
+  FROM frontier
+) t WHERE rn <= 7
+ORDER BY first_ip, rn
+""")
+
+# ---------------------------------------------------------------------------
+# F12 — waiting tree: per-IP earliest next-eligible time
+# (SpiderColl.cpp:4290-4305; batch = one aggregate)
+# ---------------------------------------------------------------------------
+_shared("f12_waiting_tree", FRONTIER_CTE + """
+SELECT first_ip, MIN(added_time * 1000) AS next_eligible_ms,
+       CAST(COUNT(*) AS BIGINT) AS pending
+FROM frontier GROUP BY first_ip ORDER BY first_ip
+""")
+
+# ---------------------------------------------------------------------------
+# F14 — wave assembly: per-IP cap then global budget of 300, best-first
+# (SpiderLoop.cpp:369-818)
+# ---------------------------------------------------------------------------
+_shared("f14_wave_caps", FRONTIER_CTE + """
+SELECT uh, url, first_ip, priority, hop_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, hop_count, uh) - 1
+            AS BIGINT) AS seq_in_round
+FROM (
+  SELECT uh, url, first_ip, priority, hop_count,
+         ROW_NUMBER() OVER (PARTITION BY first_ip
+                            ORDER BY priority DESC, hop_count, uh) AS ip_rn
+  FROM frontier
+) t WHERE ip_rn <= 7
+ORDER BY priority DESC, hop_count, uh
+LIMIT 300
+""")
+
+# ---------------------------------------------------------------------------
+# F16 — politeness spacing: fetch_at = wave_start + rank * sameIpWait
+# (Msg13.cpp:2069-2107 hammer queue; 1000 ms privacore wait)
+# ---------------------------------------------------------------------------
+_shared("f16_fetch_schedule", FRONTIER_CTE + """
+SELECT uh, first_ip,
+       CAST(1700000000000 +
+            (ROW_NUMBER() OVER (PARTITION BY first_ip
+                                ORDER BY priority DESC, hop_count, uh) - 1)
+            * 1000 AS BIGINT) AS fetch_at_ms
+FROM frontier
+WHERE first_ip % 10 = 0
+ORDER BY uh
+""")
+
+# ---------------------------------------------------------------------------
+# F5 — URL-seen dedup (exact form): anti-join of new urls vs seen set
+# (SpiderColl.cpp:845-904; the bloom/cuckoo scale path is rows-only below)
+# ---------------------------------------------------------------------------
+_shared("f5_url_seen_antijoin", FRONTIER_CTE + """
+SELECT f.uh, f.url FROM frontier f
+WHERE NOT EXISTS (
+  SELECT 1 FROM frontier s WHERE s.uh % 5 = 0 AND s.uh = f.uh
+)
+ORDER BY f.uh
+""")
+
+# ---------------------------------------------------------------------------
+# F27 — per-IP overflow guard (SpiderColl.cpp:3319-3397; threshold scaled
+# to fixture size: >30 pending requests flags the IP)
+# ---------------------------------------------------------------------------
+_shared("f27_overflow_guard", FRONTIER_CTE + """
+SELECT first_ip, CAST(COUNT(*) AS BIGINT) AS pending,
+       COUNT(*) > 30 AS overflow
+FROM frontier GROUP BY first_ip ORDER BY first_ip
+""")
+
+# ---------------------------------------------------------------------------
+# F28 — site quota counting: distinct-uh voting per site
+# (SpiderColl.cpp:2754-2798)
+# ---------------------------------------------------------------------------
+_shared("f28_quota_count", FRONTIER_CTE + """
+SELECT host_id, CAST(COUNT(DISTINCT uh) AS BIGINT) AS site_pages
+FROM frontier GROUP BY host_id ORDER BY host_id
+""")
+
+# ---------------------------------------------------------------------------
+# F29 — IP C-block inlink counting: distinct /24 blocks per uh, capped 20
+# (SpiderColl.cpp:2701-2742)
+# ---------------------------------------------------------------------------
+_shared("f29_cblock_inlinks", FRONTIER_CTE + """
+SELECT uh % 40 AS link_target,
+       CAST(LEAST(COUNT(DISTINCT first_ip - first_ip % 256), 20) AS BIGINT)
+         AS page_num_inlinks
+FROM frontier GROUP BY uh % 40 ORDER BY link_target
+""")
+
+# ---------------------------------------------------------------------------
+# F9 — url-filter ladder as a CASE chain (first-match-wins,
+# Spider.cpp:2202-2269): the compiled when()-chain semantics on the derived
+# frontier, expressed portably
+# ---------------------------------------------------------------------------
+_shared("f9_urlfilter_ladder", FRONTIER_CTE + """
+SELECT uh, url, hop_count,
+       CASE WHEN hop_count = 0 AND url LIKE 'http://h0.%' THEN 0
+            WHEN hop_count = 0 THEN 1
+            WHEN hop_count = 1 THEN 2
+            WHEN hop_count >= 2 AND hop_count <= 4 THEN 3
+            ELSE 4 END AS ufn,
+       CASE WHEN hop_count = 0 AND url LIKE 'http://h0.%' THEN 48
+            WHEN hop_count = 0 THEN 47
+            WHEN hop_count = 1 THEN 40
+            WHEN hop_count >= 2 AND hop_count <= 4 THEN 30
+            ELSE 10 END AS priority_out
+FROM frontier ORDER BY uh
+""")
+
+# ---------------------------------------------------------------------------
+# Rdb S3/S4 — key-range scan with merge-dedup semantics over the sorted log
+# (Msg5.cpp:57-1566; RdbList.cpp:1531 merge): range filter + newest-wins
+# ---------------------------------------------------------------------------
+_shared("s4_range_scan", FRONTIER_CTE + """
+SELECT uh, url, priority FROM frontier
+WHERE uh >= 100 AND uh < 260 ORDER BY uh
+""")
+
+# ---------------------------------------------------------------------------
+# Training-data ops (first-class per the build brief)
+# ---------------------------------------------------------------------------
+
+# exact dedup: hash-groupBy, keep lowest doc_id per content hash
+_shared("dedup_exact", """
+SELECT content_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM (SELECT doc_id, md5(text) AS content_hash FROM documents) t
+GROUP BY content_hash
+ORDER BY content_hash
+""")
+
+# n-gram (word 3-gram) profile per doc: counts are portable arithmetic
+_shared("text_ngram_profile", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+         AS token_count,
+       CAST(GREATEST(length(text) - length(replace(text, ' ', '')) - 1, 0)
+            AS BIGINT) AS trigram_count
+FROM documents ORDER BY doc_id
+""")
+
+# quality scoring: length / punctuation / stopword-ish ratios
+_shared("text_quality_score", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_len,
+       CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_dots,
+       CAST(length(text) - length(replace(text, ' the ', '')) AS BIGINT)
+         AS stopword_chars,
+       ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(length(text) + 1 AS DOUBLE), 4) AS ink_ratio
+FROM documents ORDER BY doc_id
+""")
+
+# document fingerprint: rolling polynomial hash over char codes, portable
+# via per-position arithmetic on a fixed prefix
+_shared("doc_fingerprint", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((ascii(substr(text || 'pad', 1, 1)) * 31 * 31
+             + ascii(substr(text || 'pad', 2, 1)) * 31
+             + ascii(substr(text || 'pad', 3, 1))) % 1000003 AS BIGINT)
+         AS fp_prefix,
+       CAST(length(text) AS BIGINT) AS n_len
+FROM documents ORDER BY doc_id
+""")
+
+def _embed_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine/dot top-k (training-data ANN baseline).  Spark:
+    zip_with + aggregate, JVM-side; quantized to ints so the DuckDB oracle
+    hashes identically."""
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    dots = (
+        emb.crossJoin(F.broadcast(q))
+        .withColumn(
+            "dot_q",
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "q_emb",
+                    lambda a, b: (F.round(a * 1000).cast("long")
+                                  * F.round(b * 1000).cast("long"))),
+                F.lit(0).cast("long"), lambda acc, x: acc + x))
+        .filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "dot_q")
+        .orderBy(F.desc("dot_q"), "vec_id")
+        .limit(20)
+    )
+    return dots
+
+
+_register("embed_topk_bruteforce", _embed_topk_spark, """
+SELECT CAST(d.vec_id AS BIGINT) AS vec_id,
+       SUM(CAST(ROUND(d.embedding[t.i] * 1000) AS BIGINT)
+           * CAST(ROUND(q.embedding[t.i] * 1000) AS BIGINT)) AS dot_q
+FROM embeddings d, embeddings q, range(1, 65) t(i)
+WHERE q.vec_id = 0 AND d.vec_id <> 0
+GROUP BY d.vec_id
+ORDER BY dot_q DESC, vec_id
+LIMIT 20
+""")
+
+# events windowed aggregation (streaming-compatible tumbling window: the
+# same plan runs under readStream + watermark)
+_shared("events_tumbling_window", """
+SELECT CAST(date_trunc('hour', ts) AS STRING) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+""")
+
+# Q2/Q3 — posting-list intersection + top-k ranking (PosdbTable
+# intersectLists10_r re-expressed as inverted-index join; TopTree → LIMIT)
+_shared("q2_posting_intersect_topk", """
+WITH hits AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) - length(replace(text, 'data', '')) AS BIGINT)
+           AS tf4_a,
+         CAST(length(text) - length(replace(text, 'join', '')) AS BIGINT)
+           AS tf4_b
+  FROM documents
+)
+SELECT doc_id, tf4_a, tf4_b, tf4_a + tf4_b AS score
+FROM hits WHERE tf4_a > 0 AND tf4_b > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+""")
+
+
+def _multimodal_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text treated as an opaque binary payload with
+    typed metadata; byte-length extracted via the JVM encode path (the real
+    image/audio decode is stubbed per the brief — see training.multimodal)."""
+    register_views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.length(F.encode("text", "utf-8")).cast("long")
+            .alias("payload_bytes"),
+            F.col("lang"))
+        .orderBy("doc_id")
+    )
+
+
+_register("multimodal_binary_meta", _multimodal_spark, """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       lang
+FROM documents ORDER BY doc_id
+""")
+
+# ---------------------------------------------------------------------------
+# Rows-only entries: real kernels DuckDB cannot express (tabulation hash,
+# URL normalizer state machine, robots grammar, MinHash/SimHash/LSH).
+# Exact behavior is pinned by the pytest reference-vector suites instead.
+# ---------------------------------------------------------------------------
+
+def _derived_raw_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'dirty' URL variants of the derived frontier, cycling
+    normalization traps (case, :80, fragments, dot-segments)."""
+    register_views(spark, sf_dir)
+    return spark.sql(FRONTIER_CTE + """
+SELECT uh,
+       CASE CAST(uh % 5 AS INT)
+         WHEN 0 THEN url
+         WHEN 1 THEN upper(url)
+         WHEN 2 THEN replace(url, '.example/', '.example:80/')
+         WHEN 3 THEN url || '#fragment'
+         ELSE replace(url, '.example/', '.example/./')
+       END AS raw_url
+FROM frontier""")
+
+
+def _f1_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: Url::set normalization (Url.cpp:794-1300) via the Arrow UDF —
+    every trap variant collapses back to the canonical form."""
+    from .pipeline.udfs import make_normalize_udf
+    raw = _derived_raw_urls(spark, sf_dir)
+    n = make_normalize_udf()
+    return (raw.withColumn("n", n("raw_url"))
+            .select("uh", "raw_url",
+                    F.col("n.url_norm").alias("url_norm"),
+                    F.col("n.host").alias("host"),
+                    F.col("n.domain").alias("domain"))
+            .orderBy("uh"))
+
+
+def _f2_uh48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: canonical UrlHash48 (tabulation hash, hash.cpp:21-52) — the
+    real 48-bit id over the derived URL universe."""
+    from .pipeline.udfs import uh48_udf
+    raw = _derived_raw_urls(spark, sf_dir)
+    from .pipeline.udfs import make_normalize_udf
+    n = make_normalize_udf()
+    return (raw.withColumn("url_norm", n("raw_url").getField("url_norm"))
+            .withColumn("uh48", uh48_udf("url_norm"))
+            .select("uh", "url_norm", "uh48").orderBy("uh"))
+
+
+def _f17_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/F18: robots.txt compile + longest-match rule evaluation
+    (Robots.cpp:241-361) over per-host synthetic robots bodies."""
+    from .corpus import ROBOTS_SHAPES
+    from .pipeline.udfs import make_robots_udfs
+    register_views(spark, sf_dir)
+    shapes = F.array(*[F.lit(s[1]) for s in ROBOTS_SHAPES])
+    fr = spark.sql(FRONTIER_CTE + "SELECT uh, host_id, url FROM frontier")
+    allowed_udf, delay_udf = make_robots_udfs("GigablastOpenSource")
+    df = (fr.withColumn("robots_txt",
+                        F.element_at(shapes,
+                                     (F.col("host_id")
+                                      % len(ROBOTS_SHAPES) + 1).cast("int")))
+          .withColumn("path_cgi",
+                      F.regexp_replace("url", r"^http://[^/]+", "")))
+    return (df.withColumn("allowed", allowed_udf("robots_txt", "path_cgi"))
+            .withColumn("crawl_delay_ms", delay_udf("robots_txt"))
+            .select("uh", "path_cgi", "allowed", "crawl_delay_ms")
+            .orderBy("uh"))
+
+
+def _docs_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.dedup import minhash_signatures
+    sigs = minhash_signatures(_docs_long(spark, sf_dir))
+    return sigs.select(
+        "doc_id", F.col("sig")[0].alias("minhash_0"),
+        F.aggregate("sig", F.lit(0).cast("long"),
+                    lambda a, x: a + x % 1000003).alias("sig_checksum")
+    ).orderBy("doc_id")
+
+
+def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.dedup import lsh_candidate_pairs, minhash_signatures
+    sigs = minhash_signatures(_docs_long(spark, sf_dir))
+    return lsh_candidate_pairs(sigs, threshold=0.3).orderBy("doc_a", "doc_b")
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.dedup import simhash_fingerprints
+    return simhash_fingerprints(_docs_long(spark, sf_dir)).orderBy("doc_id")
+
+
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.dedup import simhash_fingerprints, simhash_near_dups
+    fps = simhash_fingerprints(_docs_long(spark, sf_dir))
+    return simhash_near_dups(fps, max_hamming=16).orderBy("doc_a", "doc_b")
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.textqual import language_id
+    return language_id(_docs_long(spark, sf_dir)).orderBy("doc_id")
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.textqual import token_counts
+    return token_counts(_docs_long(spark, sf_dir)).orderBy("doc_id")
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.textqual import quality_signals
+    register_views(spark, sf_dir)
+    return quality_signals(spark.table("documents")).orderBy("doc_id")
+
+
+def _embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.simsearch import lsh_topk
+    register_views(spark, sf_dir)
+    return lsh_topk(spark.table("embeddings"), query_vec_id=0, k=10,
+                    n_planes=4)
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.multimodal import extract_features, media_from_documents
+    register_views(spark, sf_dir)
+    media = media_from_documents(spark.table("documents"))
+    return (extract_features(media)
+            .select("media_id", "kind", "payload_bytes",
+                    F.round(F.element_at("feature", 1), 4).alias("feat_0"))
+            .orderBy("media_id"))
+
+
+for _name, _fn in [
+    ("f1_url_normalize", _f1_normalize),
+    ("f2_uh48_hash", _f2_uh48),
+    ("f17_robots_match", _f17_robots),
+    ("dedup_minhash_sig", _dedup_minhash),
+    ("dedup_minhash_lsh_pairs", _dedup_minhash_pairs),
+    ("dedup_simhash_fp", _dedup_simhash),
+    ("dedup_simhash_pairs", _dedup_simhash_pairs),
+    ("lang_id_ngram", _lang_id),
+    ("token_count_bpe", _token_counts),
+    ("text_quality_catalyst", _quality),
+    ("embed_ann_lsh", _embed_ann),
+    ("multimodal_features", _multimodal_features),
+]:
+    _register(_name, _fn, None)

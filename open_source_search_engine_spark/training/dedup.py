@@ -1,0 +1,186 @@
+"""Near-duplicate detection for training-data pipelines.
+
+Three scale-path families over a text column:
+
+- **exact**: hash-groupBy (see queries.py ``dedup_exact`` — pure SQL)
+- **MinHash + LSH**: word-shingle → 64 permutation-free minhashes
+  (``(a*h+b) mod p`` universal hashing over one base tabulation hash) →
+  banded LSH (16 bands × 4 rows) → bucket join → candidate pairs with
+  estimated Jaccard.  Everything NumPy-vectorized inside Arrow batches; the
+  pair-join is a Spark groupBy on (band, band_hash) — i.e. the O(n²) pair
+  space never materializes, only co-bucketed candidates shuffle.
+- **SimHash**: 64-bit sign fingerprint of token-hash vectors; near-dups =
+  pairs sharing a 16-bit segment (4-segment pigeonhole for hamming ≤ 3)
+  verified by popcount.
+
+At 100 TB the flow is identical: signatures are computed map-side
+(mapInPandas), the only shuffles are the band-bucket groupBys whose keys are
+uniformly distributed by construction (hash values), so no skew.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.ghash import hash64b_bytes
+
+MERSENNE_P = (1 << 61) - 1
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = 4
+
+# deterministic universal-hash parameters (fixed seed, no runtime RNG)
+_rs = np.random.RandomState(0x5EED)
+_A = (_rs.randint(1, 1 << 31, size=N_HASHES).astype(np.uint64) * 2 + 1)
+_B = _rs.randint(0, 1 << 31, size=N_HASHES).astype(np.uint64)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-word shingles → uint64 hashes via the engine's tabulation hash."""
+    toks = text.split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if not shingles:
+        return np.zeros(1, dtype=np.uint64)
+    return hash64b_bytes([s.encode() for s in shingles])
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """64 minhashes: min over shingles of (a_i * h + b_i) mod (2^61-1)."""
+    h = _shingle_hashes(text)
+    # (n_shingles, 64) — modular arithmetic in uint64 via Python-int-free ops
+    prod = (h[:, None] * _A[None, :] + _B[None, :]) % np.uint64(MERSENNE_P)
+    return prod.min(axis=0)
+
+
+SIG_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sig", T.ArrayType(T.LongType())),
+])
+
+
+def minhash_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        sigs = [minhash_signature(t or "").astype(np.int64).tolist()
+                for t in batch["text"]]
+        yield pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                            "sig": sigs})
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, sig array<long>[64])."""
+    return docs.select("doc_id", "text").mapInPandas(
+        minhash_map_in_pandas, schema=SIG_SCHEMA)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Banded LSH: explode 16 bands, bucket-join, estimate Jaccard as the
+    fraction of matching minhashes; keep pairs >= threshold.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    """
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(
+            F.array(*[
+                F.hash(*[F.col("sig")[i]
+                         for i in range(b * ROWS_PER_BAND,
+                                        (b + 1) * ROWS_PER_BAND)])
+                for b in range(N_BANDS)
+            ])).alias("band_idx", "band_hash"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(right,
+                  (F.col("l.band_idx") == F.col("r.band_idx"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                F.col("l.sig").alias("sig_a"),
+                F.col("r.sig").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b",
+                       lambda a, b: F.when(a == b, 1).otherwise(0)),
+            F.lit(0), lambda acc, x: acc + x)
+        / F.lit(N_HASHES)
+    )
+    return (cand.withColumn("est_jaccard", F.round(est, 4))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b", "est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    h = hash64b_bytes([t.encode() for t in toks])
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    score = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if score[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return int(out.astype(np.int64))
+
+
+def simhash_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        yield pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "simhash": [simhash64(t or "") for t in batch["text"]],
+        })
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").mapInPandas(
+        simhash_map_in_pandas, schema=SIMHASH_SCHEMA)
+
+
+def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole: hamming<=3 over 64 bits ⇒ at least one of four 16-bit
+    segments equal.  Bucket-join per segment, verify with bit_count."""
+    segs = fps.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned("simhash", 16 * s)
+             .bitwiseAND(F.lit(0xFFFF))) for s in range(4)
+        ])).alias("seg_idx", "seg_val"))
+    l, r = segs.alias("l"), segs.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.seg_idx") == F.col("r.seg_idx"))
+               & (F.col("l.seg_val") == F.col("r.seg_val"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                F.col("l.simhash").alias("sh_a"),
+                F.col("r.simhash").alias("sh_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,51 @@
+"""Driver-style correctness gate, run locally: every oracle-backed query in
+the catalog must match DuckDB exactly (row count + sorted column names +
+values) on the same parquet; rows-only queries must at least execute and
+return a stable schema."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from open_source_search_engine_spark.queries import ORACLES, QUERIES, TABLES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(v):
+    return round(v, 6) if isinstance(v, float) else v
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, duck, name):
+    sdf = QUERIES[name](spark, SF)
+    scols = sorted(sdf.columns)
+    sdata = sorted(tuple(_norm(r[c]) for c in scols) for r in sdf.collect())
+    res = duck.execute(ORACLES[name])
+    colidx = {d[0]: i for i, d in enumerate(res.description)}
+    ocols = sorted(colidx)
+    odata = sorted(tuple(_norm(r[colidx[c]]) for c in ocols)
+                   for r in res.fetchall())
+    assert scols == ocols, f"{name}: column names diverge"
+    assert len(sdata) == len(odata), f"{name}: row count diverges"
+    assert sdata == odata, f"{name}: values diverge"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_runs(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.columns) >= 2

@@ -1,0 +1,139 @@
+"""Behavioral tests for the training-data operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from open_source_search_engine_spark.training.dedup import (
+    minhash_signature, simhash64)
+
+
+def test_minhash_identical_docs_identical_sigs():
+    a = minhash_signature("the quick brown fox jumps over the lazy dog " * 5)
+    b = minhash_signature("the quick brown fox jumps over the lazy dog " * 5)
+    assert (a == b).all()
+
+
+def test_minhash_estimates_jaccard():
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3).split()
+    doc_a = " ".join(base)
+    doc_b = " ".join(base[: int(len(base) * 0.8)])  # ~0.8 shingle overlap
+    doc_c = " ".join(reversed(base))                # shared words, few shingles
+    sa, sb, sc = (minhash_signature(d) for d in (doc_a, doc_b, doc_c))
+    est_ab = (sa == sb).mean()
+    est_ac = (sa == sc).mean()
+    assert est_ab > 0.5
+    assert est_ac < est_ab
+
+
+def test_minhash_disjoint_docs_low_similarity():
+    sa = minhash_signature("one two three four five six seven eight " * 4)
+    sb = minhash_signature("neuf dix onze douze treize quatorze quinze " * 4)
+    assert (sa == sb).mean() < 0.1
+
+
+def test_simhash_near_dup_small_hamming():
+    a = simhash64("spark window join aggregate shuffle partition " * 10)
+    b = simhash64("spark window join aggregate shuffle partition " * 10
+                  + " extra")
+    far = simhash64("completely different words entirely other topic " * 10)
+    ham_ab = bin(a ^ b).count("1")
+    ham_af = bin(a ^ far).count("1")
+    assert ham_ab < ham_af
+    assert ham_ab <= 16
+
+
+def test_simhash_deterministic():
+    assert simhash64("hello world") == simhash64("hello world")
+    assert simhash64("") == 0
+
+
+def test_lsh_pairs_find_planted_dup(spark):
+    from open_source_search_engine_spark.training.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog very quietly " * 4),
+        (2, "the cat sat on the mat and looked at the dog very quietly " * 4),
+        (3, "entirely different content about spark windows and shuffles " * 4),
+        (4, "more unrelated text concerning benchmark throughput numbers " * 4),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(minhash_signatures(docs), 0.9).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_ann_lsh_agrees_with_brute_force_on_top1(spark):
+    from open_source_search_engine_spark.training.simsearch import (
+        brute_force_topk, lsh_buckets)
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(64)
+    rows = [(0, base.tolist())]
+    rows.append((1, (base + 0.01 * rng.standard_normal(64)).tolist()))  # near
+    for i in range(2, 30):
+        rows.append((i, rng.standard_normal(64).tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = brute_force_topk(emb, 0, k=1).collect()
+    assert top[0]["vec_id"] == 1
+    b = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, 4).collect()}
+    assert b[0] == b[1]  # near-identical vectors share the sign bucket
+
+
+def test_language_id(spark):
+    from open_source_search_engine_spark.training.textqual import language_id
+    rows = [
+        (1, "the cat and the dog in the house is that it"),
+        (2, "der hund und die katze ist nicht ein problem mit"),
+        (3, "le chat est dans la maison et le chien pour"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_token_counts(spark):
+    from open_source_search_engine_spark.training.textqual import token_counts
+    docs = spark.createDataFrame(
+        [(1, "hello world, it's 42 degrees!")], ["doc_id", "text"])
+    r = token_counts(docs).collect()[0]
+    assert r["ws_tokens"] == 5
+    # hello | world | , | it | ' | s | 42 | degrees | !
+    assert r["bpe_tokens"] == 9
+
+
+def test_multimodal_plumbing(spark):
+    from open_source_search_engine_spark.training.multimodal import (
+        extract_features, media_from_documents)
+    docs = spark.createDataFrame([(7, "payload bytes here")],
+                                 ["doc_id", "text"])
+    out = extract_features(media_from_documents(docs)).collect()
+    assert len(out) == 1
+    assert out[0]["payload_bytes"] == len("payload bytes here")
+    assert len(out[0]["feature"]) == 8
+    # deterministic stub: same payload → same feature
+    out2 = extract_features(media_from_documents(docs)).collect()
+    assert out[0]["feature"] == out2[0]["feature"]
+
+
+def test_salted_topk_equals_plain_window(spark):
+    """The mega-host-safe two-phase top-K must equal the single Window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from open_source_search_engine_spark.pipeline.scale import (
+        salted_topk_per_key)
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("first_ip"),
+        (F.col("id") * 7919 % 100000).alias("uh48"),
+        (F.col("id") % 11).alias("score"))
+    order = [F.desc("score"), F.asc("uh48")]
+    got = sorted((r["first_ip"], r["uh48"], r["ip_rn"]) for r in
+                 salted_topk_per_key(df, "first_ip", order, k=25).collect())
+    w = Window.partitionBy("first_ip").orderBy(*order)
+    want = sorted((r["first_ip"], r["uh48"], r["ip_rn"]) for r in
+                  df.withColumn("ip_rn", F.row_number().over(w))
+                  .filter(F.col("ip_rn") <= 25).collect())
+    assert got == want
