@@ -176,29 +176,42 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling(n_small: int = 4) -> dict:
+def run_scaling(n_small: int = 4, reps: int = 3) -> dict:
     """BASELINE.md sandbox scaling protocol: same job, same input, local[N]
-    vs local[4N].
+    vs local[4N], one process.
 
-    N=4 → 4N=16 spans *physical* cores on this box: the 32 logical CPUs are
-    16 physical + SMT — a raw multiprocess probe measures 4→16 procs at
-    0.99 hardware efficiency but 8→32 at only 0.65, so 8→32 would gate on
-    SMT, not on the pipeline.  Each level runs the SAME-size job once to
-    warm (JVM heap page-in is ~20 MB/s first-touch in this sandbox) and
-    reports the best of two measured runs (steady state)."""
-    results = {}
-    for cpus in (n_small, n_small * 4):
-        env = dict(os.environ)
-        env["SPARK_GRAFT_CPUS"] = str(cpus)
-        env["SPARK_GRAFT_BENCH_MODE"] = "frontier_only"
-        env.setdefault("SPARK_GRAFT_FRONTIER_ROWS", "48000000")
-        env.setdefault("SPARK_DRIVER_MEM", "48g")
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    tp_n = results[n_small]["urls_scheduled_per_sec"]
-    tp_4n = results[n_small * 4]["urls_scheduled_per_sec"]
+    Why N=4 → 4N=16: the 32 logical CPUs are 16 physical + SMT — a raw
+    multiprocess probe measures 4→16 procs at 0.99 hardware efficiency but
+    8→32 at only 0.65, so an 8→32 comparison would gate on SMT, not on the
+    pipeline.
+
+    Measurement discipline: this sandbox faults JVM heap pages at ~20 MB/s
+    per touching thread, so a cold low-parallelism run understates steady
+    state by 2-3x.  The JVM persists across SparkSessions within one
+    process, so we (1) pre-warm the heap with the same-size job at
+    local[32], then (2) measure each level warm: one throwaway run + best
+    of ``reps`` measured runs."""
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    n_rows = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", "48000000"))
+    from open_source_search_engine_spark.session import get_spark
+
+    def measure(cpus: int, n_runs: int) -> list[float]:
+        spark = get_spark(app=f"scale{cpus}", master=f"local[{cpus}]",
+                          shuffle_partitions=cpus)
+        times = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            frontier, replies = build_frontier(spark, n_rows)
+            assemble_wave(spark, frontier, replies, 1700086400000).count()
+            times.append(time.time() - t0)
+        spark.stop()
+        return times
+
+    measure(32, 2)                       # global heap/codegen warm-up
+    t_n = measure(n_small, reps + 1)[1:]
+    t_4n = measure(n_small * 4, reps + 1)[1:]
+    tp_n = round(n_rows / min(t_n), 1)
+    tp_4n = round(n_rows / min(t_4n), 1)
     eff = (tp_4n / tp_n) / 4
     return {
         "metric": "scaling_efficiency_N_to_4N",
@@ -207,7 +220,9 @@ def run_scaling(n_small: int = 4) -> dict:
         "n_cores": n_small,
         "throughput_at_N": tp_n,
         "throughput_at_4N": tp_4n,
-        "frontier_rows": results[n_small]["frontier_rows"],
+        "times_at_N": [round(t, 2) for t in t_n],
+        "times_at_4N": [round(t, 2) for t in t_4n],
+        "frontier_rows": n_rows,
         "gate": 0.8,
         "pass": eff >= 0.8,
     }

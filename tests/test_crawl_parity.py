@@ -90,6 +90,34 @@ def test_politeness_spacing(oracle_out):
     assert checked > 0
 
 
+def test_compaction_preserves_crawl(spark, small_corpus, cfg, oracle_out,
+                                    tmp_path_factory):
+    """Run 4 rounds → compact (F7 rewrite) → resume to completion: outputs
+    must still match the oracle byte-for-byte (compaction is a physical
+    rewrite, never a semantic change)."""
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+    _, corpus_dir = small_corpus
+    state = str(tmp_path_factory.mktemp("cstate"))
+    runner = CrawlRunner(spark, corpus_dir, state, cfg)
+    runner.run(max_rounds=4)
+    runner.compact()
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order()
+                 .select("round", "seq_in_round", "uh48", "url_norm",
+                         "first_ip", "priority", "hop_count",
+                         "fetch_at_ms").collect())
+    want = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in oracle_out.crawl_order)
+    assert got == want
+    got_seen = {(r["uh48"], r["first_seen_round"])
+                for r in runner.url_seen().collect()}
+    want_seen = {(r["uh48"], r["first_seen_round"])
+                 for r in oracle_out.url_seen}
+    assert got_seen == want_seen
+
+
 def test_crawl_discovers_beyond_seeds(oracle_out, small_corpus):
     c, _ = small_corpus
     assert len(oracle_out.url_seen) > len(c.seeds)

@@ -1,0 +1,98 @@
+"""Outlink harvesting semantics vs the reference (F22-F24):
+tag set, nofollow, self-link, media-extension exclusion, relative
+resolution, per-page first-wins dedup, span-order preservation."""
+
+from __future__ import annotations
+
+from open_source_search_engine_spark.functions.outlinks import (
+    BAD_EXTENSIONS, extract_outlinks)
+
+
+def _spans(*texts):
+    return [{"kind": "text", "text": t, "media_ref": None, "offset": i}
+            for i, t in enumerate(texts)]
+
+
+BASE = "http://www.example.com/dir/page.html"
+
+
+def test_tag_set_a_link_area():
+    spans = _spans(
+        '<a href="http://a.example.com/x">a</a>'
+        '<link href="http://b.example.com/y">'
+        '<area href="http://c.example.com/z">'
+        '<script src="http://d.example.com/no"></script>')
+    urls = [o["url_norm"] for o in extract_outlinks(BASE, spans)]
+    assert urls == ["http://a.example.com/x", "http://b.example.com/y",
+                    "http://c.example.com/z"]
+
+
+def test_nofollow_skipped():
+    spans = _spans('<a href="http://a.example.com/x" rel="nofollow">a</a>'
+                   '<a href="http://b.example.com/y" rel="me nofollow">b</a>'
+                   '<a href="http://c.example.com/z" rel="author">c</a>')
+    urls = [o["url_norm"] for o in extract_outlinks(BASE, spans)]
+    assert urls == ["http://c.example.com/z"]
+
+
+def test_self_link_and_fragment_skipped():
+    spans = _spans(f'<a href="{BASE}">self</a>'
+                   '<a href="#section">frag</a>'
+                   f'<a href="{BASE}#top">self-frag</a>')
+    assert extract_outlinks(BASE, spans) == []
+
+
+def test_media_extensions_flagged(subtests=None):
+    spans = _spans('<a href="http://a.example.com/pic.jpg">i</a>'
+                   '<a href="http://a.example.com/page.html">p</a>')
+    out = extract_outlinks(BASE, spans)
+    flags = {o["url_norm"]: o["is_media"] for o in out}
+    assert flags["http://a.example.com/pic.jpg"] is True
+    assert flags["http://a.example.com/page.html"] is False
+    assert "jpg" in BAD_EXTENSIONS and "css" in BAD_EXTENSIONS
+
+
+def test_relative_resolution():
+    spans = _spans('<a href="sub/x.html">rel</a>'
+                   '<a href="/root.html">abs-path</a>'
+                   '<a href="//other.example.com/p">scheme-rel</a>')
+    urls = [o["url_norm"] for o in extract_outlinks(BASE, spans)]
+    assert urls == ["http://www.example.com/dir/sub/x.html",
+                    "http://www.example.com/root.html",
+                    "http://other.example.com/p"]
+
+
+def test_first_wins_dedup_across_spans():
+    spans = _spans('<a href="http://a.example.com/x">first</a>',
+                   '<a href="http://a.example.com/x">second</a>'
+                   '<a href="http://b.example.com/y">other</a>')
+    out = extract_outlinks(BASE, spans)
+    assert [o["url_norm"] for o in out] == [
+        "http://a.example.com/x", "http://b.example.com/y"]
+
+
+def test_span_order_preserved_and_media_ref_spans():
+    spans = [
+        {"kind": "text", "offset": 0, "media_ref": None,
+         "text": '<a href="http://z.example.com/1">z</a>'},
+        {"kind": "media_ref", "offset": 1,
+         "media_ref": "http://img.example.com/a.png", "text": None},
+        {"kind": "text", "offset": 2, "media_ref": None,
+         "text": '<a href="http://a.example.com/2">a</a>'},
+    ]
+    out = extract_outlinks(BASE, spans)
+    assert [o["url_norm"] for o in out] == [
+        "http://z.example.com/1", "http://img.example.com/a.png",
+        "http://a.example.com/2"]
+    assert out[1]["is_media"] is True
+    # shuffled span input must yield the same (offset-ordered) result
+    out2 = extract_outlinks(BASE, list(reversed(spans)))
+    assert [o["url_norm"] for o in out2] == [o["url_norm"] for o in out]
+
+
+def test_short_host_and_bad_scheme_skipped():
+    spans = _spans('<a href="http://ab/x">short</a>'
+                   '<a href="ftp://ftp.example.com/f">ftp</a>'
+                   '<a href="javascript:void(0)">js</a>'
+                   '<a href="mailto:x@example.com">mail</a>')
+    assert extract_outlinks(BASE, spans) == []
