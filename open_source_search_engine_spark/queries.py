@@ -560,3 +560,24 @@ for _name, _fn in [
     ("multimodal_features", _multimodal_features),
 ]:
     _register(_name, _fn, None)
+
+
+def _f4_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: spiderdb shard assignment — the real ``hash32h(firstIp,
+    0x123456)`` tabulation mix (Hostdb.cpp:1745-1752) bucketing each IP
+    onto one of 64 scheduling shards."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .functions.ghash import spider_shard
+
+    @F.pandas_udf(T.IntegerType())
+    def shard_udf(ips: pd.Series) -> pd.Series:
+        return pd.Series(spider_shard(ips.to_numpy(), 64), dtype="int32")
+
+    register_views(spark, sf_dir)
+    fr = spark.sql(FRONTIER_CTE + "SELECT DISTINCT first_ip FROM frontier")
+    return (fr.withColumn("shard", shard_udf("first_ip"))
+            .orderBy("first_ip"))
+
+
+_register("f4_shard_assignment", _f4_shard, None)

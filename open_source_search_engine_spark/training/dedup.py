@@ -41,22 +41,44 @@ _A = (_rs.randint(1, 1 << 31, size=N_HASHES).astype(np.uint64) * 2 + 1)
 _B = _rs.randint(0, 1 << 31, size=N_HASHES).astype(np.uint64)
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """k-word shingles → uint64 hashes via the engine's tabulation hash."""
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
+_SH1 = np.uint64(0x9E3779B97F4A7C15)   # shingle-combining odd multipliers
+_SH2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _token_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a whole Arrow batch, tabulation-hash ALL tokens in one
+    vectorized call, return (flat uint64 hashes, per-doc offsets)."""
+    tokens: list[bytes] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        tokens.extend(tok.encode() for tok in toks)
+        offsets[i + 1] = offsets[i] + len(toks)
+    th = hash64b_bytes(tokens) if tokens else np.zeros(0, np.uint64)
+    return th, offsets
+
+
+def _shingle_hashes_from_tokens(h: np.ndarray, k: int = 3) -> np.ndarray:
+    """k-token shingle hashes: position-weighted combine of token hashes
+    (odd-multiplier mix keeps order sensitivity, all uint64 wrap-around)."""
+    n = len(h)
+    if n == 0:
         return np.zeros(1, dtype=np.uint64)
-    return hash64b_bytes([s.encode() for s in shingles])
+    if n < k:
+        out = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            out = out * _SH1 + h[j]
+        return out
+    sh = h[: n - k + 1] * _SH1
+    for j in range(1, k - 1):
+        sh = (sh + h[j: n - k + 1 + j]) * _SH2
+    return sh + h[k - 1:]
 
 
 def minhash_signature(text: str) -> np.ndarray:
     """64 minhashes: min over shingles of (a_i * h + b_i) mod (2^61-1)."""
-    h = _shingle_hashes(text)
-    # (n_shingles, 64) — modular arithmetic in uint64 via Python-int-free ops
+    th, _ = _token_hashes_batch([text])
+    h = _shingle_hashes_from_tokens(th)
     prod = (h[:, None] * _A[None, :] + _B[None, :]) % np.uint64(MERSENNE_P)
     return prod.min(axis=0)
 
@@ -69,10 +91,21 @@ SIG_SCHEMA = T.StructType([
 
 def minhash_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in it:
-        sigs = [minhash_signature(t or "").astype(np.int64).tolist()
-                for t in batch["text"]]
+        th, offs = _token_hashes_batch(batch["text"].tolist())
+        # shingle-hash every doc, concatenate, then per-doc min via reduceat
+        doc_shingles = [
+            _shingle_hashes_from_tokens(th[offs[i]: offs[i + 1]])
+            for i in range(len(offs) - 1)]
+        lens = np.array([len(s) for s in doc_shingles], dtype=np.int64)
+        flat = (np.concatenate(doc_shingles) if doc_shingles
+                else np.zeros(0, np.uint64))
+        prod = (flat[:, None] * _A[None, :] + _B[None, :]) % np.uint64(MERSENNE_P)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sigs_mat = (np.minimum.reduceat(prod, starts, axis=0)
+                    if len(flat) else np.zeros((0, N_HASHES), np.uint64))
         yield pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
-                            "sig": sigs})
+                            "sig": [row.astype(np.int64).tolist()
+                                    for row in sigs_mat]})
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -131,14 +164,7 @@ SIMHASH_SCHEMA = T.StructType([
 ])
 
 
-def simhash64(text: str) -> int:
-    toks = text.split()
-    if not toks:
-        return 0
-    h = hash64b_bytes([t.encode() for t in toks])
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    score = (2 * bits - 1).sum(axis=0)
+def _simhash_from_scores(score: np.ndarray) -> int:
     out = np.uint64(0)
     for j in range(64):
         if score[j] > 0:
@@ -146,12 +172,29 @@ def simhash64(text: str) -> int:
     return int(out.astype(np.int64))
 
 
+def simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    h = hash64b_bytes([t.encode() for t in toks])
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    return _simhash_from_scores((2 * bits - 1).sum(axis=0))
+
+
 def simhash_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
     for batch in it:
-        yield pd.DataFrame({
-            "doc_id": batch["doc_id"].astype("int64"),
-            "simhash": [simhash64(t or "") for t in batch["text"]],
-        })
+        th, offs = _token_hashes_batch(batch["text"].tolist())
+        bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        signed = 2 * bits - 1
+        out = []
+        for i in range(len(offs) - 1):
+            seg = signed[offs[i]: offs[i + 1]]
+            out.append(_simhash_from_scores(seg.sum(axis=0))
+                       if len(seg) else 0)
+        yield pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                            "simhash": out})
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
