@@ -570,9 +570,10 @@ def _f4_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
     from .functions.ghash import spider_shard
 
-    @F.pandas_udf(T.IntegerType())
-    def shard_udf(ips: pd.Series) -> pd.Series:
+    def _shard_batch(ips):
         return pd.Series(spider_shard(ips.to_numpy(), 64), dtype="int32")
+
+    shard_udf = F.pandas_udf(_shard_batch, T.IntegerType())
 
     register_views(spark, sf_dir)
     fr = spark.sql(FRONTIER_CTE + "SELECT DISTINCT first_ip FROM frontier")
