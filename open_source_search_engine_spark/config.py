@@ -43,10 +43,17 @@ def default_url_filters() -> list[UrlFilterRule]:
                       force_delete=True),
         UrlFilterRule("errorcount>=1 && hastmperror", 45, 2e-5, 1, 1000, 1),
         UrlFilterRule("errorcount>=1", 2, 5.0, 1, 1000, 1, force_delete=True),
+        # roots respider fast (freq 5e-5 d = 4.3 s) — exercises the
+        # spiderFreq clock (SpiderColl.cpp:4151-4175) within the fixture
+        # horizon; everything else respiders beyond it
+        UrlFilterRule("hasreply && isroot", 44, 5e-5, 9, 1000, 7),
         UrlFilterRule("isaddurl", 85, 7.0, 99, 1000, 7),
         UrlFilterRule("hopcount==0 && iswww", 48, 7.0, 9, 1000, 7),
         UrlFilterRule("hopcount==0", 47, 7.0, 9, 1000, 7),
         UrlFilterRule("hopcount==1", 40, 20.0, 9, 1000, 7),
+        # popular sites (>=3 distinct linking domains — the sniTable
+        # analogue, SpiderColl.cpp:580-610) jump the hop ladder
+        UrlFilterRule("sitenuminlinks>=3 && hopcount>=2", 35, 40.0, 9, 1000, 7),
         UrlFilterRule("hopcount==2", 30, 40.0, 9, 1000, 7),
         UrlFilterRule("hopcount>=3 && hopcount<=5", 20, 60.0, 9, 1000, 7),
         UrlFilterRule("default", 10, 60.0, 9, 1000, 7),

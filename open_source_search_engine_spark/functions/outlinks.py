@@ -122,6 +122,7 @@ def extract_outlinks(
             "path_cgi": p.path_with_cgi,
             "is_www": p.host.startswith("www."),
             "is_media": is_media or _has_bad_extension(p.path),
+            "parent_domain": base.domain,   # feeds siteNumInlinks (sniTable)
         })
 
     ordered = sorted(spans, key=lambda s: _get(s, "offset"))

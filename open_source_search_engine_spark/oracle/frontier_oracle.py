@@ -92,7 +92,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
     first_seen: dict[int, tuple[str, int]] = {}
 
     def add_request(url_norm: str, hop: int, added_s: int, disc_s: int,
-                    parent: int | None, is_add_url: bool, round_no: int) -> None:
+                    parent: int | None, is_add_url: bool, round_no: int,
+                    parent_domain: str | None = None) -> None:
         p = normalize_url(url_norm)   # already normal; re-parse for fields
         if p is None:
             return
@@ -111,9 +112,9 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             "hop_count": min(hop, 65535), "added_time": added_s,
             "discovery_time": disc_s,
             "parent_uh48": parent if parent is not None else -1,
+            "parent_domain": parent_domain,
             "is_add_url": is_add_url, "is_injecting": False,
             "is_www": p.host.startswith("www."),
-            "site_num_inlinks": 0,
         }
         if cur is None:
             requests[u] = cand
@@ -137,6 +138,13 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
 
     for round_no in range(cfg.max_rounds):
         now_s = wave_start // 1000
+        # sniTable (SpiderColl.cpp:580-610): distinct external linking
+        # domains per host over the deduped frontier, capped 255
+        site_inlinks: dict[str, set] = {}
+        for req in requests.values():
+            pd_ = req.get("parent_domain")
+            if pd_ and pd_ != req["domain"]:
+                site_inlinks.setdefault(req["host"], set()).add(pd_)
         # --- candidate evaluation (F8/F9/F10) -----------------------------
         eligible: list[dict] = []
         min_future: int | None = None
@@ -145,6 +153,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             ctx = dict(req)
             ctx["now_s"] = now_s
             ctx["discovery_time_s"] = req["discovery_time"]
+            ctx["site_num_inlinks"] = min(
+                len(site_inlinks.get(req["host"], ())), 255)
             if rep is not None:
                 ctx.update(has_reply=True, err_code=rep["err_code"],
                            err_count=rep["err_count"],
@@ -257,7 +267,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
                             continue
                         add_request(link["url_norm"],
                                     c["hop_count"] + 1, sp_s, sp_s,
-                                    c["uh48"], False, round_no + 1)
+                                    c["uh48"], False, round_no + 1,
+                                    parent_domain=link["parent_domain"])
             elif url in corpus.tmp_error:
                 reply = {"err_code": ERR_TMP, "err_count": prev_errs + 1,
                          "http_status": 0, "is_indexed": False,

@@ -52,7 +52,7 @@ ERR_NOT_FOUND = 32780
 REQUEST_COLS = [
     "first_ip", "uh48", "url", "host", "domain", "tld", "path_cgi",
     "hop_count", "added_time", "discovery_time", "parent_uh48",
-    "is_add_url", "is_injecting", "is_www", "site_num_inlinks",
+    "parent_domain", "is_add_url", "is_injecting", "is_www",
     "robots_allowed", "robots_delay_ms", "round",
 ]
 REPLY_COLS = [
@@ -138,9 +138,9 @@ class CrawlRunner:
             .withColumn("hop_count", F.lit(0))
             .withColumn("discovery_time", F.col("added_time"))
             .withColumn("parent_uh48", F.lit(-1).cast("long"))
+            .withColumn("parent_domain", F.lit(None).cast("string"))
             .withColumn("is_add_url", F.lit(True))
             .withColumn("is_injecting", F.lit(False))
-            .withColumn("site_num_inlinks", F.lit(0))
         )
         req = self._attach_host_dim(req)
         req = req.withColumn("round", F.lit(0)).select(*REQUEST_COLS)
@@ -185,7 +185,18 @@ class CrawlRunner:
     def _candidates(self, requests: DataFrame, replies: DataFrame | None,
                     wave_start: int) -> DataFrame:
         cfg = self.cfg
-        req = self._dedup_requests(requests).filter(F.col("robots_allowed"))
+        deduped = self._dedup_requests(requests)
+        # sniTable analogue (SpiderColl.cpp:580-610): siteNumInlinks per
+        # host = distinct external linking domains over the deduped
+        # frontier (robots-disallowed targets still evidence inlinks)
+        sni = (deduped.filter(F.col("parent_domain").isNotNull()
+                              & (F.col("parent_domain") != F.col("domain")))
+               .groupBy("host")
+               .agg(F.least(F.count_distinct("parent_domain"), F.lit(255))
+                    .alias("site_num_inlinks")))
+        req = (deduped.filter(F.col("robots_allowed"))
+               .join(F.broadcast(sni), "host", "left")
+               .fillna({"site_num_inlinks": 0}))
         if replies is not None:
             rep = self._latest_reply(replies).select(
                 "uh48", "err_code", "err_count", "http_status", "is_indexed",
@@ -331,7 +342,6 @@ class CrawlRunner:
             self._attach_host_dim(raw_links)
             .withColumn("is_add_url", F.lit(False))
             .withColumn("is_injecting", F.lit(False))
-            .withColumn("site_num_inlinks", F.lit(0))
             .withColumn("round", F.lit(rnd + 1))
             .select(*REQUEST_COLS)
         )

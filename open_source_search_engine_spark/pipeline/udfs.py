@@ -108,6 +108,7 @@ OUTLINK_STRUCT = T.StructType([
     T.StructField("added_time", T.LongType()),
     T.StructField("discovery_time", T.LongType()),
     T.StructField("parent_uh48", T.LongType()),
+    T.StructField("parent_domain", T.StringType()),
 ])
 
 
@@ -129,7 +130,8 @@ def outlinks_map_in_pandas(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                 child_hop = 0 if link["path_cgi"] == "/" else min(int(hop) + 1, 65535)
                 rows.append((link["url_norm"], link["host"], link["domain"],
                              link["tld"], link["path_cgi"], link["is_www"],
-                             0, child_hop, int(sp_s), int(sp_s), int(parent)))
+                             0, child_hop, int(sp_s), int(sp_s), int(parent),
+                             link["parent_domain"]))
         df = pd.DataFrame(rows, columns=cols)
         if len(df):
             df["uh48"] = uh48_bytes(df["url"].str.encode("utf-8"))

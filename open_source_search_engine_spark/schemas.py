@@ -65,11 +65,10 @@ FRONTIER_REQUEST = T.StructType([
     T.StructField("added_time", T.LongType(), False),      # epoch seconds
     T.StructField("discovery_time", T.LongType(), False),  # epoch seconds
     T.StructField("parent_uh48", T.LongType(), True),
+    T.StructField("parent_domain", T.StringType(), True),  # feeds sniTable
     T.StructField("is_add_url", T.BooleanType(), False),
     T.StructField("is_injecting", T.BooleanType(), False),
     T.StructField("is_www", T.BooleanType(), False),
-    T.StructField("site_num_inlinks", T.IntegerType(), False),
-    T.StructField("page_num_inlinks", T.IntegerType(), False),
 ])
 
 FRONTIER_REPLY = T.StructType([
