@@ -582,3 +582,88 @@ def _f4_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("f4_shard_assignment", _f4_shard, None)
+
+
+def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (training-data dedup family):
+    same-label candidate pairs scored by integer-quantized dot product —
+    label blocking bounds the pair space like LSH bucketing does at scale."""
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
+                   F.col("embedding").alias("eb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") < F.col("vb")))
+        .withColumn(
+            "dot_q",
+            F.aggregate(
+                F.zip_with("ea", "eb",
+                           lambda x, y: (F.round(x * 1000).cast("long")
+                                         * F.round(y * 1000).cast("long"))),
+                F.lit(0).cast("long"), lambda acc, x: acc + x))
+        .filter(F.col("dot_q") >= 150000)
+        .select(F.col("va").cast("long").alias("va"),
+                F.col("vb").cast("long").alias("vb"), "dot_q")
+        .orderBy("va", "vb")
+    )
+
+
+_register("dedup_embed_cosine_pairs", _embed_neardup_spark, """
+WITH pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         (SELECT SUM(CAST(ROUND(a.embedding[t.i] * 1000) AS BIGINT)
+                     * CAST(ROUND(b.embedding[t.i] * 1000) AS BIGINT))
+          FROM range(1, 65) t(i)) AS dot_q
+  FROM embeddings a, embeddings b
+  WHERE a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb, dot_q
+FROM pairs WHERE dot_q >= 150000 ORDER BY va, vb
+""")
+
+
+def _token_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram(1) Jaccard near-dup pairs over blocked candidates (same
+    source+lang) — JVM-side array set ops; scaled-integer score for exact
+    cross-engine hashing.  The 3-gram shingle variant is the MinHash path
+    (training/dedup.py)."""
+    register_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "doc_id", "source", "lang",
+        F.array_distinct(F.split("text", " ")).alias("toks"))
+    a = toks.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"),
+                    F.col("lang").alias("lga"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"),
+                    F.col("lang").alias("lgb"), F.col("toks").alias("tb"))
+    return (
+        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("lga") == F.col("lgb"))
+               & (F.col("da") < F.col("db")))
+        .withColumn("jacc_x10000",
+                    F.round(F.lit(10000.0)
+                            * F.size(F.array_intersect("ta", "tb"))
+                            / F.size(F.array_union("ta", "tb"))).cast("long"))
+        .filter(F.col("jacc_x10000") >= 8000)
+        .select(F.col("da").cast("long").alias("da"),
+                F.col("db").cast("long").alias("db"), "jacc_x10000")
+        .orderBy("da", "db")
+    )
+
+
+_register("dedup_ngram_jaccard_pairs", _token_jaccard_spark, """
+WITH t AS (
+  SELECT doc_id, source, lang,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+)
+SELECT CAST(a.doc_id AS BIGINT) AS da, CAST(b.doc_id AS BIGINT) AS db,
+       CAST(ROUND(10000.0 * len(list_intersect(a.toks, b.toks))
+                  / len(list_distinct(a.toks || b.toks))) AS BIGINT)
+         AS jacc_x10000
+FROM t a, t b
+WHERE a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+  AND CAST(ROUND(10000.0 * len(list_intersect(a.toks, b.toks))
+                 / len(list_distinct(a.toks || b.toks))) AS BIGINT) >= 8000
+ORDER BY da, db
+""")
