@@ -20,12 +20,18 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    under_submit = os.environ.get("OSSE_UNDER_SPARK_SUBMIT") == "1"
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1: master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else int(n)
+    builder = SparkSession.builder
+    if not under_submit:
+        # under spark-submit the cluster manager owns --master/--deploy-mode;
+        # setting it here would override the submit args
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
