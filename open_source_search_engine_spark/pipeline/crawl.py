@@ -254,12 +254,16 @@ class CrawlRunner:
         cfg = self.cfg
         order = [F.desc("priority"), F.asc("hop_count"),
                  F.asc("eligible_ms"), F.asc("uh48")]
+        # salted two-phase top-K (scale.py): provably identical to a single
+        # per-IP Window, but a 30%-of-frontier mega-host sorts in parallel
+        # salt shards instead of one straggler task
+        from .scale import salted_topk_per_key
+        sel = salted_topk_per_key(cand, "first_ip", order,
+                                  k=cfg.max_winner_nodes, rank_name="ip_rn")
         w_ip = Window.partitionBy("first_ip").orderBy(*order)
         sel = (
-            cand.withColumn("ip_rn", F.row_number().over(w_ip))
-            .withColumn("ip_k", F.first("ip_max").over(w_ip))
-            .filter(F.col("ip_rn")
-                    <= F.least(F.lit(cfg.max_winner_nodes), F.col("ip_k")))
+            sel.withColumn("ip_k", F.first("ip_max").over(w_ip))
+            .filter(F.col("ip_rn") <= F.col("ip_k"))
         )
         w_glob = Window.orderBy(*order)
         wave = (
