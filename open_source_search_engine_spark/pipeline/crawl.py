@@ -82,6 +82,7 @@ class CrawlRunner:
         self.state_dir = state_dir
         self.cfg = cfg or CrawlConfig()
         self.use_bloom_seen = use_bloom_seen
+        self._bloom = None   # incremental BloomState, built on first use
         self._normalize = make_normalize_udf(strip_params=True,
                                              strip_common_file=True)
         self._robots_allowed, self._robots_delay = make_robots_udfs(
@@ -399,14 +400,25 @@ class CrawlRunner:
             if self.use_bloom_seen:
                 # F5 scale path: Bloom-prefilter new outlinks against the
                 # URL-seen set with exact hop-aware fallback (seen.py —
-                # provably byte-identical to the append-everything path)
-                from .seen import filter_new_requests
+                # provably byte-identical to the append-everything path).
+                # The BloomState is maintained incrementally: seeded from
+                # the frontier once (or on resume), then OR-updated with
+                # each round's appended keys — no per-round rebuild.
+                from .seen import BloomState, filter_new_requests_incremental
                 seen = self._dedup_requests(requests).select(
                     "uh48", "first_ip", "hop_count", "discovery_time")
-                new_req = filter_new_requests(new_req, seen).select(*REQUEST_COLS)
+                if self._bloom is None or self._bloom.overfull():
+                    self._bloom = BloomState()
+                    self._bloom.add_df(requests.select("uh48", "first_ip"))
+                new_req = filter_new_requests_incremental(
+                    new_req, seen, self._bloom).select(*REQUEST_COLS)
             self._write(wave.select(*WAVE_COLS), "waves", rnd, m)
             self._write(new_replies, "replies", rnd, m)
             n_new = self._write(new_req, "requests", rnd + 1, m)
+            if self.use_bloom_seen and n_new:
+                self._bloom.add_df(self.spark.read.parquet(
+                    snap.round_dir(self.state_dir, "requests", rnd + 1))
+                    .select("uh48", "first_ip"))
             max_end = wave.agg(
                 F.max(F.col("fetch_at_ms") + self.cfg.fetch_duration_ms)
             ).collect()[0][0]

@@ -146,6 +146,84 @@ def filter_new_requests(new_req: DataFrame, seen_requests: DataFrame,
     return definite_new.unionByName(kept)
 
 
+class BloomState:
+    """Incrementally maintained partitioned Bloom filter.
+
+    Locally the bitmaps live on the driver and each round ORs in only the
+    NEW keys (vectorized) — no full-frontier rebuild.  At 10^10 keys the
+    same structure is a (bucket, bitmap) table and the per-round update is
+    ``groupBy(bucket).agg(bit_or(bitmap))`` over delta bitmaps; the probe
+    side (probe_bloom) is identical in both deployments.
+
+    Correctness note: Bloom state is a performance structure only — the
+    exact fallback join in filter_new_requests guarantees output parity
+    regardless of FP rate; an overfull bucket degrades speed, never
+    results.  ``overfull()`` tells the caller when a rebuild from the full
+    frontier is worthwhile.
+    """
+
+    def __init__(self, n_buckets: int = 64, bits_per_bucket: int = 1 << 21,
+                 n_hashes: int = N_HASHES):
+        self.n_buckets = n_buckets
+        self.n_bits = bits_per_bucket
+        self.n_hashes = n_hashes
+        self.bitmaps: dict[int, np.ndarray] = {}
+        self.counts: dict[int, int] = {}
+
+    def add_keys(self, bucket_keys: "pd.DataFrame") -> None:
+        """(bucket, key) rows → OR positions into each bucket's bitmap."""
+        for b, grp in bucket_keys.groupby("bucket"):
+            bm = self.bitmaps.get(int(b))
+            if bm is None:
+                bm = np.zeros(self.n_bits // 8, dtype=np.uint8)
+                self.bitmaps[int(b)] = bm
+            keys = grp["key"].to_numpy(dtype=np.int64)
+            pos = _positions(keys, self.n_bits, self.n_hashes).ravel()
+            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+            self.counts[int(b)] = self.counts.get(int(b), 0) + len(keys)
+
+    def add_df(self, df: DataFrame, key_col: str = "uh48",
+               bucket_col: str = "first_ip") -> None:
+        rows = (df.select(
+            F.col(key_col).alias("key"),
+            (F.abs(F.hash(bucket_col)) % self.n_buckets).cast("int")
+            .alias("bucket")).toPandas())
+        if len(rows):
+            self.add_keys(rows)
+
+    def rows(self) -> list:
+        return [{"bucket": b, "bitmap": bm.tobytes(), "n_bits": self.n_bits,
+                 "n_keys": self.counts.get(b, 0)}
+                for b, bm in self.bitmaps.items()]
+
+    def overfull(self, bits_per_key: int = BITS_PER_KEY) -> bool:
+        return any(c * bits_per_key > self.n_bits
+                   for c in self.counts.values())
+
+
+def filter_new_requests_incremental(new_req: DataFrame,
+                                    seen_requests: DataFrame,
+                                    state: BloomState) -> DataFrame:
+    """filter_new_requests against a maintained BloomState (no per-round
+    rebuild); caller is responsible for state.add_df on appended rows."""
+    probed = probe_bloom(new_req, state.rows(), n_buckets=state.n_buckets)
+    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    existing = seen_requests.select(
+        "uh48", F.col("hop_count").alias("seen_hop"),
+        F.col("discovery_time").alias("seen_disc"))
+    kept = (
+        probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        .join(existing, "uh48", "left")
+        .filter(
+            F.col("seen_hop").isNull()
+            | (F.col("hop_count") < F.col("seen_hop"))
+            | ((F.col("hop_count") == F.col("seen_hop"))
+               & (F.col("discovery_time") <= F.col("seen_disc"))))
+        .drop("seen_hop", "seen_disc")
+    )
+    return definite_new.unionByName(kept)
+
+
 # ---------------------------------------------------------------------------
 # Cuckoo filter (deletable membership — TTL-expiry analogue)
 # ---------------------------------------------------------------------------
