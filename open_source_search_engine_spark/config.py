@@ -15,6 +15,8 @@ DEFAULT_IP_MAX_SPIDERS = 1        # SpiderLoop.cpp:949
 OVERFLOW_REQUESTS_PER_IP = 10_000_000  # SpiderColl.cpp:3325
 MAX_HOP_COUNT = 65535             # XmlDoc.cpp:15371-15385 clamp
 USER_AGENT = "GigablastOpenSource"
+HORIZON_MS = 86_400_000   # empty-wave clock-jump horizon (1 day): beyond it
+                          # only respider-frequency waits remain -> crawl done
 FETCH_DURATION_MS = 200           # deterministic simulated fetch time (no
                                   # real network; politeness is asserted on
                                   # the fetch_at schedule, not wall clock)

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..config import CrawlConfig, TMP_ERROR_CODES
+from ..config import HORIZON_MS, CrawlConfig, TMP_ERROR_CODES
 from ..corpus import Corpus, _domain_ip
 from ..functions.ghash import hash32_bytes, uh48 as uh48_of
 from ..functions.outlinks import extract_outlinks
@@ -47,7 +47,6 @@ from ..functions.robots import parse_robots
 from ..functions.urlfilters import eval_atoms, parse_expression
 from ..functions.urlnorm import normalize_url
 
-HORIZON_MS = 86_400_000  # clock-jump horizon: 1 day
 ERR_TMP = 32769          # retryable (in TMP_ERROR_CODES)
 ERR_NOT_FOUND = 32780    # permanent
 

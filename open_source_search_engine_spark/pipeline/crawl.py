@@ -38,14 +38,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import CrawlConfig
+from ..config import HORIZON_MS, CrawlConfig
 from . import snapshots as snap
 from .filters import compile_rule_match, rule_arrays
 from .udfs import (domain_ip_udf, hash32_udf, make_normalize_udf,
                    make_robots_udfs, outlinks_map_in_pandas, uh48_udf,
                    OUTLINK_STRUCT)
 
-HORIZON_MS = 86_400_000
 ERR_TMP = 32769
 ERR_NOT_FOUND = 32780
 
@@ -478,6 +477,35 @@ class CrawlRunner:
         return req.groupBy("uh48").agg(
             F.min_by("url", "round").alias("url_norm"),
             F.min("round").alias("first_seen_round"))
+
+    def crawl_stats(self) -> DataFrame:
+        """Crawlinfo (SpiderLoop.cpp:2041-2360 aggregated every 20 s in the
+        reference): per-round fetch counts, error breakdown, discovery rate,
+        politeness utilization — one aggregate over the committed logs."""
+        m = snap.load_manifest(self.state_dir)
+        replies = self._read_all("replies", m)
+        requests = self._read_all("requests", m)
+        waves = self._read_all("waves", m)
+        assert replies is not None and requests is not None
+        rep = replies.groupBy("round").agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("err_code") == 0, 1).otherwise(0))
+            .alias("indexed"),
+            F.sum(F.when(F.col("err_code") != 0, 1).otherwise(0))
+            .alias("errors"),
+            F.count_distinct("first_ip").alias("ips_touched"),
+            (F.max("download_end_ms") - F.min("download_end_ms"))
+            .alias("wave_span_ms"))
+        disc = requests.groupBy("round").agg(
+            F.count("*").alias("discovered_links"),
+            F.count_distinct("uh48").alias("distinct_urls"))
+        wv = waves.groupBy("round").agg(
+            F.max("delay_ms").alias("max_delay_ms")) if waves is not None \
+            else None
+        out = rep.join(disc, "round", "full")
+        if wv is not None:
+            out = out.join(wv, "round", "left")
+        return out.orderBy("round")
 
     def host_final(self) -> DataFrame:
         m = snap.load_manifest(self.state_dir)
