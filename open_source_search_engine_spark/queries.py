@@ -667,3 +667,41 @@ WHERE a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
                  / len(list_distinct(a.toks || b.toks))) AS BIGINT) >= 8000
 ORDER BY da, db
 """)
+
+
+def _search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q3 full path through the search module: inverted-index build →
+    2-term AND intersection → tf+proximity scoring → top-K."""
+    from .search.postings import build_postings, search
+    register_views(spark, sf_dir)
+    postings = build_postings(spark.table("documents"))
+    return search(postings, ["data", "join"], k=10)
+
+
+_register("search_postings_topk", _search_topk, """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+         list_sort(list(pos)) AS positions
+  FROM tok WHERE length(term) > 0 GROUP BY term, doc_id
+), joined AS (
+  SELECT a.doc_id, a.tf AS tf_0, b.tf AS tf_1,
+         (SELECT MIN(ABS(x.p1 - y.p2))
+          FROM (SELECT unnest(a.positions) p1) x,
+               (SELECT unnest(b.positions) p2) y) AS min_gap
+  FROM postings a JOIN postings b ON a.doc_id = b.doc_id
+  WHERE a.term = 'data' AND b.term = 'join'
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((tf_0 + tf_1) * 10
+            + CASE WHEN min_gap <= 1 THEN 50 WHEN min_gap <= 4 THEN 20
+                   WHEN min_gap <= 16 THEN 5 ELSE 0 END AS BIGINT) AS score,
+       CAST(min_gap AS BIGINT) AS min_gap
+FROM joined
+ORDER BY score DESC, doc_id
+LIMIT 10
+""")

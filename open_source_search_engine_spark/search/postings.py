@@ -1,0 +1,87 @@
+"""Query-serving tier: inverted index build + posting-list intersection +
+top-K ranking — the Spark re-expression of Posdb/PosdbTable/TopTree
+(SURVEY.md §2.3 Q2/Q3).
+
+Reference shape:
+- Posdb stores (term, doc, position) keys sorted by term then doc
+  (``Posdb.h``); a query zipper-intersects the termlists with positional
+  scoring (``PosdbTable.cpp:3044-5115`` intersectLists10_r) and keeps a
+  balanced top-K (``TopTree.cpp:209``).
+
+Spark shape:
+- the index IS a DataFrame ``postings(term, doc_id, tf, positions)``
+  bucketable by term — a termlist lookup is a partition-pruned filter
+- intersection = N-way inner join on doc_id (Catalyst picks
+  broadcast/shuffle per termlist size; rare terms broadcast)
+- scoring = tf sum + a proximity bonus from the position arrays
+  (min pairwise gap, like the reference's position-pair scoring loops)
+- top-K = ``ORDER BY score LIMIT k`` → TakeOrderedAndProject, Spark's
+  native TopTree equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_postings(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """documents → postings(term, doc_id, tf, positions).  Pure Catalyst:
+    split + posexplode + groupBy; at scale write this bucketed by term so
+    termlist reads are single-bucket scans (the Posdb shard analogue)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+        .alias("pos", "term"))
+    return (toks.filter(F.length("term") > 0)
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions")))
+
+
+def _min_gap(a, b):
+    """Minimum absolute distance between two sorted position arrays —
+    the proximity kernel (positional pair scoring, PosdbTable-style),
+    expressed with Catalyst array lambdas (no UDF)."""
+    return F.array_min(
+        F.flatten(F.transform(
+            a, lambda x: F.transform(b, lambda y: F.abs(x - y)))))
+
+
+def search(postings: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """AND-intersect termlists, score tf-sum + proximity bonus, top-K.
+
+    Returns (doc_id, score, min_gap) — deterministic tie-break on doc_id.
+    """
+    assert terms, "empty query"
+    terms = [t.lower() for t in terms]
+    lists = [
+        postings.filter(F.col("term") == t).select(
+            "doc_id",
+            F.col("tf").alias(f"tf_{i}"),
+            F.col("positions").alias(f"pos_{i}"))
+        for i, t in enumerate(terms)
+    ]
+    joined = lists[0]
+    for nxt in lists[1:]:
+        joined = joined.join(nxt, "doc_id", "inner")   # zipper-intersect
+    tf_sum = sum((F.col(f"tf_{i}") for i in range(1, len(terms))),
+                 F.col("tf_0"))
+    if len(terms) >= 2:
+        gap = _min_gap(F.col("pos_0"), F.col("pos_1"))
+        for i in range(2, len(terms)):
+            gap = F.least(gap, _min_gap(F.col(f"pos_{i-1}"),
+                                        F.col(f"pos_{i}")))
+        # adjacent terms score like the reference's in-order pair bonus
+        score = (tf_sum * 10
+                 + F.when(gap <= 1, 50).when(gap <= 4, 20)
+                 .when(gap <= 16, 5).otherwise(0))
+    else:
+        gap = F.lit(None).cast("int")
+        score = tf_sum * 10
+    return (joined
+            .select("doc_id", score.cast("long").alias("score"),
+                    gap.cast("long").alias("min_gap"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(k))
