@@ -705,3 +705,44 @@ FROM joined
 ORDER BY score DESC, doc_id
 LIMIT 10
 """)
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) over the events stream — batch
+    form of the stateful streaming operator (streaming/sessionize.py)."""
+    from .streaming.sessionize import sessionize_batch
+    register_views(spark, sf_dir)
+    s = sessionize_batch(spark.table("events"))
+    return s.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+    ).orderBy("user_id", "session_idx")
+
+
+_register("events_sessionize_gap", _sessionize, """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts))) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(MIN(ts) AS STRING) AS session_start,
+       CAST(MAX(ts) AS STRING) AS session_end
+FROM numbered GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+""")
