@@ -192,6 +192,7 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             cand.update(ufn=ufn, priority=rule.priority, eligible_ms=elig,
                         ip_wait_ms=rule.spider_ip_wait_ms,
                         ip_max=rule.spider_ip_max_spiders,
+                        max_per_rule=rule.max_spiders_per_rule,
                         harvest=rule.harvest_links)
             eligible.append(cand)
 
@@ -214,7 +215,16 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             k = cands[0]["ip_max"]
             selected.extend(cands[:k])
         selected.sort(key=order_key)
-        wave = selected[: cfg.max_spiders_global]
+        # per-rule launch budget (maxSpidersPerRule, SpiderLoop.cpp:683-731)
+        rule_used: dict[int, int] = {}
+        capped: list[dict] = []
+        for c in selected:
+            used = rule_used.get(c["ufn"], 0)
+            if used >= c["max_per_rule"]:
+                continue
+            rule_used[c["ufn"]] = used + 1
+            capped.append(c)
+        wave = capped[: cfg.max_spiders_global]
 
         # --- fetch_at assignment (F16 hammer-queue analogue) --------------
         per_ip_rank: dict[int, int] = {}

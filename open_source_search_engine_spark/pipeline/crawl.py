@@ -265,6 +265,11 @@ class CrawlRunner:
             sel.withColumn("ip_k", F.first("ip_max").over(w_ip))
             .filter(F.col("ip_rn") <= F.col("ip_k"))
         )
+        # per-rule launch budget (maxSpidersPerRule, SpiderLoop.cpp:683-731:
+        # a priority is skipped once its rule's outstanding count is hit)
+        w_rule = Window.partitionBy("ufn").orderBy(*order)
+        sel = (sel.withColumn("rule_rn", F.row_number().over(w_rule))
+               .filter(F.col("rule_rn") <= F.col("max_per_rule")))
         w_glob = Window.orderBy(*order)
         wave = (
             sel.withColumn("gseq", F.row_number().over(w_glob))

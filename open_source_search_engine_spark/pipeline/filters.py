@@ -110,6 +110,8 @@ def rule_arrays(rules: list[UrlFilterRule]):
     idx = F.col("ufn") + 1  # element_at is 1-based
     return {
         "priority": F.element_at(arr([r.priority for r in rules]), idx),
+        "max_per_rule": F.element_at(
+            arr([r.max_spiders_per_rule for r in rules]), idx),
         "spider_freq_ms": F.element_at(
             arr([int(r.spider_freq_days * 86_400_000) for r in rules]), idx),
         "ip_wait_ms": F.element_at(arr([r.spider_ip_wait_ms for r in rules]), idx),

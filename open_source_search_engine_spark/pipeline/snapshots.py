@@ -82,6 +82,26 @@ def committed_dirs(state_dir: str, table: str, m: Manifest) -> list[str]:
     return sorted(out)
 
 
+def vacuum(state_dir: str, m: Manifest) -> list[str]:
+    """Remove data dirs not referenced by the committed manifest: orphans
+    from crashed rounds and pre-compaction generations.  Safe strictly
+    AFTER a commit (Iceberg's expire-snapshots analogue).  Returns the
+    removed paths."""
+    import shutil
+    removed = []
+    for table in ("requests", "replies", "waves"):
+        base = os.path.join(state_dir, table)
+        if not os.path.isdir(base):
+            continue
+        live = {f"round={k.split('/')[1]}" for k in m.rows
+                if k.startswith(table + "/")}
+        for entry in os.listdir(base):
+            if entry.startswith("round=") and entry not in live:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                removed.append(os.path.join(base, entry))
+    return removed
+
+
 def record_write(m: Manifest, state_dir: str, table: str, rnd: int,
                  count: int) -> None:
     key = f"{table}/{rnd}"
