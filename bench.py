@@ -117,8 +117,12 @@ def assemble_wave(spark, frontier, replies, wave_start_ms: int):
     )
     order = [F.desc("priority"), F.asc("hop_count"),
              F.asc("eligible_ms"), F.asc("uh48")]
+    # phase-1 K = the largest per-IP launch cap (ranks beyond it can never
+    # reach the wave — see crawl.py), bounded by MAX_WINNER_NODES
+    k_eff = min(cfg.max_winner_nodes,
+                max(r.spider_ip_max_spiders for r in default_url_filters()))
     sel = salted_topk_per_key(cand, "first_ip", order,
-                              k=cfg.max_winner_nodes, rank_name="ip_rn")
+                              k=k_eff, rank_name="ip_rn")
     sel = sel.filter(F.col("ip_rn") <= F.col("ip_max"))
     w_ip_seq = Window.partitionBy("first_ip").orderBy(*order)
     wave = (

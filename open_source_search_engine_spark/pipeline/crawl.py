@@ -256,10 +256,16 @@ class CrawlRunner:
                  F.asc("eligible_ms"), F.asc("uh48")]
         # salted two-phase top-K (scale.py): provably identical to a single
         # per-IP Window, but a 30%-of-frontier mega-host sorts in parallel
-        # salt shards instead of one straggler task
+        # salt shards instead of one straggler task.  Phase-1 K only needs
+        # to cover the largest possible per-IP launch cap (the reference's
+        # 2000-node winner tree exists to feed its winner-list CACHE across
+        # scans — a batch round launches at most ip_max per IP, so ranks
+        # beyond max(spiderIpMaxSpiders) can never reach the wave).
         from .scale import salted_topk_per_key
+        k_eff = min(cfg.max_winner_nodes,
+                    max(r.spider_ip_max_spiders for r in cfg.url_filters))
         sel = salted_topk_per_key(cand, "first_ip", order,
-                                  k=cfg.max_winner_nodes, rank_name="ip_rn")
+                                  k=k_eff, rank_name="ip_rn")
         w_ip = Window.partitionBy("first_ip").orderBy(*order)
         sel = (
             sel.withColumn("ip_k", F.first("ip_max").over(w_ip))
