@@ -1,0 +1,63 @@
+"""Source/sink connectors: seed readers (text/csv/json), inject docs
+reader (span-order validation), and crawl-output exporters."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_read_seeds_text(spark, tmp_path):
+    from open_source_search_engine_spark.sources.readers import read_seeds
+    p = tmp_path / "seeds.txt"
+    p.write_text("# comment\nhttp://a.example.com/\n\n  http://b.example.com/x  \n")
+    rows = read_seeds(spark, str(p)).collect()
+    assert sorted(r["url"] for r in rows) == [
+        "http://a.example.com/", "http://b.example.com/x"]
+    assert all(r["added_time"] == 1_700_000_000 for r in rows)
+
+
+def test_read_seeds_csv_and_json(spark, tmp_path):
+    from open_source_search_engine_spark.sources.readers import read_seeds
+    c = tmp_path / "seeds.csv"
+    c.write_text("url,added_time\nhttp://a.example.com/,1700000123\n"
+                 "http://b.example.com/,\n")
+    rows = {r["url"]: r["added_time"]
+            for r in read_seeds(spark, str(c)).collect()}
+    assert rows["http://a.example.com/"] == 1700000123
+    assert rows["http://b.example.com/"] == 1_700_000_000  # default filled
+    j = tmp_path / "seeds.jsonl"
+    j.write_text(json.dumps({"url": "http://c.example.com/", "added_time": 5}) + "\n")
+    rows = read_seeds(spark, str(j)).collect()
+    assert rows[0]["url"] == "http://c.example.com/" and rows[0]["added_time"] == 5
+
+
+def test_read_inject_docs_orders_spans(spark, tmp_path):
+    from open_source_search_engine_spark.sources.readers import read_inject_docs
+    p = tmp_path / "inject.jsonl"
+    doc = {"doc_id": "http://www.x.example/",
+           "spans": [
+               {"kind": "media_ref", "text": None,
+                "media_ref": "http://img.x.example/a.png", "offset": 1},
+               {"kind": "text", "text": "hello", "media_ref": None,
+                "offset": 0},
+           ]}
+    p.write_text(json.dumps(doc) + "\n")
+    rows = read_inject_docs(spark, str(p)).collect()
+    spans = rows[0]["spans"]
+    assert [s["offset"] for s in spans] == [0, 1]
+    assert spans[0]["kind"] == "text" and spans[1]["kind"] == "media_ref"
+
+
+def test_export_roundtrip(spark, tmp_path):
+    from open_source_search_engine_spark.sources.writers import export
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    for fmt in ("parquet", "csv", "json"):
+        out = tmp_path / f"out_{fmt}"
+        export(df, str(out), fmt, single_file=True)
+        if fmt == "parquet":
+            back = spark.read.parquet(str(out))
+        elif fmt == "csv":
+            back = spark.read.option("header", "true").csv(str(out))
+        else:
+            back = spark.read.json(str(out))
+        assert back.count() == 2
