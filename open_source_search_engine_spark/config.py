@@ -49,6 +49,7 @@ def default_url_filters() -> list[UrlFilterRule]:
         # spiderFreq clock (SpiderColl.cpp:4151-4175) within the fixture
         # horizon; everything else respiders beyond it
         UrlFilterRule("hasreply && isroot", 44, 5e-5, 9, 1000, 7),
+        UrlFilterRule("isinjecting", 80, 7.0, 99, 1000, 7),
         UrlFilterRule("isaddurl", 85, 7.0, 99, 1000, 7),
         UrlFilterRule("hopcount==0 && iswww", 48, 7.0, 9, 1000, 7),
         UrlFilterRule("hopcount==0", 47, 7.0, 9, 1000, 7),

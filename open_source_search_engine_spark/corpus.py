@@ -66,6 +66,9 @@ class Corpus:
     seeds: list[dict]                    # {url, added_time}
     existing: set[str] = field(default_factory=set)   # URLs that 200
     tmp_error: set[str] = field(default_factory=set)  # URLs that tmp-fail
+    injects: list[dict] = field(default_factory=list) # {url, added_time}:
+                                         # pages reachable ONLY by injection
+                                         # (PageInject.cpp analogue)
 
 
 def generate_corpus(
@@ -194,8 +197,24 @@ def generate_corpus(
         {"url": "  http://www.a2.example/./sub/../", "added_time": t},
         {"url": "http://www.a3.example/?PHPSESSID=abcdef123456789", "added_time": t},
     ]
+
+    # --- injected pages (PageInject analogue): real content pages on known
+    # hosts that NO page links to — only the injection path can crawl them
+    injects: list[dict] = []
+    for j in range(4):
+        d = other_domains[j % len(other_domains)]
+        u = f"http://{host_of_domain[d][0]}/injected/only{j}.html"
+        injects.append({"url": u, "added_time": t})
+        existing.add(u)
+        spans = [{"kind": "text",
+                  "text": f"injected page {j} content "
+                          f'<a href="{rng.choice(urls)}">x</a>',
+                  "media_ref": None, "offset": 0}]
+        docs.append({"doc_id": u, "spans": spans})
+        urls.append(u)
+
     return Corpus(seed=seed, urls=urls, docs=docs, hosts=hosts, seeds=seeds,
-                  existing=existing, tmp_error=tmp_error)
+                  existing=existing, tmp_error=tmp_error, injects=injects)
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +246,10 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
         pa.Table.from_pylist(corpus.seeds, schema=pa.schema(
             [("url", pa.string()), ("added_time", pa.int64())])),
         os.path.join(out_dir, "seeds.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(corpus.injects, schema=pa.schema(
+            [("url", pa.string()), ("added_time", pa.int64())])),
+        os.path.join(out_dir, "injects.parquet"))
     pq.write_table(
         pa.Table.from_pylist(
             [{"url": u,

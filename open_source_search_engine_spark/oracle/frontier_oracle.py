@@ -92,7 +92,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
 
     def add_request(url_norm: str, hop: int, added_s: int, disc_s: int,
                     parent: int | None, is_add_url: bool, round_no: int,
-                    parent_domain: str | None = None) -> None:
+                    parent_domain: str | None = None,
+                    is_injecting: bool = False) -> None:
         p = normalize_url(url_norm)   # already normal; re-parse for fields
         if p is None:
             return
@@ -112,7 +113,7 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             "discovery_time": disc_s,
             "parent_uh48": parent if parent is not None else -1,
             "parent_domain": parent_domain,
-            "is_add_url": is_add_url, "is_injecting": False,
+            "is_add_url": is_add_url, "is_injecting": is_injecting,
             "is_www": p.host.startswith("www."),
         }
         if cur is None:
@@ -131,6 +132,14 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             continue
         add_request(p.url, 0, s["added_time"], s["added_time"], None,
                     is_add_url=True, round_no=0)
+    # injection ingest (PageInject.cpp analogue: content-supplied pages,
+    # m_isInjecting=1, hop 0 — Spider.cpp:4286-4360 add-url vs inject flags)
+    for s in corpus.injects:
+        p = normalize_url(s["url"], strip_params=True, strip_common_file=True)
+        if p is None:
+            continue
+        add_request(p.url, 0, s["added_time"], s["added_time"], None,
+                    is_add_url=False, round_no=0, is_injecting=True)
 
     out = OracleResult()
     wave_start = cfg.wave_start_ms

@@ -116,13 +116,12 @@ class CrawlRunner:
         return self.spark.read.parquet(*dirs)
 
     # -------------------------------------------------------------- ingest
-    def ingest_seeds(self, m: snap.Manifest) -> int:
-        """Seeds → round-0 request rows (F1-F5): normalize, uh48, firstIp
-        via the hosts dim (broadcast) with deterministic fallback, robots
-        evaluated once per request (static robots model)."""
-        seeds = self.spark.read.parquet(
-            os.path.join(self.corpus_dir, "seeds.parquet"))
-        n = seeds.withColumn("n", self._normalize("url"))
+    def _normalize_url_table(self, df: DataFrame, is_add_url: bool,
+                             is_injecting: bool) -> DataFrame:
+        """(url, added_time) → normalized request rows (F1-F5): normalize,
+        uh48, firstIp via the hosts dim (broadcast) with deterministic
+        fallback, robots evaluated once per request (static robots model)."""
+        n = df.withColumn("n", self._normalize("url"))
         req = (
             n.filter(F.col("n.url_norm").isNotNull())
             .select(
@@ -139,10 +138,24 @@ class CrawlRunner:
             .withColumn("discovery_time", F.col("added_time"))
             .withColumn("parent_uh48", F.lit(-1).cast("long"))
             .withColumn("parent_domain", F.lit(None).cast("string"))
-            .withColumn("is_add_url", F.lit(True))
-            .withColumn("is_injecting", F.lit(False))
+            .withColumn("is_add_url", F.lit(is_add_url))
+            .withColumn("is_injecting", F.lit(is_injecting))
         )
-        req = self._attach_host_dim(req)
+        return self._attach_host_dim(req)
+
+    def ingest_seeds(self, m: snap.Manifest) -> int:
+        """Seeds + injected URLs → round-0 request rows.  Injection is the
+        PageInject surface: content-supplied pages flagged m_isInjecting
+        (Spider.cpp:4286-4360) that match 'isinjecting' filter rows."""
+        seeds = self.spark.read.parquet(
+            os.path.join(self.corpus_dir, "seeds.parquet"))
+        req = self._normalize_url_table(seeds, is_add_url=True,
+                                        is_injecting=False)
+        inj_path = os.path.join(self.corpus_dir, "injects.parquet")
+        if os.path.exists(inj_path):
+            injects = self.spark.read.parquet(inj_path)
+            req = req.unionByName(self._normalize_url_table(
+                injects, is_add_url=False, is_injecting=True))
         req = req.withColumn("round", F.lit(0)).select(*REQUEST_COLS)
         return self._write(req, "requests", 0, m)
 
