@@ -746,3 +746,21 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM numbered GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
 """)
+
+
+def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash + window min,
+    Schleimer et al.) — per-doc summary for copy detection."""
+    from .training.dedup import winnow_profile
+    return winnow_profile(_docs_long(spark, sf_dir)).orderBy("doc_id")
+
+
+def _embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse centroids, nprobe=2 probed lists."""
+    from .training.simsearch import ivf_topk
+    register_views(spark, sf_dir)
+    return ivf_topk(spark.table("embeddings"), query_vec_id=0, k=10)
+
+
+_register("doc_fingerprint_winnow", _winnow, None)
+_register("embed_ann_ivf", _embed_ivf, None)

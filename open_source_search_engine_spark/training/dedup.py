@@ -227,3 +227,75 @@ def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling hash + window minimum)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8      # k-gram length (chars)
+WINNOW_W = 16     # winnow window
+
+_ROLL_BASE = np.uint64(1_000_003)
+
+
+def winnow_fingerprints_text(text: str, k: int = WINNOW_K,
+                             w: int = WINNOW_W) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram hashes, keep
+    each window's minimum (rightmost on ties) — the standard local
+    document fingerprint.  Fully vectorized: the rolling hash is a
+    polynomial over byte codes computed with cumulative powers, window
+    minima via a strided reshape."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < k:
+        return np.zeros(0, dtype=np.uint64)
+    # rolling hash h[i] = sum b[i+j] * BASE^(k-1-j), computed by sliding
+    powers = _ROLL_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    idx = np.arange(n - k + 1)[:, None] + np.arange(k)[None, :]
+    grams = b[idx]                      # (n-k+1, k) — fine at doc scale
+    h = (grams * powers[None, :]).sum(axis=1)
+    if len(h) <= w:
+        return np.unique(h.min(keepdims=True))
+    sw = np.lib.stride_tricks.sliding_window_view(h, w)
+    mins = sw.min(axis=1)
+    return np.unique(mins)
+
+
+def winnow_similarity(a: str, b: str) -> float:
+    """Jaccard over winnow fingerprint sets."""
+    fa, fb = winnow_fingerprints_text(a), winnow_fingerprints_text(b)
+    if len(fa) == 0 or len(fb) == 0:
+        return 0.0
+    inter = len(np.intersect1d(fa, fb))
+    union = len(np.union1d(fa, fb))
+    return inter / union
+
+
+WINNOW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_fingerprints", T.LongType()),
+    T.StructField("fp_min", T.LongType()),
+    T.StructField("fp_xor", T.LongType()),
+])
+
+
+def winnow_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        n_fp, fmin, fxor = [], [], []
+        for t in batch["text"]:
+            fp = winnow_fingerprints_text(t or "")
+            n_fp.append(len(fp))
+            fmin.append(int(fp.min().astype(np.int64)) if len(fp) else 0)
+            fxor.append(int(np.bitwise_xor.reduce(fp).astype(np.int64))
+                        if len(fp) else 0)
+        yield pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                            "n_fingerprints": pd.Series(n_fp, dtype="int64"),
+                            "fp_min": fmin, "fp_xor": fxor})
+
+
+def winnow_profile(docs: DataFrame) -> DataFrame:
+    """Per-doc winnow fingerprint summary (count, min, xor) — the compact
+    form stored alongside documents for copy detection at scale."""
+    return docs.select("doc_id", "text").mapInPandas(
+        winnow_map_in_pandas, schema=WINNOW_SCHEMA)

@@ -74,6 +74,66 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+    T.StructField("payload_out_bytes", T.LongType()),
+])
+
+
+def make_resize_map_in_pandas(target_w: int, target_h: int):
+    """STUB decode+resize: deterministic byte-count model of a resize
+    (real impl: PIL thumbnail; the reference shells out to pnmscale —
+    gbconvert.sh / Images.cpp thumbnail path).  Batch shape is real."""
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            n = batch["payload"].map(lambda p: len(p or b"")).astype("int64")
+            yield pd.DataFrame({
+                "media_id": batch["media_id"].astype("int64"),
+                "out_width": target_w,
+                "out_height": target_h,
+                # deterministic stand-in for the re-encoded size
+                "payload_out_bytes": (n % 10_000) * target_w * target_h // 4096,
+            })
+    return _resize
+
+
+def resize_media(media: DataFrame, w: int = 160, h: int = 120) -> DataFrame:
+    return media.select("media_id", "payload").mapInPandas(
+        make_resize_map_in_pandas(w, h), schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_feature", T.ArrayType(T.FloatType())),
+])
+
+
+def frame_sample_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampling for video payloads: N deterministic 'frames'
+    per payload (real impl: libav seek+decode).  Emits one row per frame —
+    the explode-shaped output the downstream pipeline partitions on."""
+    rows = {"media_id": [], "frame_idx": [], "frame_feature": []}
+    for batch in it:
+        for mid, payload in zip(batch["media_id"], batch["payload"]):
+            n_frames = 1 + (len(payload or b"") % 4)
+            for i in range(n_frames):
+                rows["media_id"].append(int(mid))
+                rows["frame_idx"].append(i)
+                rows["frame_feature"].append(
+                    _fake_decode((payload or b"") + bytes([i])).tolist())
+    if rows["media_id"]:   # empty partitions yield nothing (Arrow cannot
+        yield pd.DataFrame(rows)   # type an empty object column)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "payload")
+            .mapInPandas(frame_sample_map_in_pandas, schema=FRAME_SCHEMA))
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over the binary column; at scale
     this is the stage you'd repartition by size so each executor's batches

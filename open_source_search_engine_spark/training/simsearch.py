@@ -83,3 +83,57 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
                  .select("vec_id"))
     cand = emb.join(in_bucket, "vec_id", "left_semi")
     return brute_force_topk(cand, query_vec_id, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
+                  sample: int = 512) -> np.ndarray:
+    """Deterministic coarse centroids: k-means++-style farthest-point
+    seeding over a fixed-order sample (no RNG, no iteration — stable
+    across runs; a production build would Lloyd-refine)."""
+    rows = (emb.orderBy("vec_id").limit(sample)
+            .select("embedding").collect())
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = [mat[0]]
+    d2 = ((mat - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, min(n_centroids, len(mat))):
+        nxt = int(np.argmax(d2))
+        cents.append(mat[nxt])
+        d2 = np.minimum(d2, ((mat - cents[-1]) ** 2).sum(axis=1))
+    return np.stack(cents)
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """vec_id → nearest-centroid list id (NumPy matmul per Arrow batch).
+    At scale the assignment is the partition key: a query scans only its
+    probed lists (partition pruning)."""
+    c = centroids
+
+    def _assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cn = (c ** 2).sum(axis=1)
+        for batch in it:
+            mat = np.stack(batch["embedding"].values).astype(np.float64)
+            d2 = cn[None, :] - 2.0 * (mat @ c.T)
+            yield pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
+                                "bucket": d2.argmin(axis=1).astype("int64")})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _assign, schema=BUCKET_SCHEMA)
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 2) -> DataFrame:
+    """IVF search: assign all vectors to coarse lists, probe the query's
+    ``nprobe`` nearest lists, exact-score only those."""
+    cents = ivf_centroids(emb, n_centroids)
+    assigned = ivf_assign(emb, cents)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).collect()[0]
+    q = np.array(qrow["embedding"], dtype=np.float64)
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    cand_ids = assigned.filter(F.col("bucket").isin(probe)).select("vec_id")
+    cand = emb.join(cand_ids, "vec_id", "left_semi")
+    return brute_force_topk(cand, query_vec_id, k)

@@ -137,3 +137,58 @@ def test_salted_topk_equals_plain_window(spark):
                   df.withColumn("ip_rn", F.row_number().over(w))
                   .filter(F.col("ip_rn") <= 25).collect())
     assert got == want
+
+
+def test_winnow_fingerprints_detect_containment():
+    from open_source_search_engine_spark.training.dedup import (
+        winnow_similarity)
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight ") * 3
+    partial = base[: len(base) // 2]
+    other = "completely different material about spark shuffles " * 6
+    assert winnow_similarity(base, base) == 1.0
+    assert winnow_similarity(base, partial) > 0.3
+    assert winnow_similarity(base, other) < 0.05
+
+
+def test_winnow_profile_deterministic(spark):
+    from open_source_search_engine_spark.training.dedup import winnow_profile
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 10), (2, "")], ["doc_id", "text"])
+    a = sorted(tuple(r) for r in winnow_profile(docs).collect())
+    b = sorted(tuple(r) for r in winnow_profile(docs).collect())
+    assert a == b
+    byid = {r[0]: r for r in a}
+    assert byid[1][1] > 0 and byid[2][1] == 0
+
+
+def test_ivf_topk_contains_planted_neighbor(spark):
+    import numpy as np
+    from open_source_search_engine_spark.training.simsearch import (
+        brute_force_topk, ivf_topk)
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal(64)
+    rows = [(0, base.tolist()), (1, (base * 0.99).tolist())]
+    rows += [(i, rng.standard_normal(64).tolist()) for i in range(2, 60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ivf = [r["vec_id"] for r in ivf_topk(emb, 0, k=5, n_centroids=4).collect()]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, 0, k=1).collect()]
+    assert exact[0] == 1
+    assert 1 in ivf  # the planted near-duplicate survives list pruning
+
+
+def test_multimodal_resize_and_frames(spark):
+    from open_source_search_engine_spark.training.multimodal import (
+        media_from_documents, resize_media, sample_frames)
+    docs = spark.createDataFrame(
+        [(2, "video-ish payload content here")], ["doc_id", "text"])
+    media = media_from_documents(docs)   # doc_id 2 -> kind 'video'
+    rz = resize_media(media).collect()
+    assert rz[0]["out_width"] == 160 and rz[0]["out_height"] == 120
+    frames = sample_frames(media).collect()
+    assert len(frames) >= 1
+    assert all(len(f["frame_feature"]) == 8 for f in frames)
+    # deterministic frame features
+    again = sample_frames(media).collect()
+    assert [f["frame_feature"] for f in frames] == \
+        [f["frame_feature"] for f in again]
