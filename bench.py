@@ -147,12 +147,18 @@ def run_bench() -> dict:
                       shuffle_partitions=cpus)
     timings: dict[str, float] = {}
 
-    # headline: frontier scheduling throughput
-    t0 = time.time()
-    frontier, replies = build_frontier(spark, n_rows)
-    wave = assemble_wave(spark, frontier, replies, 1700086400000)
-    wave_rows = wave.count()
-    dt = time.time() - t0
+    # headline: frontier scheduling throughput — steady-state per the
+    # measurement discipline in BENCH/BASELINE.md (JVM heap first-touch in
+    # this sandbox is ~20 MB/s; one warm-up run, then best of two)
+    def frontier_run() -> tuple[float, int]:
+        t0 = time.time()
+        frontier, replies = build_frontier(spark, n_rows)
+        wave = assemble_wave(spark, frontier, replies, 1700086400000)
+        n = wave.count()
+        return time.time() - t0, n
+
+    frontier_run()
+    (dt, wave_rows) = min(frontier_run() for _ in range(2))
     timings["frontier_schedule"] = round(dt, 3)
     urls_per_sec = n_rows / dt
 
