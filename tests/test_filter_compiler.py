@@ -99,3 +99,39 @@ def test_catalyst_chain_equals_python_eval(spark):
         got[r["cand_id"]] = r["ufn"]
     assert got == want
     assert len(set(want)) > 8, "grid must exercise many distinct rules"
+
+
+FULL_FAMILY = [
+    "ismanualadd", "isnewrequest && hopcount<=3", "!isrss", "isrssext",
+    "ispermalink", "ispermalinkformat", "isdocidbased", "isreindex",
+    "isfakeip", "ispingserver", "insitelist", "hasauthorityinlink",
+    "tag:authority", "percentchangedperday>5", "numinlinks>=2",
+    "age>100000", "lang==en,de", "lang!=zh",
+]
+
+
+def test_full_reference_keyword_family_parses():
+    for expr in FULL_FAMILY:
+        atoms = parse_expression(expr)
+        assert atoms, expr
+
+
+def test_full_family_catalyst_equals_python(spark):
+    """The privacore-style keywords the fixture models as constants must
+    still compile and agree between evaluator and Catalyst chain."""
+    rules = [UrlFilterRule(e, priority=i) for i, e in
+             enumerate(FULL_FAMILY)] + [UrlFilterRule("default", 99)]
+    parsed = [parse_expression(r.expression) for r in rules]
+    cands = _candidates()[:60]
+    want = [match_rule_index(parsed, c) for c in cands]
+    rows = [{**c, "cand_id": i} for i, c in enumerate(cands)]
+    for r in rows:
+        r.pop("discovery_time_s")
+        r.pop("now_s")
+    df = spark.createDataFrame(rows)
+    got_rows = (df.withColumn("ufn", compile_rule_match(rules, NOW_S))
+                .select("cand_id", "ufn").collect())
+    got = [None] * len(cands)
+    for r in got_rows:
+        got[r["cand_id"]] = r["ufn"]
+    assert got == want
