@@ -403,7 +403,12 @@ class CrawlRunner:
         try:
             eligible = cand.filter(F.col("eligible_ms") <= wave_start)
             wave = self._assemble_wave(eligible, wave_start, rnd).cache()
-            n_wave = wave.count()
+            agg = wave.agg(
+                F.count("*").alias("n"),
+                F.max(F.col("fetch_at_ms")
+                      + self.cfg.fetch_duration_ms).alias("max_end")
+            ).collect()[0]
+            n_wave, max_end = agg["n"], agg["max_end"]
             if n_wave == 0:
                 row = (cand.filter(F.col("eligible_ms") > wave_start)
                        .agg(F.min("eligible_ms").alias("mf")).collect()[0])
@@ -442,9 +447,6 @@ class CrawlRunner:
                 self._bloom.add_df(self.spark.read.parquet(
                     snap.round_dir(self.state_dir, "requests", rnd + 1))
                     .select("uh48", "first_ip"))
-            max_end = wave.agg(
-                F.max(F.col("fetch_at_ms") + self.cfg.fetch_duration_ms)
-            ).collect()[0][0]
             m.completed_rounds = rnd + 1
             m.wave_start_ms = max(wave_start + 1, int(max_end))
             snap.commit_manifest(self.state_dir, m)
