@@ -122,3 +122,47 @@ def test_crawl_discovers_beyond_seeds(oracle_out, small_corpus):
     c, _ = small_corpus
     assert len(oracle_out.url_seen) > len(c.seeds)
     assert len(oracle_out.crawl_order) > 50
+
+
+def test_crawl_completion_detection(spark, tmp_path_factory):
+    """F26: with a drain-style ladder (no respider rules inside the
+    horizon), the crawl must reach finished=True — every discovered URL
+    fetched or permanently filtered, nothing eligible within the clock-
+    jump horizon (SpiderLoop.cpp:2107-2136 SP_ROUNDDONE)."""
+    from open_source_search_engine_spark.config import (CrawlConfig,
+                                                        UrlFilterRule)
+    from open_source_search_engine_spark.corpus import (generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.oracle import run_oracle
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+    drain_ladder = [
+        UrlFilterRule("errorcount>=2 && hastmperror", 3, 1.0, 1, 1000, 1,
+                      force_delete=True),
+        UrlFilterRule("errorcount>=1 && hastmperror", 45, 2e-5, 1, 1000, 1),
+        UrlFilterRule("errorcount>=1", 2, 5.0, 1, 1000, 1,
+                      force_delete=True),
+        UrlFilterRule("hasreply", 40, 30.0, 9, 1000, 7),  # respider: 30 d
+        UrlFilterRule("default", 10, 60.0, 99, 1000, 7),
+    ]
+    cfg = CrawlConfig(max_rounds=40, url_filters=drain_ladder)
+    c = generate_corpus(seed=17, n_domains=4, n_urls=60)
+    cd = str(tmp_path_factory.mktemp("dcorpus"))
+    sd = str(tmp_path_factory.mktemp("dstate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, cfg)
+    m = runner.run()
+    assert m.finished, "drain ladder must reach crawl completion"
+    want = run_oracle(c, cfg)
+    got_seen = {(r["uh48"], r["first_seen_round"])
+                for r in runner.url_seen().collect()}
+    want_seen = {(r["uh48"], r["first_seen_round"]) for r in want.url_seen}
+    assert got_seen == want_seen
+    got = sorted(tuple(r) for r in runner.crawl_order()
+                 .select("round", "seq_in_round", "uh48", "url_norm",
+                         "first_ip", "priority", "hop_count",
+                         "fetch_at_ms").collect())
+    want_rows = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in want.crawl_order)
+    assert got == want_rows
