@@ -764,3 +764,13 @@ def _embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("doc_fingerprint_winnow", _winnow, None)
 _register("embed_ann_ivf", _embed_ivf, None)
+
+
+def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash → LSH candidates →
+    exact-Jaccard verify → keep-lowest-doc_id rule."""
+    from .training.dedup import dedup_keepers
+    return dedup_keepers(_docs_long(spark, sf_dir)).orderBy("doc_id")
+
+
+_register("dedup_pipeline_keepers", _dedup_keepers, None)

@@ -299,3 +299,65 @@ def winnow_profile(docs: DataFrame) -> DataFrame:
     form stored alongside documents for copy detection at scale."""
     return docs.select("doc_id", "text").mapInPandas(
         winnow_map_in_pandas, schema=WINNOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Exact-verification stage for LSH candidates (the canonical two-phase
+# dedup: cheap candidate generation -> exact Jaccard on the short list)
+# ---------------------------------------------------------------------------
+
+PAIR_VERIFY_SCHEMA = T.StructType([
+    T.StructField("doc_a", T.LongType()),
+    T.StructField("doc_b", T.LongType()),
+    T.StructField("exact_jaccard", T.DoubleType()),
+])
+
+
+def _verify_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        out_a, out_b, out_j = [], [], []
+        for a, b, ta, tb in zip(batch["doc_a"], batch["doc_b"],
+                                batch["text_a"], batch["text_b"]):
+            ha = np.unique(_shingle_hashes_from_tokens(
+                _token_hashes_batch([ta or ""])[0]))
+            hb = np.unique(_shingle_hashes_from_tokens(
+                _token_hashes_batch([tb or ""])[0]))
+            inter = len(np.intersect1d(ha, hb, assume_unique=True))
+            union = len(ha) + len(hb) - inter
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(round(inter / union, 4) if union else 0.0)
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                                "exact_jaccard": out_j})
+
+
+def verify_pairs_exact(docs: DataFrame, pairs: DataFrame,
+                       threshold: float = 0.0) -> DataFrame:
+    """Join candidate pairs back to their texts and compute TRUE shingle
+    Jaccard (not the minhash estimate).  The candidate list is tiny
+    relative to the corpus, so the two joins broadcast the pairs side and
+    the exact kernel touches only co-bucketed survivors — the standard
+    generate-then-verify dedup shape at 100 TB."""
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("text").alias("text_b"))
+    joined = (pairs.join(da, "doc_a").join(db, "doc_b")
+              .select("doc_a", "doc_b", "text_a", "text_b"))
+    out = joined.mapInPandas(_verify_batch, schema=PAIR_VERIFY_SCHEMA)
+    return out.filter(F.col("exact_jaccard") >= threshold)
+
+
+def dedup_keepers(docs: DataFrame, threshold: float = 0.85) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash -> LSH candidates -> exact
+    verify -> connected 'keep lowest doc_id per duplicate pair' rule.
+    Returns (doc_id, keep boolean)."""
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs, threshold=threshold * 0.8)
+    verified = verify_pairs_exact(docs, cand, threshold=threshold)
+    dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (docs.select("doc_id")
+            .join(dropped.withColumn("_drop", F.lit(True)), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))

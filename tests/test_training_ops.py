@@ -192,3 +192,21 @@ def test_multimodal_resize_and_frames(spark):
     again = sample_frames(media).collect()
     assert [f["frame_feature"] for f in frames] == \
         [f["frame_feature"] for f in again]
+
+
+def test_exact_verify_and_dedup_keepers(spark):
+    from open_source_search_engine_spark.training.dedup import (
+        dedup_keepers, lsh_candidate_pairs, minhash_signatures,
+        verify_pairs_exact)
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog very quietly " * 4),
+        (2, "the cat sat on the mat and looked at the dog very quietly " * 4),
+        (3, "totally different text about spark executors and shuffles " * 4),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(minhash_signatures(docs), 0.8)
+    verified = verify_pairs_exact(docs, pairs).collect()
+    assert [(v["doc_a"], v["doc_b"], v["exact_jaccard"])
+            for v in verified] == [(1, 2, 1.0)]
+    keep = {r["doc_id"]: r["keep"] for r in dedup_keepers(docs).collect()}
+    assert keep == {1: True, 2: False, 3: True}
