@@ -82,6 +82,30 @@ def committed_dirs(state_dir: str, table: str, m: Manifest) -> list[str]:
     return sorted(out)
 
 
+def verify_integrity(state_dir: str) -> list[str]:
+    """State fsck (Repair.cpp analogue): every manifest-referenced round
+    dir must exist with its recorded files present.  Returns a list of
+    problems (empty = healthy)."""
+    problems: list[str] = []
+    m = load_manifest(state_dir)
+    if m is None:
+        return ["no manifest"]
+    for key, n in m.rows.items():
+        table, rnd = key.split("/")
+        if n == 0:
+            continue
+        d = round_dir(state_dir, table, int(rnd))
+        if not os.path.isdir(d):
+            problems.append(f"missing dir for {key}")
+            continue
+        have = {f for f in os.listdir(d) if f.endswith(".parquet")}
+        want = set(m.files.get(key, []))
+        missing = want - have
+        if missing:
+            problems.append(f"{key}: {len(missing)} data files missing")
+    return problems
+
+
 def vacuum(state_dir: str, m: Manifest) -> list[str]:
     """Remove data dirs not referenced by the committed manifest: orphans
     from crashed rounds and pre-compaction generations.  Safe strictly

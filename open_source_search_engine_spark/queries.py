@@ -774,3 +774,14 @@ def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("dedup_pipeline_keepers", _dedup_keepers, None)
+
+
+def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: result summaries/titles — best query-term window per doc
+    (Summary.cpp getBestWindow analogue, pure Catalyst)."""
+    from .search.summary import summarize
+    return (summarize(_docs_long(spark, sf_dir), ["data", "join"])
+            .orderBy("doc_id"))
+
+
+_register("q5_result_summaries", _summaries, None)

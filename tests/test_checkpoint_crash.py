@@ -78,3 +78,18 @@ def test_vacuum_after_compaction(spark, tmp_path_factory):
     removed = snap.vacuum(sd, m)
     assert removed, "pre-compaction round dirs should be reclaimed"
     assert runner.url_seen().count() == before
+
+
+def test_verify_integrity_detects_missing_files(spark, tmp_path_factory):
+    import glob
+    cfg = CrawlConfig(max_rounds=3)
+    c = generate_corpus(seed=37, n_domains=4, n_urls=50)
+    cd = str(tmp_path_factory.mktemp("icorpus"))
+    sd = str(tmp_path_factory.mktemp("istate"))
+    write_parquet(c, cd)
+    CrawlRunner(spark, cd, sd, cfg).run()
+    assert snap.verify_integrity(sd) == []
+    victim = glob.glob(os.path.join(sd, "waves", "round=0", "*.parquet"))[0]
+    os.remove(victim)
+    problems = snap.verify_integrity(sd)
+    assert any("waves/0" in p for p in problems)

@@ -51,3 +51,26 @@ def test_topk_limit_and_determinism(postings):
     a = [r["doc_id"] for r in search(postings, ["spark", "window"], k=2).collect()]
     b = [r["doc_id"] for r in search(postings, ["spark", "window"], k=2).collect()]
     assert a == b and len(a) == 2
+
+
+def test_summary_snippets(spark):
+    from open_source_search_engine_spark.search.summary import summarize
+    docs = spark.createDataFrame([
+        (1, "aa bb cc dd ee ff gg hh ii jj kk ll spark join mm nn oo pp"),
+        (2, "no relevant words in this document at all whatsoever here"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           summarize(docs, ["spark", "join"]).collect()}
+    assert got[1]["n_hits"] == 2
+    assert "spark" in got[1]["snippet"] and "join" in got[1]["snippet"]
+    assert got[1]["title"].startswith("aa bb cc")
+    assert got[2]["n_hits"] == 0
+
+
+def test_summary_prefers_denser_window(spark):
+    from open_source_search_engine_spark.search.summary import summarize
+    text = ("x " * 30) + "spark y y join " + ("z " * 30) + "spark q q q q"
+    docs = spark.createDataFrame([(1, text.strip())], ["doc_id", "text"])
+    r = summarize(docs, ["spark", "join"]).collect()[0]
+    assert r["n_hits"] == 2
+    assert "join" in r["snippet"]
