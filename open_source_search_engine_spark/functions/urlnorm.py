@@ -214,6 +214,92 @@ def _strip_params_v122(s: str) -> str:
     return out
 
 
+def _is_hex(v: str) -> bool:
+    return bool(v) and all(c in "0123456789abcdefABCDEF" for c in v)
+
+
+def _is_alnum_str(v: str) -> bool:
+    return bool(v) and all(_is_alnum(c) for c in v)
+
+
+# v123 path-segment session families (Url.cpp:368-407 urlParser rules):
+# name → (case_sensitive, value validators).  A /name/value/ path pair is
+# removed when the value passes a validator; a trailing /name/ with empty
+# value is removed too (Validator allow_empty).
+_V123_PATH_FAMILIES: list[tuple[str, bool, tuple]] = [
+    ("osCsid", False, ((32, 32, _is_hex), (26, 26, _is_alnum_str))),
+    ("osCAdminID", False, ((32, 32, _is_hex), (26, 26, _is_alnum_str))),
+    ("XTCsid", True, ((26, 52, _is_alnum_str),)),
+]
+
+
+def _strip_v123_path_family(s: str) -> str:
+    """Path-segment and repeated-query session-id stripping for the
+    osCommerce/XT-commerce families (Url.cpp:330-407 stripParameters via
+    UrlParser; validators from UrlComponent::Validator args).  Runs before
+    the v122 single-shot query strip; unlike v122 it removes ALL query
+    occurrences (the nailcosmetics regression case)."""
+    # --- query side: remove every name=value occurrence -------------------
+    for name, case_sensitive, _ in _V123_PATH_FAMILIES:
+        probe = s if case_sensitive else s.lower()
+        token = (name if case_sensitive else name.lower()) + "="
+        while True:
+            idx = probe.find(token)
+            while idx > 0 and probe[idx - 1] not in "?&;":
+                idx = probe.find(token, idx + 1)
+            if idx < 0:
+                break
+            end = idx + len(token)
+            while end < len(s) and s[end] not in "&?;#":
+                end += 1
+            a = idx
+            if a > 0 and s[a - 1] in "&;":
+                a -= 1
+            elif end < len(s) and s[end] in "&;":
+                end += 1
+            s = s[:a] + s[end:]
+            while s and s[-1] in "?&;":
+                s = s[:-1]
+            probe = s if case_sensitive else s.lower()
+    # --- path side: /name/value/ pairs ------------------------------------
+    qpos = len(s)
+    for i, ch in enumerate(s):
+        if ch in "?#":
+            qpos = i
+            break
+    path, tail = s[:qpos], s[qpos:]
+    segs = path.split("/")
+    out: list[str] = []
+    i = 0
+    # skip scheme://host region: first 3 split parts for absolute urls
+    skip = 3 if "://" in path[:10] else 1
+    while i < len(segs):
+        seg = segs[i]
+        matched = False
+        if i >= skip:
+            for name, case_sensitive, validators in _V123_PATH_FAMILIES:
+                if (seg == name if case_sensitive
+                        else seg.lower() == name.lower()):
+                    nxt = segs[i + 1] if i + 1 < len(segs) else None
+                    if nxt is not None and nxt != "":
+                        if any(lo <= len(nxt) <= hi and fn(nxt)
+                               for lo, hi, fn in validators):
+                            i += 2        # drop name + value
+                            matched = True
+                    elif nxt == "" and i + 2 == len(segs):
+                        i += 1            # trailing /name/ with empty value
+                        matched = True
+                    elif nxt is None:
+                        i += 1            # /name at very end
+                        matched = True
+                    break
+        if matched:
+            continue
+        out.append(seg)
+        i += 1
+    return "/".join(out) + tail
+
+
 def _punycode_host(t: str) -> str:
     """Encode non-ASCII host labels as ``xn--<punycode>`` (Url.cpp:840-1006).
     ASCII labels pass through; the path/query is carried unchanged."""
@@ -317,6 +403,7 @@ def normalize_url(
 
     s = t
     if strip_params:
+        s = _strip_v123_path_family(s)
         s = _strip_params_v122(s)
 
     if strip_common_file:

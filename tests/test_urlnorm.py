@@ -237,3 +237,57 @@ def test_components():
     assert p.path == "/a/b.HTML"
     assert p.query == "x=1&y=2"
     assert p.path_with_cgi == "/a/b.HTML?x=1&y=2"
+
+
+# --- v123 path-family session stripping (Url.cpp:330-407, vectors from
+# UrlTest.cpp StripParamsOsCommerce / StripParamsXTCommerce) ---------------
+
+V123_VECTORS = [
+    # osCAdminID query, repeated occurrences all removed
+    ("http://www.nailcosmetics.pl/?osCAdminID=70b4c843a51204ec897136bc04282462"
+     "&osCAdminID=70b4c843a51204ec897136bc04282462"
+     "&osCAdminID=70b4c843a51204ec897136bc04282462"
+     "&osCAdminID=70b4c843a51204ec897136bc04282462",
+     "http://www.nailcosmetics.pl/"),
+    ("http://ezofit.sk/obchod/admin/categories.php?cPath=205&action=new_product"
+     "&osCAdminID=dogjdaa5ogukr5vdtnld0o80r4",
+     "http://ezofit.sk/obchod/admin/categories.php?cPath=205&action=new_product"),
+    ("http://calisonusa.com/specials.html?osCAdminID=a401c1738f8e361728c7f61e9dd23a31",
+     "http://calisonusa.com/specials.html"),
+    # osCAdminID path pair (hex32) removed
+    ("https://springbankcheese.ca/catalog/advanced_search_result.php/"
+     "search_in_description/1/keywords/chardonnay/"
+     "osCAdminID/45de8edd68f8bc05e9fde0d2c528a619/sort/3d/page/2",
+     "https://springbankcheese.ca/catalog/advanced_search_result.php/"
+     "search_in_description/1/keywords/chardonnay/sort/3d/page/2"),
+    # no strip: following segment fails the validators
+    ("https://springbankcheese.ca/catalog/advanced_search_result.php/"
+     "search_in_description/1/keywords/chardonnay/osCAdminID/sort/3d/page/2",
+     "https://springbankcheese.ca/catalog/advanced_search_result.php/"
+     "search_in_description/1/keywords/chardonnay/osCAdminID/sort/3d/page/2"),
+    # osCsid query + path forms
+    ("http://www.silversites.net/sweetheart-tree.php?osCsid=4c7154c9159ec1aadfc788a3525e61dd",
+     "http://www.silversites.net/sweetheart-tree.php"),
+    ("https://www.decent-cigar.com/collectibles.php/osCsid/847ve0olpeu5bs5ujkt9ulrgn0",
+     "https://www.decent-cigar.com/collectibles.php"),
+    ("http://www.plat.co.jp/shop/catalog/default/language/en/cPath/22/"
+     "osCsid/79bdb5fa7557ca04fb46ef1bd706139f/river-lake-fishing-freshwater/",
+     "http://www.plat.co.jp/shop/catalog/default/language/en/cPath/22/"
+     "river-lake-fishing-freshwater/"),
+    # trailing /osCsid/ with empty value
+    ("https://www.12stepcds.com/catalog/product_info/products_id/577/osCsid/",
+     "https://www.12stepcds.com/catalog/product_info/products_id/577/"),
+    # earlier bare osCsid kept (value 'language' invalid), later pair removed
+    ("http://www.steviaforyou.com/information.php/info_id/33/stevia-producten/"
+     "osCsid/language/nl/osCsid/546bb2d065677b8e53747e81309b2660",
+     "http://www.steviaforyou.com/information.php/info_id/33/stevia-producten/"
+     "osCsid/language/nl"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", V123_VECTORS)
+def test_strip_v123_path_family(raw, expected):
+    got = normalize_url(raw, strip_params=True)
+    want = normalize_url(expected)
+    assert got is not None and want is not None
+    assert got.url == want.url
