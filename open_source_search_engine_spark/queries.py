@@ -337,8 +337,8 @@ def _embed_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(
                 F.zip_with(
                     "embedding", "q_emb",
-                    lambda a, b: (F.round(a * 1000).cast("long")
-                                  * F.round(b * 1000).cast("long"))),
+                    lambda a, b: (F.round(a.cast("double") * 1000).cast("long")
+                                  * F.round(b.cast("double") * 1000).cast("long"))),
                 F.lit(0).cast("long"), lambda acc, x: acc + x))
         .filter(F.col("vec_id") != 0)
         .select(F.col("vec_id").cast("long").alias("vec_id"), "dot_q")
@@ -350,8 +350,8 @@ def _embed_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("embed_topk_bruteforce", _embed_topk_spark, """
 SELECT CAST(d.vec_id AS BIGINT) AS vec_id,
-       SUM(CAST(ROUND(d.embedding[t.i] * 1000) AS BIGINT)
-           * CAST(ROUND(q.embedding[t.i] * 1000) AS BIGINT)) AS dot_q
+       SUM(CAST(ROUND(CAST(d.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+           * CAST(ROUND(CAST(q.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS dot_q
 FROM embeddings d, embeddings q, range(1, 65) t(i)
 WHERE q.vec_id = 0 AND d.vec_id <> 0
 GROUP BY d.vec_id
@@ -586,35 +586,51 @@ _register("f4_shard_assignment", _f4_shard, None)
 
 def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (training-data dedup family):
-    same-label candidate pairs scored by integer-quantized dot product —
-    label blocking bounds the pair space like LSH bucketing does at scale."""
+    blocked candidate pairs scored by integer-quantized dot product.  Each
+    block's all-pairs Gram matrix is one NumPy (BLAS) matmul inside
+    ``applyInPandas`` — the per-pair Catalyst lambda was ~20x slower.  The
+    fixture blocks on ``label``; at 100 TB the block key is an LSH bucket
+    (training/simsearch.lsh_buckets) — the within-block kernel is identical."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    a = emb.select(F.col("vec_id").alias("va"), F.col("label").alias("la"),
-                   F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vb"), F.col("label").alias("lb"),
-                   F.col("embedding").alias("eb"))
-    return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("va") < F.col("vb")))
-        .withColumn(
-            "dot_q",
-            F.aggregate(
-                F.zip_with("ea", "eb",
-                           lambda x, y: (F.round(x * 1000).cast("long")
-                                         * F.round(y * 1000).cast("long"))),
-                F.lit(0).cast("long"), lambda acc, x: acc + x))
-        .filter(F.col("dot_q") >= 150000)
-        .select(F.col("va").cast("long").alias("va"),
-                F.col("vb").cast("long").alias("vb"), "dot_q")
-        .orderBy("va", "vb")
-    )
+
+    out_schema = T.StructType([
+        T.StructField("va", T.LongType()),
+        T.StructField("vb", T.LongType()),
+        T.StructField("dot_q", T.LongType()),
+    ])
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        q = np.stack(pdf["qvec"].values).astype(np.float64)
+        gram = q @ q.T          # |dot| <= 64 * 4000^2 << 2^53: exact in f64
+        ia, ib = np.triu_indices(len(ids), k=1)
+        dots = gram[ia, ib].astype(np.int64)
+        keep = dots >= 150000
+        return pd.DataFrame({"va": ids[ia[keep]], "vb": ids[ib[keep]],
+                             "dot_q": dots[keep]})
+
+    # quantize per VECTOR in Spark (one pass, exact F.round HALF_UP), so the
+    # pair kernel is pure integer matmul with no rounding of its own
+    quant = emb.select(
+        "vec_id", "label",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double") * 1000).cast("long"))
+        .alias("qvec"))
+    return (quant.groupBy("label").applyInPandas(_block_pairs, schema=out_schema)
+            .orderBy("va", "vb"))
 
 
 _register("dedup_embed_cosine_pairs", _embed_neardup_spark, """
 WITH pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
-         (SELECT SUM(CAST(ROUND(a.embedding[t.i] * 1000) AS BIGINT)
-                     * CAST(ROUND(b.embedding[t.i] * 1000) AS BIGINT))
+         (SELECT SUM(CAST(ROUND(CAST(a.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+                     * CAST(ROUND(CAST(b.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT))
           FROM range(1, 65) t(i)) AS dot_q
   FROM embeddings a, embeddings b
   WHERE a.label = b.label AND a.vec_id < b.vec_id

@@ -45,9 +45,20 @@ _SH1 = np.uint64(0x9E3779B97F4A7C15)   # shingle-combining odd multipliers
 _SH2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
-def _token_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Tokenize a whole Arrow batch, tabulation-hash ALL tokens in one
-    vectorized call, return (flat uint64 hashes, per-doc offsets)."""
+# ASCII whitespace per str.split() semantics (str.isspace() chars < 0x80):
+# \t \n \x0b \x0c \r, \x1c-\x1f, space.  Non-ASCII Unicode whitespace
+# (U+0085, U+00A0, U+2000.., U+3000) always starts with one of the UTF-8
+# lead bytes below; their presence routes the batch to the exact fallback.
+_WS_TABLE = np.zeros(256, dtype=bool)
+for _c in b"\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ":
+    _WS_TABLE[_c] = True
+_UNICODE_WS_LEADS = np.zeros(256, dtype=bool)
+for _c in (0xC2, 0xE1, 0xE2, 0xE3):
+    _UNICODE_WS_LEADS[_c] = True
+
+
+def _token_hashes_slow(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Exact fallback (Unicode whitespace): per-doc str.split()."""
     tokens: list[bytes] = []
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     for i, t in enumerate(texts):
@@ -56,6 +67,65 @@ def _token_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         offsets[i + 1] = offsets[i] + len(toks)
     th = hash64b_bytes(tokens) if tokens else np.zeros(0, np.uint64)
     return th, offsets
+
+
+def _token_hashes_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a whole Arrow batch and tabulation-hash ALL tokens with no
+    per-token Python, return (flat uint64 hashes, per-doc offsets).
+
+    Fast path: byte-level split on ASCII whitespace over the contiguous
+    Arrow buffer + one gathered table-XOR reduceat — identical to
+    ``hash64b(token)`` per token.  Batches containing possible non-ASCII
+    whitespace fall back to the exact str.split() loop."""
+    from ..functions.ghash import _arrow_segments, hash_table
+
+    if not isinstance(texts, list):
+        texts = list(texts)
+    flat, offs = _arrow_segments([t or "" for t in texts])
+    if flat.size and _UNICODE_WS_LEADS[flat].any():
+        return _token_hashes_slow(texts)
+    n_bytes = flat.size
+    if n_bytes == 0:
+        return np.zeros(0, np.uint64), np.zeros(len(texts) + 1, np.int64)
+    nonws = ~_WS_TABLE[flat]
+    # token starts: non-ws byte whose predecessor is ws or a doc boundary
+    prev_nonws = np.empty(n_bytes, dtype=bool)
+    prev_nonws[0] = False
+    prev_nonws[1:] = nonws[:-1]
+    doc_starts = offs[:-1][offs[:-1] < n_bytes]
+    prev_nonws[doc_starts] = False
+    tok_starts = np.flatnonzero(nonws & ~prev_nonws)
+    # token ends: non-ws byte whose successor is ws or a doc boundary
+    next_nonws = np.empty(n_bytes, dtype=bool)
+    next_nonws[-1] = False
+    next_nonws[:-1] = nonws[1:]
+    doc_ends = offs[1:][offs[1:] <= n_bytes] - 1
+    next_nonws[doc_ends[doc_ends >= 0]] = False
+    tok_ends = np.flatnonzero(nonws & ~next_nonws) + 1
+    # per-doc token counts via searchsorted over start positions
+    offsets = np.searchsorted(tok_starts, offs).astype(np.int64)
+    if len(tok_starts) == 0:
+        return np.zeros(0, np.uint64), offsets
+    tok_lens = tok_ends - tok_starts
+    packed_starts = np.concatenate(([0], np.cumsum(tok_lens)[:-1]))
+    total = int(tok_lens.sum())
+    ar = np.arange(total, dtype=np.int64)
+    rep_packed = np.repeat(packed_starts, tok_lens)
+    pos = ar - rep_packed                                # pos within token
+    idx = pos + np.repeat(tok_starts, tok_lens)          # global byte index
+    vals = hash_table()[(pos & 0xFF).astype(np.uint8), flat[idx]]
+    th = np.bitwise_xor.reduceat(vals, packed_starts)
+    return th, offsets
+
+
+_MERSENNE_U = np.uint64(MERSENNE_P)
+
+
+def _mod_mersenne(v: np.ndarray) -> np.ndarray:
+    """Exact ``v % (2^61-1)`` for uint64 via the Mersenne fold (2^61 === 1):
+    ~10x faster than NumPy's ``%`` on uint64."""
+    r = (v & _MERSENNE_U) + (v >> np.uint64(61))
+    return np.where(r >= _MERSENNE_U, r - _MERSENNE_U, r)
 
 
 def _shingle_hashes_from_tokens(h: np.ndarray, k: int = 3) -> np.ndarray:
@@ -75,11 +145,47 @@ def _shingle_hashes_from_tokens(h: np.ndarray, k: int = 3) -> np.ndarray:
     return sh + h[k - 1:]
 
 
+def _shingle_hashes_flat(th: np.ndarray, offs: np.ndarray,
+                         k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes for every doc in one flat pass: compute the k-window
+    combine over the whole token array, then gather each doc's valid
+    windows (windows never cross doc boundaries).  Docs with < k tokens get
+    the same single fold value as ``_shingle_hashes_from_tokens``.
+
+    Returns (packed shingle hashes, per-doc offsets); every doc contributes
+    >= 1 value, so the offsets are strictly increasing (reduceat-safe)."""
+    n_docs = len(offs) - 1
+    lens = np.diff(offs)
+    counts = np.maximum(lens - (k - 1), 1)
+    out_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    out = np.zeros(out_offs[-1], dtype=np.uint64)
+    n = len(th)
+    if n >= k:
+        sh = th[: n - k + 1] * _SH1
+        for j in range(1, k - 1):
+            sh = (sh + th[j: n - k + 1 + j]) * _SH2
+        sh = sh + th[k - 1:]
+        big = lens >= k
+        if big.any():
+            cnt = counts[big]
+            packed = out_offs[:-1][big]
+            ar = np.arange(int(cnt.sum()), dtype=np.int64)
+            rel = ar - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+            src = rel + np.repeat(offs[:-1][big], cnt)
+            dst = rel + np.repeat(packed, cnt)
+            out[dst] = sh[src]
+    small = np.flatnonzero(lens < k)
+    for i in small:                       # rare: docs shorter than k tokens
+        out[out_offs[i]] = _shingle_hashes_from_tokens(th[offs[i]: offs[i + 1]], k)[0]
+    return out, out_offs
+
+
 def minhash_signature(text: str) -> np.ndarray:
     """64 minhashes: min over shingles of (a_i * h + b_i) mod (2^61-1)."""
     th, _ = _token_hashes_batch([text])
     h = _shingle_hashes_from_tokens(th)
-    prod = (h[:, None] * _A[None, :] + _B[None, :]) % np.uint64(MERSENNE_P)
+    prod = _mod_mersenne(h[:, None] * _A[None, :] + _B[None, :])
     return prod.min(axis=0)
 
 
@@ -91,26 +197,29 @@ SIG_SCHEMA = T.StructType([
 
 def minhash_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in it:
-        th, offs = _token_hashes_batch(batch["text"].tolist())
-        # shingle-hash every doc, concatenate, then per-doc min via reduceat
-        doc_shingles = [
-            _shingle_hashes_from_tokens(th[offs[i]: offs[i + 1]])
-            for i in range(len(offs) - 1)]
-        lens = np.array([len(s) for s in doc_shingles], dtype=np.int64)
-        flat = (np.concatenate(doc_shingles) if doc_shingles
-                else np.zeros(0, np.uint64))
-        prod = (flat[:, None] * _A[None, :] + _B[None, :]) % np.uint64(MERSENNE_P)
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        sigs_mat = (np.minimum.reduceat(prod, starts, axis=0)
+        th, offs = _token_hashes_batch(batch["text"])
+        flat, sh_offs = _shingle_hashes_flat(th, offs)
+        prod = _mod_mersenne(flat[:, None] * _A[None, :] + _B[None, :])
+        sigs_mat = (np.minimum.reduceat(prod, sh_offs[:-1], axis=0)
                     if len(flat) else np.zeros((0, N_HASHES), np.uint64))
         yield pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
                             "sig": [row.astype(np.int64).tolist()
                                     for row in sigs_mat]})
 
 
+def _spread_input(docs: DataFrame) -> DataFrame:
+    """Small inputs (e.g. one parquet file) would run the whole Arrow kernel
+    on one Python worker; round-robin to the session's parallelism.  At
+    production scale input partitions >> cores and this is a no-op."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """docs(doc_id, text) → (doc_id, sig array<long>[64])."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread_input(docs.select("doc_id", "text")).mapInPandas(
         minhash_map_in_pandas, schema=SIG_SCHEMA)
 
 
@@ -185,20 +294,27 @@ def simhash64(text: str) -> int:
 def simhash_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     shifts = np.arange(64, dtype=np.uint64)[None, :]
     for batch in it:
-        th, offs = _token_hashes_batch(batch["text"].tolist())
+        th, offs = _token_hashes_batch(batch["text"])
         bits = ((th[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
         signed = 2 * bits - 1
-        out = []
-        for i in range(len(offs) - 1):
-            seg = signed[offs[i]: offs[i + 1]]
-            out.append(_simhash_from_scores(seg.sum(axis=0))
-                       if len(seg) else 0)
+        # per-doc bit-score sums in one reduceat over non-empty docs
+        n_docs = len(offs) - 1
+        lens = np.diff(offs)
+        scores = np.zeros((n_docs, 64), dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any() and len(signed):
+            scores[nonempty] = np.add.reduceat(
+                signed, offs[:-1][nonempty], axis=0)
+        sign_bits = (scores > 0).astype(np.uint64)
+        fps = (sign_bits << np.arange(64, dtype=np.uint64)[None, :]) \
+            .sum(axis=1, dtype=np.uint64)
+        fps[~nonempty] = 0
         yield pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
-                            "simhash": out})
+                            "simhash": fps.astype(np.int64)})
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread_input(docs.select("doc_id", "text")).mapInPandas(
         simhash_map_in_pandas, schema=SIMHASH_SCHEMA)
 
 
@@ -297,7 +413,7 @@ def winnow_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def winnow_profile(docs: DataFrame) -> DataFrame:
     """Per-doc winnow fingerprint summary (count, min, xor) — the compact
     form stored alongside documents for copy detection at scale."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread_input(docs.select("doc_id", "text")).mapInPandas(
         winnow_map_in_pandas, schema=WINNOW_SCHEMA)
 
 

@@ -37,8 +37,8 @@ def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 20) -> DataFram
             "dot_q",
             F.aggregate(
                 F.zip_with("embedding", "q_emb",
-                           lambda a, b: (F.round(a * 1000).cast("long")
-                                         * F.round(b * 1000).cast("long"))),
+                           lambda a, b: (F.round(a.cast("double") * 1000).cast("long")
+                                         * F.round(b.cast("double") * 1000).cast("long"))),
                 F.lit(0).cast("long"), lambda acc, x: acc + x))
         .filter(F.col("vec_id") != query_vec_id)
         .select(F.col("vec_id").cast("long").alias("vec_id"), "dot_q")
