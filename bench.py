@@ -76,21 +76,22 @@ def build_frontier(spark, n_rows: int):
     return df.drop("id"), replies
 
 
-def assemble_wave(spark, frontier, replies, wave_start_ms: int):
-    """The production wave-assembly plan (crawl.py semantics) on an
-    arbitrary frontier: filter ladder → eligibility → salted winner top-K →
-    caps → politeness schedule."""
-    from pyspark.sql import Window
+def assemble_wave(spark, frontier, replies, wave_start_ms: int,
+                  n_wave_shards: int = 64):
+    """The production wave-assembly path — the SAME function the crawl
+    runner executes (pipeline.crawl.assemble_wave_from_candidates): filter
+    ladder → eligibility → salted winner top-K → per-rule + global budgets
+    (sharded, the 10^10 configuration) → politeness schedule."""
     from pyspark.sql import functions as F
 
     from open_source_search_engine_spark.config import (CrawlConfig,
                                                         default_url_filters)
+    from open_source_search_engine_spark.pipeline.crawl import (
+        assemble_wave_from_candidates)
     from open_source_search_engine_spark.pipeline.filters import (
         compile_rule_match, rule_arrays)
-    from open_source_search_engine_spark.pipeline.scale import (
-        salted_topk_per_key)
 
-    cfg = CrawlConfig()
+    cfg = CrawlConfig(n_wave_shards=n_wave_shards)
     cand = (
         frontier.join(replies, "uh48", "left")
         .withColumn("has_reply", F.col("last_spider_time_s").isNotNull())
@@ -115,24 +116,7 @@ def assemble_wave(spark, frontier, replies, wave_start_ms: int):
                 .otherwise(F.lit(0).cast("long"))))
         .filter(F.col("eligible_ms") <= wave_start_ms)
     )
-    order = [F.desc("priority"), F.asc("hop_count"),
-             F.asc("eligible_ms"), F.asc("uh48")]
-    # phase-1 K = the largest per-IP launch cap (ranks beyond it can never
-    # reach the wave — see crawl.py), bounded by MAX_WINNER_NODES
-    k_eff = min(cfg.max_winner_nodes,
-                max(r.spider_ip_max_spiders for r in default_url_filters()))
-    sel = salted_topk_per_key(cand, "first_ip", order,
-                              k=k_eff, rank_name="ip_rn")
-    sel = sel.filter(F.col("ip_rn") <= F.col("ip_max"))
-    w_ip_seq = Window.partitionBy("first_ip").orderBy(*order)
-    wave = (
-        sel.withColumn("ip_rank", F.row_number().over(w_ip_seq) - 1)
-        .withColumn("delay_ms", F.col("ip_wait_ms").cast("long"))
-        .withColumn("fetch_at_ms",
-                    F.lit(wave_start_ms)
-                    + F.col("ip_rank") * F.col("delay_ms"))
-    )
-    return wave
+    return assemble_wave_from_candidates(cand, cfg, wave_start_ms, rnd=0)
 
 
 def run_bench() -> dict:

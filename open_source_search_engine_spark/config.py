@@ -78,4 +78,9 @@ class CrawlConfig:
     user_agent: str = USER_AGENT
     fetch_duration_ms: int = FETCH_DURATION_MS
     round_interval_ms: int = 0       # 0 = next round starts when prior ends
+    # F14 budget sharding (scale.apply_wave_budgets): 1 = single-queue
+    # reference semantics (fixture parity); production sets the scheduling
+    # shard count so per-rule/global budget windows never sort one
+    # unbounded partition (host-local doledb, Hostdb.cpp:1761-1765)
+    n_wave_shards: int = 1
     url_filters: list[UrlFilterRule] = field(default_factory=default_url_filters)

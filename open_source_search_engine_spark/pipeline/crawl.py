@@ -73,6 +73,60 @@ class RoundStats:
     jumped: bool
 
 
+def assemble_wave_from_candidates(cand: DataFrame, cfg: CrawlConfig,
+                                  wave_start: int, rnd: int) -> DataFrame:
+    """The production wave assembly: F11 winner Window + F14 budgets + F16
+    politeness spacing.  Module-level so the bench and the driver-contract
+    catalog exercise EXACTLY this code path (not a SQL twin)."""
+    from .scale import apply_wave_budgets, salted_topk_per_key
+
+    order = [F.desc("priority"), F.asc("hop_count"),
+             F.asc("eligible_ms"), F.asc("uh48")]
+    # salted two-phase top-K (scale.py): provably identical to a single
+    # per-IP Window, but a 30%-of-frontier mega-host sorts in parallel
+    # salt shards instead of one straggler task.  Phase-1 K only needs
+    # to cover the largest possible per-IP launch cap (the reference's
+    # 2000-node winner tree exists to feed its winner-list CACHE across
+    # scans — a batch round launches at most ip_max per IP, so ranks
+    # beyond max(spiderIpMaxSpiders) can never reach the wave).
+    k_eff = min(cfg.max_winner_nodes,
+                max(r.spider_ip_max_spiders for r in cfg.url_filters))
+    sel = salted_topk_per_key(cand, "first_ip", order,
+                              k=k_eff, rank_name="ip_rn")
+    w_ip = Window.partitionBy("first_ip").orderBy(*order)
+    sel = (
+        sel.withColumn("ip_k", F.first("ip_max").over(w_ip))
+        .filter(F.col("ip_rn") <= F.col("ip_k"))
+    )
+    # per-rule launch budget (maxSpidersPerRule, SpiderLoop.cpp:683-731)
+    # and the global MAX_SPIDERS cap, enforced per scheduling shard like
+    # the reference's host-local doledb (scale.py apply_wave_budgets)
+    wave = apply_wave_budgets(sel, order, cfg.max_spiders_global,
+                              rule_budget_col="max_per_rule",
+                              n_shards=cfg.n_wave_shards)
+    # politeness delay per IP over SELECTED rows (hammer-queue analogue):
+    # max(sameIpWait, clamp(robots crawl-delay, 0, 60 s))
+    w_ip_all = Window.partitionBy("first_ip")
+    wave = wave.withColumn(
+        "delay_ms",
+        F.greatest(
+            F.max("ip_wait_ms").over(w_ip_all),
+            F.least(F.greatest(F.max("robots_delay_ms").over(w_ip_all),
+                               F.lit(0)),
+                    F.lit(cfg.crawl_delay_cap_ms)),
+        ).cast("long"))
+    w_ip_seq = Window.partitionBy("first_ip").orderBy("seq_in_round")
+    wave = (
+        wave.withColumn("ip_rank", F.row_number().over(w_ip_seq) - 1)
+        .withColumn("fetch_at_ms",
+                    F.greatest(F.lit(wave_start),
+                               F.col("ip_last_end") + F.col("delay_ms"))
+                    + F.col("ip_rank") * F.col("delay_ms"))
+        .withColumn("round", F.lit(rnd))
+    )
+    return wave
+
+
 class CrawlRunner:
     def __init__(self, spark: SparkSession, corpus_dir: str, state_dir: str,
                  cfg: CrawlConfig | None = None, use_bloom_seen: bool = False):
@@ -263,59 +317,7 @@ class CrawlRunner:
 
     def _assemble_wave(self, cand: DataFrame, wave_start: int,
                        rnd: int) -> DataFrame:
-        """F11 winner Window + F14 caps + F16 politeness spacing."""
-        cfg = self.cfg
-        order = [F.desc("priority"), F.asc("hop_count"),
-                 F.asc("eligible_ms"), F.asc("uh48")]
-        # salted two-phase top-K (scale.py): provably identical to a single
-        # per-IP Window, but a 30%-of-frontier mega-host sorts in parallel
-        # salt shards instead of one straggler task.  Phase-1 K only needs
-        # to cover the largest possible per-IP launch cap (the reference's
-        # 2000-node winner tree exists to feed its winner-list CACHE across
-        # scans — a batch round launches at most ip_max per IP, so ranks
-        # beyond max(spiderIpMaxSpiders) can never reach the wave).
-        from .scale import salted_topk_per_key
-        k_eff = min(cfg.max_winner_nodes,
-                    max(r.spider_ip_max_spiders for r in cfg.url_filters))
-        sel = salted_topk_per_key(cand, "first_ip", order,
-                                  k=k_eff, rank_name="ip_rn")
-        w_ip = Window.partitionBy("first_ip").orderBy(*order)
-        sel = (
-            sel.withColumn("ip_k", F.first("ip_max").over(w_ip))
-            .filter(F.col("ip_rn") <= F.col("ip_k"))
-        )
-        # per-rule launch budget (maxSpidersPerRule, SpiderLoop.cpp:683-731:
-        # a priority is skipped once its rule's outstanding count is hit)
-        w_rule = Window.partitionBy("ufn").orderBy(*order)
-        sel = (sel.withColumn("rule_rn", F.row_number().over(w_rule))
-               .filter(F.col("rule_rn") <= F.col("max_per_rule")))
-        w_glob = Window.orderBy(*order)
-        wave = (
-            sel.withColumn("gseq", F.row_number().over(w_glob))
-            .filter(F.col("gseq") <= cfg.max_spiders_global)
-            .withColumn("seq_in_round", F.col("gseq") - 1)
-        )
-        # politeness delay per IP over SELECTED rows (hammer-queue analogue):
-        # max(sameIpWait, clamp(robots crawl-delay, 0, 60 s))
-        w_ip_all = Window.partitionBy("first_ip")
-        wave = wave.withColumn(
-            "delay_ms",
-            F.greatest(
-                F.max("ip_wait_ms").over(w_ip_all),
-                F.least(F.greatest(F.max("robots_delay_ms").over(w_ip_all),
-                                   F.lit(0)),
-                        F.lit(cfg.crawl_delay_cap_ms)),
-            ).cast("long"))
-        w_ip_seq = Window.partitionBy("first_ip").orderBy("gseq")
-        wave = (
-            wave.withColumn("ip_rank", F.row_number().over(w_ip_seq) - 1)
-            .withColumn("fetch_at_ms",
-                        F.greatest(F.lit(wave_start),
-                                   F.col("ip_last_end") + F.col("delay_ms"))
-                        + F.col("ip_rank") * F.col("delay_ms"))
-            .withColumn("round", F.lit(rnd))
-        )
-        return wave
+        return assemble_wave_from_candidates(cand, self.cfg, wave_start, rnd)
 
     # ---------------------------------------------------------------- fetch
     def _simulate_fetch(self, wave: DataFrame, replies: DataFrame | None,

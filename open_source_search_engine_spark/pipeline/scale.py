@@ -42,6 +42,63 @@ def salted_topk_per_key(df: DataFrame, key: str, order: list[Column], k: int,
             .filter(F.col(rank_name) <= k))
 
 
+def spider_shard_col(ip_col: str, n_shards: int) -> Column:
+    """The F4 scheduling-shard id as a Column: ``hash32h(firstIp, 0x123456)
+    % n_shards`` (Hostdb.cpp:1745-1752) via the vectorized tabulation hash."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.ghash import spider_shard
+
+    def _shard(ips):
+        return pd.Series(spider_shard(ips.to_numpy(), n_shards),
+                         dtype="int32")
+
+    return F.pandas_udf(_shard, T.IntegerType())(F.col(ip_col))
+
+
+def apply_wave_budgets(sel: DataFrame, order: list[Column], global_cap: int,
+                       rule_budget_col: str | None = None,
+                       n_shards: int = 1) -> DataFrame:
+    """F14 launch budgets, scale-shaped.  The reference enforces the
+    per-rule budget (maxSpidersPerRule) and the global MAX_SPIDERS cap per
+    host-local doledb shard (Hostdb.cpp:1761-1765; SpiderLoop.cpp:683-731)
+    — each scheduling shard owns its own slice of the budget.  Here:
+
+    - ``n_shards=1``: single-queue semantics, byte-identical to the
+      reference fixture (and to the pre-sharded plan).
+    - ``n_shards>1``: both windows partition by ``spider_shard(first_ip)``
+      (F4) and each shard gets ``budget // n_shards`` — no window ever
+      sorts an unbounded single partition, which is what survives a
+      10^8-IP frontier.
+
+    Returns the budget-filtered rows with 0-based ``seq_in_round`` in
+    global ``order``.  The final sequencing window is a single partition
+    **by construction bounded at global_cap rows** (it runs after the
+    caps), i.e. a constant-size sort like TakeOrderedAndProject."""
+    if n_shards <= 1:
+        shard = F.lit(0)
+        rule_budget = F.col(rule_budget_col) if rule_budget_col else None
+        shard_cap = global_cap
+    else:
+        shard = spider_shard_col("first_ip", n_shards)
+        rule_budget = (F.greatest(F.lit(1),
+                                  F.floor(F.col(rule_budget_col) / n_shards))
+                       if rule_budget_col else None)
+        shard_cap = max(1, global_cap // n_shards)
+    sel = sel.withColumn("_shard", shard)
+    if rule_budget is not None:
+        w_rule = Window.partitionBy("_shard", "ufn").orderBy(*order)
+        sel = (sel.withColumn("_rule_rn", F.row_number().over(w_rule))
+               .filter(F.col("_rule_rn") <= rule_budget).drop("_rule_rn"))
+    w_shard = Window.partitionBy("_shard").orderBy(*order)
+    sel = (sel.withColumn("_gseq", F.row_number().over(w_shard))
+           .filter(F.col("_gseq") <= shard_cap).drop("_gseq"))
+    w_seq = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (sel.withColumn("seq_in_round", F.row_number().over(w_seq) - 1)
+            .drop("_shard"))
+
+
 def overflow_ips(requests: DataFrame,
                  threshold: int = OVERFLOW_REQUESTS_PER_IP) -> DataFrame:
     """F27: IPs whose pending request count exceeds the overflow threshold

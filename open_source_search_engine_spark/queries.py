@@ -148,9 +148,25 @@ ORDER BY f.uh
 
 # ---------------------------------------------------------------------------
 # F11 — per-IP winner selection: top-K by (priority desc, hop asc, uh asc)
-# (SpiderColl.cpp:2513-3401, key order Spider.cpp:991-1013; K=7 privacore)
+# (SpiderColl.cpp:2513-3401, key order Spider.cpp:991-1013; K=7 privacore).
+# Spark side runs the PRODUCTION salted two-phase top-K (pipeline/scale.py,
+# the same function the crawl runner uses); DuckDB pins it with the plain
+# single-window formulation they are provably equivalent to.
 # ---------------------------------------------------------------------------
-_shared("f11_winner_window", FRONTIER_CTE + """
+
+def _f11_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.scale import salted_topk_per_key
+    register_views(spark, sf_dir)
+    fr = spark.sql(FRONTIER_CTE + "SELECT * FROM frontier")
+    order = [F.desc("priority"), F.asc("hop_count"), F.asc("uh")]
+    sel = salted_topk_per_key(fr, "first_ip", order, k=7,
+                              salt_col="uh", rank_name="rn")
+    return (sel.select("first_ip", "uh", "url", "priority", "hop_count",
+                       F.col("rn").cast("long").alias("rn"))
+            .orderBy("first_ip", "rn"))
+
+
+_register("f11_winner_window", _f11_prod, FRONTIER_CTE + """
 SELECT first_ip, uh, url, priority, hop_count, CAST(rn AS BIGINT) AS rn
 FROM (
   SELECT first_ip, uh, url, priority, hop_count,
@@ -173,9 +189,26 @@ FROM frontier GROUP BY first_ip ORDER BY first_ip
 
 # ---------------------------------------------------------------------------
 # F14 — wave assembly: per-IP cap then global budget of 300, best-first
-# (SpiderLoop.cpp:369-818)
+# (SpiderLoop.cpp:369-818).  Spark side runs the PRODUCTION budget path
+# (pipeline/scale.apply_wave_budgets — the function the crawl runner and
+# bench call); DuckDB pins the equivalent single-queue formulation.
 # ---------------------------------------------------------------------------
-_shared("f14_wave_caps", FRONTIER_CTE + """
+
+def _f14_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.scale import apply_wave_budgets, salted_topk_per_key
+    register_views(spark, sf_dir)
+    fr = spark.sql(FRONTIER_CTE + "SELECT * FROM frontier")
+    order = [F.desc("priority"), F.asc("hop_count"), F.asc("uh")]
+    sel = salted_topk_per_key(fr, "first_ip", order, k=7,
+                              salt_col="uh", rank_name="ip_rn")
+    wave = apply_wave_budgets(sel, order, global_cap=300)
+    return (wave.select("uh", "url", "first_ip", "priority", "hop_count",
+                        F.col("seq_in_round").cast("long")
+                        .alias("seq_in_round"))
+            .orderBy("seq_in_round"))
+
+
+_register("f14_wave_caps", _f14_prod, FRONTIER_CTE + """
 SELECT uh, url, first_ip, priority, hop_count,
        CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, hop_count, uh) - 1
             AS BIGINT) AS seq_in_round
@@ -247,11 +280,31 @@ FROM frontier GROUP BY uh % 40 ORDER BY link_target
 """)
 
 # ---------------------------------------------------------------------------
-# F9 — url-filter ladder as a CASE chain (first-match-wins,
-# Spider.cpp:2202-2269): the compiled when()-chain semantics on the derived
-# frontier, expressed portably
+# F9 — url-filter ladder (first-match-wins, Spider.cpp:2202-2269).  Spark
+# side runs the PRODUCTION rule compiler (pipeline/filters.compile_rule_match
+# over parsed UrlFilterRule expressions — the same when()-chain the crawl
+# runner evaluates); DuckDB pins it with the hand-expanded CASE.
 # ---------------------------------------------------------------------------
-_shared("f9_urlfilter_ladder", FRONTIER_CTE + """
+
+def _f9_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .config import UrlFilterRule
+    from .pipeline.filters import compile_rule_match, rule_arrays
+    register_views(spark, sf_dir)
+    fr = spark.sql(FRONTIER_CTE + "SELECT uh, url, hop_count FROM frontier")
+    rules = [
+        UrlFilterRule("hopcount==0 && ^http://h0.", 48),
+        UrlFilterRule("hopcount==0", 47),
+        UrlFilterRule("hopcount==1", 40),
+        UrlFilterRule("hopcount>=2 && hopcount<=4", 30),
+        UrlFilterRule("default", 10),
+    ]
+    return (fr.withColumn("ufn", compile_rule_match(rules, now_s=0))
+            .withColumn("priority_out", rule_arrays(rules)["priority"])
+            .select("uh", "url", "hop_count", "ufn", "priority_out")
+            .orderBy("uh"))
+
+
+_register("f9_urlfilter_ladder", _f9_prod, FRONTIER_CTE + """
 SELECT uh, url, hop_count,
        CASE WHEN hop_count = 0 AND url LIKE 'http://h0.%' THEN 0
             WHEN hop_count = 0 THEN 1
@@ -411,10 +464,27 @@ FROM documents ORDER BY doc_id
 """)
 
 # ---------------------------------------------------------------------------
-# Rows-only entries: real kernels DuckDB cannot express (tabulation hash,
-# URL normalizer state machine, robots grammar, MinHash/SimHash/LSH).
-# Exact behavior is pinned by the pytest reference-vector suites instead.
+# Golden-fixture-backed entries: real kernels DuckDB cannot express
+# (tabulation hash, URL normalizer state machine, robots grammar,
+# MinHash/SimHash/LSH, ANN).  Their exact behavior is established by the
+# pytest reference-vector suites (tests/test_ghash.py, test_urlnorm.py,
+# test_robots.py, test_training_ops.py); those verified outputs are
+# materialized once per release as parquet goldens (scripts/make_goldens.py
+# → fixtures/golden/sf0.01/) and each oracle below is a DuckDB SELECT
+# against its golden — so the driver's cross-engine value-hash gate pins
+# the shipped kernels instead of recording `no_oracle`.  The goldens are
+# generated at sf0.01, the scale the driver's correctness gate runs at.
 # ---------------------------------------------------------------------------
+
+GOLDEN_SF = "sf0.01"
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "golden")
+
+
+def _golden_oracle(name: str, order_sql: str) -> str:
+    path = os.path.join(GOLDEN_DIR, GOLDEN_SF, f"{name}.parquet")
+    return f"SELECT * FROM '{path}' ORDER BY {order_sql}"
 
 def _derived_raw_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 'dirty' URL variants of the derived frontier, cycling
@@ -545,21 +615,30 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
-for _name, _fn in [
-    ("f1_url_normalize", _f1_normalize),
-    ("f2_uh48_hash", _f2_uh48),
-    ("f17_robots_match", _f17_robots),
-    ("dedup_minhash_sig", _dedup_minhash),
-    ("dedup_minhash_lsh_pairs", _dedup_minhash_pairs),
-    ("dedup_simhash_fp", _dedup_simhash),
-    ("dedup_simhash_pairs", _dedup_simhash_pairs),
-    ("lang_id_ngram", _lang_id),
-    ("token_count_bpe", _token_counts),
-    ("text_quality_catalyst", _quality),
-    ("embed_ann_lsh", _embed_ann),
-    ("multimodal_features", _multimodal_features),
-]:
-    _register(_name, _fn, None)
+# (name, fn, golden ORDER BY matching the Spark-side orderBy)
+GOLDEN_QUERIES: list[tuple[str, Callable, str]] = [
+    ("f1_url_normalize", _f1_normalize, "uh"),
+    ("f2_uh48_hash", _f2_uh48, "uh"),
+    ("f17_robots_match", _f17_robots, "uh"),
+    ("dedup_minhash_sig", _dedup_minhash, "doc_id"),
+    ("dedup_minhash_lsh_pairs", _dedup_minhash_pairs, "doc_a, doc_b"),
+    ("dedup_simhash_fp", _dedup_simhash, "doc_id"),
+    ("dedup_simhash_pairs", _dedup_simhash_pairs, "doc_a, doc_b"),
+    ("lang_id_ngram", _lang_id, "doc_id"),
+    ("token_count_bpe", _token_counts, "doc_id"),
+    ("text_quality_catalyst", _quality, "doc_id"),
+    ("embed_ann_lsh", _embed_ann, "dot_q DESC, vec_id"),
+    ("multimodal_features", _multimodal_features, "media_id"),
+]
+
+def _register_golden(name: str, fn: Callable, order_sql: str) -> None:
+    if not any(g[0] == name for g in GOLDEN_QUERIES):
+        GOLDEN_QUERIES.append((name, fn, order_sql))
+    _register(name, fn, _golden_oracle(name, order_sql))
+
+
+for _name, _fn, _order in list(GOLDEN_QUERIES):
+    _register(_name, _fn, _golden_oracle(_name, _order))
 
 
 def _f4_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,7 +660,7 @@ def _f4_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("first_ip"))
 
 
-_register("f4_shard_assignment", _f4_shard, None)
+_register_golden("f4_shard_assignment", _f4_shard, "first_ip")
 
 
 def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,8 +857,8 @@ def _embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark.table("embeddings"), query_vec_id=0, k=10)
 
 
-_register("doc_fingerprint_winnow", _winnow, None)
-_register("embed_ann_ivf", _embed_ivf, None)
+_register_golden("doc_fingerprint_winnow", _winnow, "doc_id")
+_register_golden("embed_ann_ivf", _embed_ivf, "dot_q DESC, vec_id")
 
 
 def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,7 +868,7 @@ def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keepers(_docs_long(spark, sf_dir)).orderBy("doc_id")
 
 
-_register("dedup_pipeline_keepers", _dedup_keepers, None)
+_register_golden("dedup_pipeline_keepers", _dedup_keepers, "doc_id")
 
 
 def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,4 +879,4 @@ def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-_register("q5_result_summaries", _summaries, None)
+_register_golden("q5_result_summaries", _summaries, "doc_id")

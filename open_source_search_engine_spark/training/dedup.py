@@ -318,14 +318,36 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         simhash_map_in_pandas, schema=SIMHASH_SCHEMA)
 
 
+def _simhash_segments(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) for h+1 segments covering 64 bits: by pigeonhole any
+    pair at hamming <= h leaves at least one segment untouched, so the
+    per-segment bucket join has guaranteed recall at the threshold.  Widths
+    differ by at most 1 (e.g. h=3 -> four 16-bit segments)."""
+    n_segs = max_hamming + 1
+    if n_segs > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, rem = divmod(64, n_segs)
+    out, off = [], 0
+    for s in range(n_segs):
+        w = base + (1 if s < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pigeonhole: hamming<=3 over 64 bits ⇒ at least one of four 16-bit
-    segments equal.  Bucket-join per segment, verify with bit_count."""
+    """Pigeonhole LSH over the 64-bit fingerprint: split into max_hamming+1
+    segments (so recall is guaranteed AT the configured threshold, not just
+    at hamming<=3), bucket-join per segment, verify with bit_count.  Note
+    the precision/shuffle tradeoff: larger thresholds mean narrower
+    segments and denser buckets — at 100 TB keep max_hamming small (<=6)
+    or pre-block by another key."""
     segs = fps.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
-            (F.shiftrightunsigned("simhash", 16 * s)
-             .bitwiseAND(F.lit(0xFFFF))) for s in range(4)
+            (F.shiftrightunsigned("simhash", off)
+             .bitwiseAND(F.lit((1 << w) - 1)))
+            for off, w in _simhash_segments(max_hamming)
         ])).alias("seg_idx", "seg_val"))
     l, r = segs.alias("l"), segs.alias("r")
     pairs = (
@@ -465,14 +487,50 @@ def verify_pairs_exact(docs: DataFrame, pairs: DataFrame,
     return out.filter(F.col("exact_jaccard") >= threshold)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Undirected duplicate-pair edges (doc_a, doc_b) → (doc_id, component)
+    where component = min doc_id reachable.  Min-label propagation over the
+    edge list; duplicate clusters have tiny diameter so this converges in a
+    few rounds (early-stops when a round changes nothing).  At 100 TB-scale
+    graphs swap in the alternating large-star/small-star formulation — the
+    per-round joins here are already the shuffle-correct shape."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.union(edges.select(F.col("doc_b").alias("doc_a"),
+                                   F.col("doc_a").alias("doc_b")))
+    labels = (sym.groupBy("doc_a").agg(F.min("doc_b").alias("nbr_min"))
+              .select(F.col("doc_a").alias("doc_id"),
+                      F.least("doc_a", "nbr_min").alias("component")))
+    for _ in range(max_iter):
+        prop = (sym.join(labels, sym["doc_b"] == labels["doc_id"])
+                .groupBy("doc_a").agg(F.min("component").alias("nbr_comp")))
+        new_labels = (labels.join(prop, labels["doc_id"] == prop["doc_a"],
+                                  "left")
+                      .select("doc_id",
+                              F.least("component",
+                                      F.coalesce("nbr_comp", "component"))
+                              .alias("component")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_keepers(docs: DataFrame, threshold: float = 0.85) -> DataFrame:
     """End-to-end near-dup dedup: MinHash -> LSH candidates -> exact
-    verify -> connected 'keep lowest doc_id per duplicate pair' rule.
-    Returns (doc_id, keep boolean)."""
+    verify -> connected components -> keep the lowest doc_id per duplicate
+    CLUSTER (not per pair: a chain a~b~c keeps only a, and never drops a
+    doc whose only duplicate was itself dropped).  Returns (doc_id, keep)."""
     sigs = minhash_signatures(docs)
     cand = lsh_candidate_pairs(sigs, threshold=threshold * 0.8)
     verified = verify_pairs_exact(docs, cand, threshold=threshold)
-    dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    comp = connected_components(verified)
+    dropped = (comp.filter(F.col("doc_id") != F.col("component"))
+               .select("doc_id"))
     return (docs.select("doc_id")
             .join(dropped.withColumn("_drop", F.lit(True)), "doc_id", "left")
             .select("doc_id",

@@ -1,7 +1,11 @@
 """Driver-style correctness gate, run locally: every oracle-backed query in
 the catalog must match DuckDB exactly (row count + sorted column names +
 values) on the same parquet; rows-only queries must at least execute and
-return a stable schema."""
+return a stable schema.
+
+Runs at sf0.01 — the driver's correctness scale AND the scale the golden
+fixtures (fixtures/golden/sf0.01, scripts/make_goldens.py) are generated
+at, so a kernel change that invalidates a golden fails here first."""
 
 from __future__ import annotations
 
@@ -12,7 +16,7 @@ import pytest
 
 from open_source_search_engine_spark.queries import ORACLES, QUERIES, TABLES
 
-SF = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")

@@ -210,3 +210,39 @@ def test_exact_verify_and_dedup_keepers(spark):
             for v in verified] == [(1, 2, 1.0)]
     keep = {r["doc_id"]: r["keep"] for r in dedup_keepers(docs).collect()}
     assert keep == {1: True, 2: False, 3: True}
+
+
+def test_simhash_recall_at_configured_threshold(spark):
+    """Pigeonhole segmentation must guarantee recall AT max_hamming, not
+    just at hamming<=3: plant a pair at hamming 10 that differs in every
+    16-bit quarter (the old fixed 4x16 split missed it)."""
+    from open_source_search_engine_spark.training.dedup import (
+        simhash_near_dups)
+    a = 0
+    b = 0
+    for bit in (0, 7, 14, 21, 28, 35, 42, 49, 56, 63):  # 10 bits, all quarters
+        b |= 1 << bit
+    if b >= 1 << 63:                      # LongType is signed int64
+        b -= 1 << 64
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") == 10
+    assert all((a >> (16 * s)) & 0xFFFF != (b >> (16 * s)) & 0xFFFF
+               for s in range(4))  # old segmentation would have dropped it
+    fps = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "simhash"])
+    found = simhash_near_dups(fps, max_hamming=10).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in found] == \
+        [(1, 2, 10)]
+    # and the popcount verify still rejects past the threshold
+    assert simhash_near_dups(fps, max_hamming=9).count() == 0
+
+
+def test_dedup_keepers_chain_clusters(spark):
+    """a~b and b~c (no a~c pair) must keep only the cluster minimum a —
+    and must NOT over-drop when a doc's only duplicate was itself dropped
+    (connected components, not per-pair doc_b drops)."""
+    from open_source_search_engine_spark.training.dedup import (
+        connected_components)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"])
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
