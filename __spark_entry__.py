@@ -2,10 +2,14 @@
 
 ``entry(spark)`` runs the flagship wave-assembly query on sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the operator catalog
-(open_source_search_engine_spark/queries.py) — every SQL-expressible
-operator carries a DuckDB oracle; the tabulation-hash / URL-normalize /
-robots / MinHash / SimHash / LSH kernels are rows-only here and pinned
-exactly by the pytest reference-vector and oracle-parity suites.
+(open_source_search_engine_spark/queries.py).  EVERY entry carries a
+DuckDB oracle: SQL-expressible operators run equivalent ANSI SQL, and the
+non-SQL kernels (tabulation hash, URL normalizer, robots grammar,
+MinHash/SimHash/LSH/winnowing, ANN, summaries) are checked against
+committed golden parquet (fixtures/golden/sf0.01) materialized from the
+pytest-pinned kernels — see scripts/make_goldens.py.  The f9/f11/f14
+frontier entries execute the PRODUCTION compiled ladder / salted top-K /
+budget path, with the SQL kept as the oracle side only.
 """
 
 from __future__ import annotations

@@ -21,6 +21,13 @@ FETCH_DURATION_MS = 200           # deterministic simulated fetch time (no
                                   # real network; politeness is asserted on
                                   # the fetch_at schedule, not wall clock)
 
+# change-rate model (Spider.h:772-910 m_percentChangedPerDay): volatile
+# pages advance their content hash with a version clock so refetches
+# observe change; the rate is 100/days between differing fetches, cap 100
+VOLATILE_MOD = 3                  # uh48 % 3 == 0 -> volatile page
+VERSION_PERIOD_S = 60
+VERSION_MIX = 2654435761          # Knuth multiplicative mix
+
 
 @dataclass(frozen=True)
 class UrlFilterRule:

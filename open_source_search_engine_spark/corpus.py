@@ -69,6 +69,9 @@ class Corpus:
     injects: list[dict] = field(default_factory=list) # {url, added_time}:
                                          # pages reachable ONLY by injection
                                          # (PageInject.cpp analogue)
+    redirects: dict[str, str] = field(default_factory=dict)  # url -> target
+                                         # (301 followed with hopCount
+                                         # unchanged, XmlDoc.cpp:15371-15385)
 
 
 def generate_corpus(
@@ -82,12 +85,20 @@ def generate_corpus(
 
     # --- domain universe -------------------------------------------------
     plain = [f"a{i}.example" for i in range(max(1, n_domains - 2))]
-    domains = ["mega.example", "shop.co.uk", *plain]
+    domains = ["mega.example", "shop.co.uk", "twodelay.example", *plain]
     robots_by_domain: dict[str, str] = {}
     for i, d in enumerate(domains):
         robots_by_domain[d] = ROBOTS_SHAPES[i % len(ROBOTS_SHAPES)][1]
     # make the mega host benign (it must actually crawl to exercise skew)
     robots_by_domain["mega.example"] = "User-agent: *\nCrawl-delay: 0.25\n"
+
+    # F20 fixture: two hosts of ONE domain advertising different
+    # Crawl-delays — first-write-wins (SpiderColl.cpp:699-732) keeps the
+    # first-fetched host's delay; a max()-style aggregate diverges here
+    robots_by_host = {
+        "www.twodelay.example": "User-agent: *\nCrawl-delay: 1\n",
+        "alt.twodelay.example": "User-agent: *\nCrawl-delay: 5\n",
+    }
 
     # hosts: www.<dom> for all; mega gets extra subdomains sharing its ip
     hosts: list[dict] = []
@@ -96,11 +107,19 @@ def generate_corpus(
         hs = [f"www.{d}"]
         if d == "mega.example":
             hs += [f"sub{j}.mega.example" for j in range(4)]
+        if d == "twodelay.example":
+            hs += ["alt.twodelay.example"]
         host_of_domain[d] = hs
         ip = _domain_ip(d)
+        # tagdb tags (Tagdb.cpp; consulted by tag: rule atoms): the mega
+        # domain is an 'authority' site, the shop a 'commerce' site
+        tags = (["authority"] if d == "mega.example"
+                else ["commerce"] if d == "shop.co.uk" else [])
         for h in hs:
             hosts.append({"host": h, "first_ip": ip,
-                          "robots_txt": robots_by_domain[d]})
+                          "robots_txt": robots_by_host.get(
+                              h, robots_by_domain[d]),
+                          "tags": tags})
 
     # --- URL universe ----------------------------------------------------
     n_mega = int(n_urls * mega_share)
@@ -112,7 +131,11 @@ def generate_corpus(
     other_domains = [d for d in domains if d != "mega.example"]
     for k in range(n_urls - n_mega):
         d = other_domains[k % len(other_domains)]
-        h = host_of_domain[d][0]
+        # twodelay rotates across its two hosts so both get fetched and
+        # expose the F20 first-write-wins semantics
+        hs = host_of_domain[d]
+        h = hs[(k // len(other_domains)) % len(hs)] \
+            if d == "twodelay.example" else hs[0]
         if k % 11 == 0:
             urls.append(f"http://{h}/p{k}.html?id={k}&x=1")
         elif k % 13 == 0:
@@ -130,6 +153,7 @@ def generate_corpus(
     # --- page existence & fetch outcomes ---------------------------------
     existing: set[str] = set(roots)
     tmp_error: set[str] = set()
+    redirect_srcs: list[str] = []
     for u in urls:
         if u in existing:
             continue
@@ -138,6 +162,17 @@ def generate_corpus(
             existing.add(u)
         elif r < docs_share + 0.05:
             tmp_error.add(u)           # retryable fetch errors
+        elif r < docs_share + 0.08:
+            redirect_srcs.append(u)    # 301s to a real page (hop unchanged)
+    if not redirect_srcs:
+        # guarantee coverage on tiny corpora: promote two deterministic
+        # missing URLs so every fixture exercises the redirect path
+        redirect_srcs = [u for u in urls if u not in existing
+                         and u not in tmp_error][:2]
+    redirects: dict[str, str] = {}
+    ex_sorted = sorted(existing)
+    for u in redirect_srcs:
+        redirects[u] = rng.choice(ex_sorted)
 
     # --- docs with interleaved spans -------------------------------------
     docs: list[dict] = []
@@ -173,6 +208,10 @@ def generate_corpus(
                         href = tgt.replace("http://", "HTTP://", 1)
                     else:
                         href = tgt
+                    if "&" in href and rng.random() < 0.5:
+                        # real HTML writes &amp; inside attribute values —
+                        # extraction must entity-decode (Entities.cpp)
+                        href = href.replace("&", "&amp;")
                     rel = ' rel="nofollow"' if rng.random() < 0.08 else ""
                     tag = rng.choice(["a", "a", "a", "link", "area"])
                     frags.append(f'<{tag} href="{href}"{rel}>x</{tag}>')
@@ -214,7 +253,8 @@ def generate_corpus(
         urls.append(u)
 
     return Corpus(seed=seed, urls=urls, docs=docs, hosts=hosts, seeds=seeds,
-                  existing=existing, tmp_error=tmp_error, injects=injects)
+                  existing=existing, tmp_error=tmp_error, injects=injects,
+                  redirects=redirects)
 
 
 # ---------------------------------------------------------------------------
@@ -240,7 +280,8 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
     pq.write_table(
         pa.Table.from_pylist(corpus.hosts, schema=pa.schema(
             [("host", pa.string()), ("first_ip", pa.int64()),
-             ("robots_txt", pa.string())])),
+             ("robots_txt", pa.string()),
+             ("tags", pa.list_(pa.string()))])),
         os.path.join(out_dir, "hosts.parquet"))
     pq.write_table(
         pa.Table.from_pylist(corpus.seeds, schema=pa.schema(
@@ -254,7 +295,11 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
         pa.Table.from_pylist(
             [{"url": u,
               "outcome": ("ok" if u in corpus.existing
-                          else "tmp" if u in corpus.tmp_error else "missing")}
+                          else "tmp" if u in corpus.tmp_error
+                          else "redirect" if u in corpus.redirects
+                          else "missing"),
+              "redirect_to": corpus.redirects.get(u)}
              for u in corpus.urls],
-            schema=pa.schema([("url", pa.string()), ("outcome", pa.string())])),
+            schema=pa.schema([("url", pa.string()), ("outcome", pa.string()),
+                              ("redirect_to", pa.string())])),
         os.path.join(out_dir, "outcomes.parquet"))

@@ -21,6 +21,7 @@ span) order, and per-page dedup keeps the FIRST occurrence
 
 from __future__ import annotations
 
+import html
 import re
 
 from .urlnorm import ParsedUrl, normalize_url
@@ -142,7 +143,12 @@ def extract_outlinks(
             if not hm:
                 continue
             href = hm.group(2) or hm.group(3) or hm.group(4) or ""
-            _emit(href, False)
+            # HTML attribute values carry entities (&amp; &#47; ...) that
+            # must decode BEFORE URL resolution — the reference decodes in
+            # the parser (Entities.cpp:1-60 + entities.json, Xml.cpp); a
+            # raw href="a?x=1&amp;y=2" otherwise resolves to a wrong URL.
+            # html.unescape implements the same HTML5 named+numeric table.
+            _emit(html.unescape(href), False)
     return out
 
 

@@ -53,10 +53,13 @@ FLAG_KEYWORDS = frozenset({
 NUM_KEYWORDS = frozenset({
     "hopcount", "errorcount", "errorcode", "httpstatus", "sitenuminlinks",
     "lastspidertime", "urlage", "spiderwaited",
-    # modeled-constant numerics (no content-change tracking / linkdb in
-    # the fixture): percentchangedperday and numinlinks read their fields,
-    # default 0; 'age' is urlage's alias (Spider.cpp:3125)
-    "percentchangedperday", "numinlinks", "age",
+    # percentchangedperday reads its field, default 0 (no content-change
+    # tracking in the fixture); 'age' is urlage's alias (Spider.cpp:3125)
+    "percentchangedperday", "age",
+    # page quotas (Spider.cpp:2949-2961, counted per SpiderColl.cpp:
+    # 2754-2798) and C-block inlink count (Spider.h:524-526, counted per
+    # SpiderColl.cpp:2701-2742) — fed by the F28/F29 aggregates
+    "sitepages", "domainpages", "numinlinks",
 })
 
 
@@ -110,9 +113,9 @@ def parse_expression(expr: str) -> list[Atom]:
             raise ValueError(f"unknown comparison keyword in {tok!r}")
         low = tok.lower()
         if low.startswith("tag:"):
-            # tagdb-backed predicate (Spider.cpp:2430-2470); no tagdb in
-            # the fixture → evaluates False (site_state join in prod)
-            atoms.append(Atom("flag", "tagfalse", negated=negated))
+            # tagdb-backed predicate (Spider.cpp:2430-2470): membership in
+            # the site_state tags dimension (Tagdb.cpp analogue)
+            atoms.append(Atom("tag", low[4:], negated=negated))
             continue
         if low in FLAG_KEYWORDS:
             atoms.append(Atom("flag", "isinjecting" if low == "isinjected"
@@ -144,12 +147,16 @@ def _flag_value(name: str, c: dict) -> bool:
         return not c.get("has_reply")
     if name == "ismanualadd":
         return bool(c.get("is_add_url")) or bool(c.get("is_injecting"))
-    if name == "tagfalse":
-        return False
+    if name == "isrssext":
+        import re as _re
+        return bool(_re.search(r"\.(rss|atom)(\?|$)", c.get("path_cgi") or ""))
+    if name == "ispermalinkformat":
+        import re as _re
+        p = c.get("path_cgi") or ""
+        return bool(_re.search(r"/\d{4}/\d{1,2}(/|$)", p)
+                    or _re.search(r"/[^/?]*(-[^/?]*){3,}(\?|$)", p))
     # field-backed flags the fixture never sets (default False)
-    field = {"isrss": "is_rss", "isrssext": "is_rss_ext",
-             "ispermalink": "is_permalink",
-             "ispermalinkformat": "is_permalink_format",
+    field = {"isrss": "is_rss", "ispermalink": "is_permalink",
              "isdocidbased": "is_docid_based", "isreindex": "is_reindex",
              "isfakeip": "is_fake_ip", "ispingserver": "is_ping_server",
              "insitelist": "in_site_list",
@@ -175,9 +182,14 @@ def _num_value(name: str, c: dict) -> float:
     if name in ("urlage", "age"):
         return c.get("now_s", 0) - c.get("discovery_time_s", 0)
     if name == "percentchangedperday":
-        return c.get("percent_changed_per_day", 0)
+        # reply-gated like errorcount/errorcode (field lives on the reply)
+        return c.get("percent_changed_per_day", 0) if c.get("has_reply") else 0
     if name == "numinlinks":
         return c.get("page_num_inlinks", 0)
+    if name == "sitepages":
+        return c.get("site_pages", 0)
+    if name == "domainpages":
+        return c.get("domain_pages", 0)
     if name == "spiderwaited":
         if not c.get("has_reply"):
             return -1.0
@@ -201,7 +213,9 @@ def _cmp(a: float, op: str, b: float) -> bool:
 
 def eval_atoms(atoms: list[Atom], c: dict) -> bool:
     for a in atoms:
-        if a.kind == "flag":
+        if a.kind == "tag":
+            v = a.name in (c.get("site_tags") or ())
+        elif a.kind == "flag":
             v = _flag_value(a.name, c)
         elif a.kind == "num":
             v = _cmp(_num_value(a.name, c), a.op, a.value)

@@ -12,7 +12,8 @@ spacing within an IP (``SpiderColl.cpp:4112-4126``, ``Msg13.cpp:2069-2072``).
 Physical-race orderings (512 KB list boundaries, winner-cache TTLs, 50 ms
 timer interleaving) are NOT part of the spec.
 
-Semantics summary (each rule mirrored in ``pipeline/schedule.py``):
+Semantics summary (each rule mirrored in ``pipeline/crawl.py`` /
+``pipeline/filters.py``):
 
 - request supplant on same uh48 keeps min hopCount, then min discoveryTime,
   then min parent uh48 (``SpiderColl.cpp:3125-3164``, merge keep-rule
@@ -39,7 +40,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..config import HORIZON_MS, CrawlConfig, TMP_ERROR_CODES
+from ..config import (HORIZON_MS, VERSION_MIX, VERSION_PERIOD_S,
+                      VOLATILE_MOD, CrawlConfig, TMP_ERROR_CODES)
 from ..corpus import Corpus, _domain_ip
 from ..functions.ghash import hash32_bytes, uh48 as uh48_of
 from ..functions.outlinks import extract_outlinks
@@ -70,6 +72,7 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
 
     host_ip = {h["host"]: h["first_ip"] for h in corpus.hosts}
     host_robots = {h["host"]: h["robots_txt"] or "" for h in corpus.hosts}
+    host_tags = {h["host"]: tuple(h.get("tags") or ()) for h in corpus.hosts}
     robots_cache: dict[str, object] = {}
 
     def robots_of(host: str):
@@ -89,6 +92,7 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
     ip_delay_used: dict[int, int] = {} # firstIp -> last politeness delay ms
     cd_table: dict[str, int] = {}      # domain -> crawl delay ms (first wins)
     first_seen: dict[int, tuple[str, int]] = {}
+    inlink_cblocks: dict[int, set] = {}  # uh48 -> parent-IP /24 blocks (F29)
 
     def add_request(url_norm: str, hop: int, added_s: int, disc_s: int,
                     parent: int | None, is_add_url: bool, round_no: int,
@@ -105,6 +109,11 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             hop = 0  # site roots are hop 0 (XmlDoc.cpp:15371-15385)
         if u not in first_seen:
             first_seen[u] = (p.url, round_no)
+        if parent_domain:
+            # F29: distinct linking-parent /24 C-blocks per target
+            # (SpiderColl.cpp:2701-2742; parent ip via the firstip map)
+            inlink_cblocks.setdefault(u, set()).add(
+                _domain_ip(parent_domain) >> 8)
         cur = requests.get(u)
         cand = {
             "uh48": u, "url": p.url, "host": p.host, "domain": p.domain,
@@ -153,6 +162,16 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             pd_ = req.get("parent_domain")
             if pd_ and pd_ != req["domain"]:
                 site_inlinks.setdefault(req["host"], set()).add(pd_)
+        # F28 quota counts: distinct indexed uh48 per host / domain
+        # (SpiderColl.cpp:2754-2798)
+        site_pages: dict[str, int] = {}
+        domain_pages: dict[str, int] = {}
+        for u, rep in replies.items():
+            req = requests.get(u)
+            if rep["is_indexed"] and req is not None:
+                site_pages[req["host"]] = site_pages.get(req["host"], 0) + 1
+                domain_pages[req["domain"]] = \
+                    domain_pages.get(req["domain"], 0) + 1
         # --- candidate evaluation (F8/F9/F10) -----------------------------
         eligible: list[dict] = []
         min_future: int | None = None
@@ -163,11 +182,17 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             ctx["discovery_time_s"] = req["discovery_time"]
             ctx["site_num_inlinks"] = min(
                 len(site_inlinks.get(req["host"], ())), 255)
+            ctx["page_num_inlinks"] = min(len(inlink_cblocks.get(u, ())), 20)
+            ctx["site_pages"] = site_pages.get(req["host"], 0)
+            ctx["domain_pages"] = domain_pages.get(req["domain"], 0)
+            ctx["site_tags"] = host_tags.get(req["host"], ())
             if rep is not None:
                 ctx.update(has_reply=True, err_code=rep["err_code"],
                            err_count=rep["err_count"],
                            http_status=rep["http_status"],
                            is_indexed=rep["is_indexed"],
+                           percent_changed_per_day=rep.get(
+                               "percent_changed_per_day", 0),
                            last_spider_time_s=rep["spidered_time"])
             else:
                 ctx.update(has_reply=False, err_code=0, err_count=0,
@@ -264,6 +289,7 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
 
         # --- simulated fetch → replies + outlinks (F22-F25) ---------------
         max_end = wave_start
+        round_cd: dict[str, tuple[tuple[int, int], int]] = {}
         for c in wave:
             end_ms = c["fetch_at_ms"] + cfg.fetch_duration_ms
             max_end = max(max_end, end_ms)
@@ -274,10 +300,22 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             rb = robots_of(c["host"])
             if url in docs_by_url:
                 doc = docs_by_url[url]
+                # volatile pages advance their content hash with the
+                # version clock (change-rate model, pipeline/crawl.py)
+                h32 = _h32(url)
+                if c["uh48"] % VOLATILE_MOD == 0:
+                    h32 = (h32 ^ ((sp_s // VERSION_PERIOD_S)
+                                  * VERSION_MIX)) & 0xFFFFFFFF
+                changed = (prev is not None and prev["content_hash32"] != 0
+                           and h32 != prev["content_hash32"])
+                ppcd = (min(100, (100 * 86400)
+                            // max(sp_s - prev["spidered_time"], 1))
+                        if changed else 0)
                 reply = {"err_code": 0, "err_count": 0, "http_status": 200,
                          "is_indexed": True, "spidered_time": sp_s,
                          "download_end_ms": end_ms,
-                         "content_hash32": _h32(url),
+                         "content_hash32": h32,
+                         "percent_changed_per_day": ppcd,
                          "crawl_delay_ms": rb.crawl_delay_ms()}
                 if c["harvest"]:
                     for link in extract_outlinks(url, doc["spans"]):
@@ -287,17 +325,34 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
                                     c["hop_count"] + 1, sp_s, sp_s,
                                     c["uh48"], False, round_no + 1,
                                     parent_domain=link["parent_domain"])
+            elif url in corpus.redirects:
+                # redirect followed with hopCount UNCHANGED
+                # (XmlDoc.cpp:15371-15385; Msg13 download path follows);
+                # the source is not indexed, the target joins the frontier
+                reply = {"err_code": 0, "err_count": 0,
+                         "http_status": 301, "is_indexed": False,
+                         "spidered_time": sp_s, "download_end_ms": end_ms,
+                         "content_hash32": 0, "percent_changed_per_day": 0,
+                         "crawl_delay_ms": rb.crawl_delay_ms()}
+                tgt = normalize_url(corpus.redirects[url],
+                                    strip_params=True,
+                                    strip_common_file=True)
+                if tgt is not None:
+                    add_request(tgt.url, c["hop_count"],
+                                sp_s, sp_s, c["uh48"], False, round_no + 1,
+                                parent_domain=None)
             elif url in corpus.tmp_error:
                 reply = {"err_code": ERR_TMP, "err_count": prev_errs + 1,
                          "http_status": 0, "is_indexed": False,
                          "spidered_time": sp_s, "download_end_ms": end_ms,
-                         "content_hash32": 0,
+                         "content_hash32": 0, "percent_changed_per_day": 0,
                          "crawl_delay_ms": rb.crawl_delay_ms()}
             else:
                 reply = {"err_code": ERR_NOT_FOUND,
                          "err_count": prev_errs + 1, "http_status": 404,
                          "is_indexed": False, "spidered_time": sp_s,
                          "download_end_ms": end_ms, "content_hash32": 0,
+                         "percent_changed_per_day": 0,
                          "crawl_delay_ms": rb.crawl_delay_ms()}
             replies[c["uh48"]] = reply
             ip = c["first_ip"]
@@ -305,8 +360,16 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
                                   reply["download_end_ms"])
             ip_delay_used[ip] = per_ip_delay[ip]
             # crawl-delay propagation (F20): first write per domain wins
+            # (SpiderColl.cpp:699-732) — "first" = earliest download end
+            # (the reply-arrival order), uh48 tie-break; a batch round's
+            # writes resolve to the round's earliest reply per domain
             if reply["crawl_delay_ms"] >= 0 and c["domain"] not in cd_table:
-                cd_table[c["domain"]] = reply["crawl_delay_ms"]
+                key = (reply["download_end_ms"], c["uh48"])
+                cur = round_cd.get(c["domain"])
+                if cur is None or key < cur[0]:
+                    round_cd[c["domain"]] = (key, reply["crawl_delay_ms"])
+        for dom, (_, cdv) in round_cd.items():
+            cd_table[dom] = cdv
 
         out.rounds = round_no + 1
         wave_start = max(wave_start + 1, max_end)

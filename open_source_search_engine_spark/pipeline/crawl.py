@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import HORIZON_MS, CrawlConfig
+from ..config import (HORIZON_MS, VERSION_MIX, VERSION_PERIOD_S,
+                      VOLATILE_MOD, CrawlConfig)
 from . import snapshots as snap
 from .filters import compile_rule_match, rule_arrays
 from .udfs import (domain_ip_udf, hash32_udf, make_normalize_udf,
@@ -57,8 +58,10 @@ REQUEST_COLS = [
 REPLY_COLS = [
     "first_ip", "uh48", "domain", "spidered_time", "err_code", "err_count",
     "http_status", "is_indexed", "content_hash32", "crawl_delay_ms",
-    "download_end_ms", "round",
+    "download_end_ms", "percent_changed_per_day", "round",
 ]
+
+
 WAVE_COLS = [
     "round", "seq_in_round", "uh48", "url", "first_ip", "priority",
     "hop_count", "fetch_at_ms", "delay_ms",
@@ -151,15 +154,44 @@ class CrawlRunner:
             os.path.join(corpus_dir, "docs.parquet"))
         self.outcomes = spark.read.parquet(
             os.path.join(corpus_dir, "outcomes.parquet")).cache()
+        self._robots_compiled_at_ms: int | None = None
+        self.robots_refreshes = 0
+
+    def _maybe_refresh_robots(self, now_ms: int) -> None:
+        """F19: the robots cache has a 24 h TTL (Msg13.cpp:477-484).  When
+        the crawl clock moves past the TTL, re-read and recompile the
+        per-host robots dimension — in the static-robots fixture this is a
+        no-op on results, but the cadence is the cached behavior a live
+        deployment refreshes robots bodies on."""
+        from ..config import ROBOTS_TTL_S
+        if self._robots_compiled_at_ms is None:
+            self._robots_compiled_at_ms = now_ms
+            return
+        if now_ms - self._robots_compiled_at_ms > ROBOTS_TTL_S * 1000:
+            self.hosts.unpersist()
+            self.hosts = (
+                self.spark.read.parquet(
+                    os.path.join(self.corpus_dir, "hosts.parquet"))
+                .withColumn("robots_delay_ms",
+                            self._robots_delay("robots_txt"))
+                .cache()
+            )
+            self._robots_compiled_at_ms = now_ms
+            self.robots_refreshes += 1
 
     # ------------------------------------------------------------------ io
     def _write(self, df: DataFrame, table: str, rnd: int, m: snap.Manifest,
                partitions: int = 0) -> int:
+        from pyspark.sql import Observation
         path = snap.round_dir(self.state_dir, table, rnd)
         if partitions:
             df = df.repartition(partitions)
-        df.write.mode("overwrite").parquet(path)
-        n = self.spark.read.parquet(path).count()
+        # observation metric: row count rides the write job itself — no
+        # second pass over the written files
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")) \
+            .write.mode("overwrite").parquet(path)
+        n = int(obs.get["n"])
         snap.record_write(m, self.state_dir, table, rnd, n)
         return n
 
@@ -263,21 +295,33 @@ class CrawlRunner:
                     .alias("site_num_inlinks")))
         req = (deduped.filter(F.col("robots_allowed"))
                .join(F.broadcast(sni), "host", "left")
-               .fillna({"site_num_inlinks": 0}))
+               .fillna({"site_num_inlinks": 0})
+               # tagdb dimension (S8/Tagdb.cpp): site tags for tag: atoms
+               .join(F.broadcast(self.hosts.select(
+                   "host", F.col("tags").alias("site_tags"))),
+                   "host", "left"))
         if replies is not None:
             rep = self._latest_reply(replies).select(
                 "uh48", "err_code", "err_count", "http_status", "is_indexed",
+                "percent_changed_per_day",
                 F.col("spidered_time").alias("last_spider_time_s"))
             host_state = replies.groupBy("first_ip").agg(
                 F.max("download_end_ms").alias("ip_last_end"))
+            # F20: first write per domain wins (SpiderColl.cpp:699-732) —
+            # the delay of the EARLIEST reply (download-end time order,
+            # uh48 tie-break), not a max over all replies; a domain whose
+            # hosts advertise different Crawl-delays keeps the first one
             cd = (replies.filter(F.col("crawl_delay_ms") >= 0)
                   .groupBy("domain")
-                  .agg(F.max("crawl_delay_ms").alias("cd_ms")))
+                  .agg(F.min_by("crawl_delay_ms",
+                                F.struct("round", "download_end_ms", "uh48"))
+                       .alias("cd_ms")))
             cand = (
                 req.join(rep, "uh48", "left")
                 .withColumn("has_reply", F.col("last_spider_time_s").isNotNull())
                 .fillna({"err_code": 0, "err_count": 0, "http_status": 0,
-                         "is_indexed": False, "last_spider_time_s": 0})
+                         "is_indexed": False, "last_spider_time_s": 0,
+                         "percent_changed_per_day": 0})
                 .join(F.broadcast(host_state), "first_ip", "left")
                 .join(F.broadcast(cd), "domain", "left")
                 .fillna({"ip_last_end": 0})
@@ -288,9 +332,37 @@ class CrawlRunner:
                     .withColumn("err_count", F.lit(0))
                     .withColumn("http_status", F.lit(0))
                     .withColumn("is_indexed", F.lit(False))
+                    .withColumn("percent_changed_per_day", F.lit(0))
                     .withColumn("last_spider_time_s", F.lit(0).cast("long"))
                     .withColumn("ip_last_end", F.lit(0).cast("long"))
                     .withColumn("cd_ms", F.lit(None).cast("int")))
+        # F29: page_num_inlinks = distinct /24 C-blocks of linking parents
+        # per uh48, cap 20 (SpiderColl.cpp:2701-2742) — counted over ALL
+        # stored request rows (each link occurrence), like the reference's
+        # scan; compaction collapses duplicates just like the Rdb merge
+        pni = (requests.filter(F.col("parent_domain").isNotNull())
+               .select("uh48",
+                       F.floor(domain_ip_udf("parent_domain") / 256)
+                       .alias("cblock"))
+               .groupBy("uh48")
+               .agg(F.least(F.count_distinct("cblock"), F.lit(20))
+                    .alias("page_num_inlinks")))
+        cand = (cand.join(F.broadcast(pni), "uh48", "left")
+                .fillna({"page_num_inlinks": 0}))
+        # F28: site/domain page quotas = distinct indexed uh48 per host /
+        # domain (SpiderColl.cpp:2754-2798), feeding the sitepages /
+        # domainpages rule atoms (Spider.cpp:2949-2961)
+        sitep = (cand.groupBy("host")
+                 .agg(F.count_distinct(
+                     F.when(F.col("is_indexed"), F.col("uh48")))
+                     .alias("site_pages")))
+        domp = (cand.groupBy("domain")
+                .agg(F.count_distinct(
+                    F.when(F.col("is_indexed"), F.col("uh48")))
+                    .alias("domain_pages")))
+        cand = (cand.join(F.broadcast(sitep), "host", "left")
+                .join(F.broadcast(domp), "domain", "left")
+                .fillna({"site_pages": 0, "domain_pages": 0}))
         now_s = wave_start // 1000
         cand = cand.withColumn(
             "ufn", compile_rule_match(cfg.url_filters, now_s))
@@ -328,13 +400,17 @@ class CrawlRunner:
         prev_errs = None
         if replies is not None:
             prev_errs = self._latest_reply(replies).select(
-                "uh48", F.col("err_count").alias("prev_err_count"))
+                "uh48", F.col("err_count").alias("prev_err_count"),
+                F.col("content_hash32").alias("prev_hash32"),
+                F.col("spidered_time").alias("prev_spidered_s"))
         f = wave.join(self.outcomes.withColumnRenamed("url", "o_url"),
                       wave["url"] == F.col("o_url"), "left").drop("o_url")
         if prev_errs is not None:
             f = f.join(F.broadcast(prev_errs), "uh48", "left")
         else:
-            f = f.withColumn("prev_err_count", F.lit(None).cast("int"))
+            f = (f.withColumn("prev_err_count", F.lit(None).cast("int"))
+                 .withColumn("prev_hash32", F.lit(None).cast("long"))
+                 .withColumn("prev_spidered_s", F.lit(None).cast("long")))
         f = (
             f.fillna({"prev_err_count": 0})
             .withColumn("download_end_ms",
@@ -342,20 +418,49 @@ class CrawlRunner:
             .withColumn("spidered_time",
                         (F.col("download_end_ms") / 1000).cast("long"))
             .withColumn("ok", F.col("outcome") == "ok")
+            .withColumn("is_redirect", F.col("outcome") == "redirect")
             .withColumn("err_code",
-                        F.when(F.col("ok"), 0)
+                        F.when(F.col("ok") | F.col("is_redirect"), 0)
                         .when(F.col("outcome") == "tmp", ERR_TMP)
                         .otherwise(ERR_NOT_FOUND))
             .withColumn("err_count",
-                        F.when(F.col("ok"), 0)
+                        F.when(F.col("ok") | F.col("is_redirect"), 0)
                         .otherwise(F.col("prev_err_count") + 1))
             .withColumn("http_status",
                         F.when(F.col("ok"), 200)
+                        .when(F.col("is_redirect"), 301)
                         .when(F.col("outcome") == "tmp", 0).otherwise(404))
             .withColumn("is_indexed", F.col("ok"))
-            .withColumn("content_hash32",
-                        F.when(F.col("ok"), hash32_udf("url"))
-                        .otherwise(F.lit(0).cast("long")))
+            # volatile pages: content hash advances with the version clock
+            # so refetches observe change (drives percentchangedperday)
+            .withColumn(
+                "content_hash32",
+                F.when(
+                    F.col("ok"),
+                    F.when(
+                        F.col("uh48") % VOLATILE_MOD == 0,
+                        hash32_udf("url").bitwiseXOR(
+                            (F.floor(F.col("spidered_time")
+                                     / VERSION_PERIOD_S) * VERSION_MIX)
+                            .cast("long"))
+                        .bitwiseAND(F.lit(0xFFFFFFFF)))
+                    .otherwise(hash32_udf("url")))
+                .otherwise(F.lit(0).cast("long")))
+            # m_percentChangedPerDay: 100/days between DIFFERING indexed
+            # fetches, capped 100; 0 on first fetch or unchanged content
+            .withColumn(
+                "percent_changed_per_day",
+                F.when(
+                    F.col("ok") & F.col("prev_hash32").isNotNull()
+                    & (F.col("prev_hash32") != 0)
+                    & (F.col("content_hash32") != F.col("prev_hash32")),
+                    F.least(
+                        F.lit(100),
+                        F.floor(F.lit(100 * 86400)
+                                / F.greatest(F.col("spidered_time")
+                                             - F.col("prev_spidered_s"),
+                                             F.lit(1))).cast("int")))
+                .otherwise(F.lit(0)).cast("int"))
             .withColumn("crawl_delay_ms", F.col("robots_delay_ms"))
             .withColumn("round", F.lit(rnd))
         )
@@ -375,7 +480,39 @@ class CrawlRunner:
             .withColumn("round", F.lit(rnd + 1))
             .select(*REQUEST_COLS)
         )
-        return new_replies, new_req
+        # redirect targets join the frontier with hopCount UNCHANGED
+        # (XmlDoc.cpp:15371-15385); the 301 source is never indexed and
+        # contributes no sniTable inlink (parent_domain null)
+        red = (f.filter(F.col("is_redirect")
+                        & F.col("redirect_to").isNotNull())
+               .select(F.col("redirect_to").alias("url"),
+                       F.col("hop_count").alias("src_hop"),
+                       F.col("spidered_time").alias("added_time"),
+                       F.col("uh48").alias("src_uh48")))
+        n = red.withColumn("n", self._normalize("url"))
+        red_req = (
+            n.filter(F.col("n.url_norm").isNotNull())
+            .select(F.col("n.url_norm").alias("url"),
+                    F.col("n.host").alias("host"),
+                    F.col("n.domain").alias("domain"),
+                    F.col("n.tld").alias("tld"),
+                    F.col("n.path_cgi").alias("path_cgi"),
+                    F.col("n.is_www").alias("is_www"),
+                    "added_time", "src_hop", "src_uh48")
+            .withColumn("uh48", uh48_udf("url"))
+            .withColumn("hop_count",
+                        F.when(F.col("path_cgi") == "/", 0)
+                        .otherwise(F.col("src_hop")).cast("int"))
+            .withColumn("discovery_time", F.col("added_time"))
+            .withColumn("parent_uh48", F.col("src_uh48"))
+            .withColumn("parent_domain", F.lit(None).cast("string"))
+            .withColumn("is_add_url", F.lit(False))
+            .withColumn("is_injecting", F.lit(False))
+        )
+        red_req = (self._attach_host_dim(red_req)
+                   .withColumn("round", F.lit(rnd + 1))
+                   .select(*REQUEST_COLS))
+        return new_replies, new_req.unionByName(red_req)
 
     # ----------------------------------------------------------------- run
     def run(self, max_rounds: int | None = None,
@@ -396,9 +533,24 @@ class CrawlRunner:
                 progress(stats)
         return m
 
+    def step(self) -> RoundStats | None:
+        """Run exactly ONE spider round (ingesting seeds first if this is
+        a fresh state dir); None once the crawl is complete.  This is the
+        single-collection launch unit the multi-collection round-robin
+        scheduler rotates over (SpiderLoop.cpp:503-539)."""
+        m = snap.load_manifest(self.state_dir)
+        if m is None:
+            m = snap.Manifest(wave_start_ms=self.cfg.wave_start_ms)
+            self.ingest_seeds(m)
+            snap.commit_manifest(self.state_dir, m)
+        if m.finished:
+            return None
+        return self._run_round(m)
+
     def _run_round(self, m: snap.Manifest) -> RoundStats:
         rnd = m.completed_rounds
         wave_start = m.wave_start_ms
+        self._maybe_refresh_robots(wave_start)
         requests = self._read_all("requests", m)
         replies = self._read_all("replies", m)
         cand = self._candidates(requests, replies, wave_start).cache()
@@ -438,7 +590,12 @@ class CrawlRunner:
                 seen = self._dedup_requests(requests).select(
                     "uh48", "first_ip", "hop_count", "discovery_time")
                 if self._bloom is None or self._bloom.overfull():
-                    self._bloom = BloomState()
+                    # size the (re)build from the observed frontier so a
+                    # rebuild can't be immediately overfull again
+                    n_seen = requests.count()
+                    self._bloom = BloomState(
+                        bits_per_bucket=BloomState.size_bits_per_bucket(
+                            n_seen))
                     self._bloom.add_df(requests.select("uh48", "first_ip"))
                 new_req = filter_new_requests_incremental(
                     new_req, seen, self._bloom).select(*REQUEST_COLS)
@@ -514,7 +671,14 @@ class CrawlRunner:
         replies = self._read_all("replies", m)
         requests = self._read_all("requests", m)
         waves = self._read_all("waves", m)
-        assert replies is not None and requests is not None
+        if replies is None or requests is None:
+            # legitimate zero-fetch crawl (all seeds robots-blocked /
+            # force-deleted): empty frame, stable schema
+            return self.spark.createDataFrame(
+                [], "round int, fetched long, indexed long, errors long, "
+                    "ips_touched long, wave_span_ms long, "
+                    "discovered_links long, distinct_urls long, "
+                    "max_delay_ms long")
         rep = replies.groupBy("round").agg(
             F.count("*").alias("fetched"),
             F.sum(F.when(F.col("err_code") == 0, 1).otherwise(0))
@@ -539,7 +703,10 @@ class CrawlRunner:
         m = snap.load_manifest(self.state_dir)
         replies = self._read_all("replies", m)
         waves = self._read_all("waves", m)
-        assert replies is not None and waves is not None
+        if replies is None or waves is None:
+            return self.spark.createDataFrame(
+                [], "first_ip long, last_download_end_ms long, "
+                    "crawl_delay_ms long")
         ends = replies.groupBy("first_ip").agg(
             F.max("download_end_ms").alias("last_download_end_ms"))
         delays = waves.groupBy("first_ip").agg(

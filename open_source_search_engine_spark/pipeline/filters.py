@@ -21,7 +21,9 @@ from ..functions.urlfilters import Atom, parse_expression
 
 
 def _atom_to_column(a: Atom, now_s: int) -> Column:
-    if a.kind == "flag":
+    if a.kind == "tag":
+        col = _tag_column(a.name)
+    elif a.kind == "flag":
         col = _flag_column(a.name)
     elif a.kind == "num":
         col = _num_compare(a, now_s)
@@ -59,21 +61,38 @@ def _flag_column(name: str) -> Column:
         return ~F.col("has_reply")
     if name == "ismanualadd":
         return F.col("is_add_url") | F.col("is_injecting")
-    if name in ("tagfalse", "isrss", "isrssext", "ispermalink",
-                "ispermalinkformat", "isdocidbased", "isreindex",
+    if name == "isrssext":
+        # URL-format flag (Url::isRSSExt shape): feed-style extension
+        return F.col("path_cgi").rlike(r"\.(rss|atom)(\?|$)")
+    if name == "ispermalinkformat":
+        # ::isPermalinkFormat (Permalink.cpp shape): dated archive path or
+        # long hyphenated slug
+        return (F.col("path_cgi").rlike(r"/\d{4}/\d{1,2}(/|$)")
+                | F.col("path_cgi").rlike(r"/[^/?]*(-[^/?]*){3,}(\?|$)"))
+    if name in ("isrss", "ispermalink", "isdocidbased", "isreindex",
                 "isfakeip", "ispingserver", "insitelist",
                 "hasauthorityinlink"):
-        # fields the deterministic fixture never sets (and the candidate
-        # frame doesn't carry) — constant False, matching the oracle's
-        # defaults; a deployment with these columns swaps in F.col(...)
+        # content-/index-time flags the deterministic fixture never sets
+        # (no RSS parse, no docid reindex, no pingservers) — constant
+        # False, matching the oracle's defaults; a deployment carrying
+        # these columns swaps in F.col(...)
         return F.lit(False)
     raise AssertionError(name)
+
+
+def _tag_column(tag: str) -> Column:
+    """tag:NAME predicate (Spider.cpp:2430-2470) against the site_state
+    tags dimension joined onto the candidate frame (Tagdb.cpp analogue)."""
+    return F.array_contains(
+        F.coalesce(F.col("site_tags"), F.array().cast("array<string>")),
+        tag)
 
 
 def _num_column(name: str, now_s: int) -> Column:
     gated = {  # reply-gated numerics read 0 when no reply (oracle parity)
         "errorcount": "err_count", "errorcode": "err_code",
         "httpstatus": "http_status", "lastspidertime": "last_spider_time_s",
+        "percentchangedperday": "percent_changed_per_day",
     }
     if name in gated:
         return F.when(F.col("has_reply"), F.col(gated[name])).otherwise(F.lit(0))
@@ -83,8 +102,14 @@ def _num_column(name: str, now_s: int) -> Column:
         return F.col("site_num_inlinks")
     if name in ("urlage", "age"):
         return F.lit(now_s) - F.col("discovery_time")
-    if name in ("percentchangedperday", "numinlinks"):
-        return F.lit(0)   # fixture constants (no change tracking / linkdb)
+    if name == "numinlinks":
+        # F29 C-block inlink count, joined onto the candidate frame by
+        # pipeline/crawl._candidates (SpiderColl.cpp:2701-2742)
+        return F.col("page_num_inlinks")
+    if name == "sitepages":
+        return F.col("site_pages")      # F28 quota aggregates, ditto
+    if name == "domainpages":
+        return F.col("domain_pages")    # (SpiderColl.cpp:2754-2798)
     if name == "spiderwaited":
         return F.when(F.col("has_reply"),
                       F.lit(now_s) - F.col("last_spider_time_s")).otherwise(F.lit(-1))

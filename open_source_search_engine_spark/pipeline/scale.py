@@ -94,6 +94,10 @@ def apply_wave_budgets(sel: DataFrame, order: list[Column], global_cap: int,
     w_shard = Window.partitionBy("_shard").orderBy(*order)
     sel = (sel.withColumn("_gseq", F.row_number().over(w_shard))
            .filter(F.col("_gseq") <= shard_cap).drop("_gseq"))
+    # global sequencing over the <= global_cap surviving rows: a single
+    # partition, but BOUNDED by construction (it runs after the caps), so
+    # Spark's "no partition defined" warning is a constant-size sort here
+    # — the TakeOrderedAndProject shape, not an unbounded frontier sort.
     w_seq = Window.partitionBy(F.lit(0)).orderBy(*order)
     return (sel.withColumn("seq_in_round", F.row_number().over(w_seq) - 1)
             .drop("_shard"))

@@ -147,19 +147,28 @@ def filter_new_requests(new_req: DataFrame, seen_requests: DataFrame,
 
 
 class BloomState:
-    """Incrementally maintained partitioned Bloom filter.
+    """Incrementally maintained DISTRIBUTED partitioned Bloom filter.
 
-    Locally the bitmaps live on the driver and each round ORs in only the
-    NEW keys (vectorized) — no full-frontier rebuild.  At 10^10 keys the
-    same structure is a (bucket, bitmap) table and the per-round update is
-    ``groupBy(bucket).agg(bit_or(bitmap))`` over delta bitmaps; the probe
-    side (probe_bloom) is identical in both deployments.
+    The filter is a ``(bucket, bitmap, n_bits, n_keys)`` DataFrame — no
+    bitmap bytes ever live on the driver.  Each round's update builds one
+    delta bitmap per bucket from the new keys (``applyInPandas``,
+    vectorized) and OR-combines it with the existing rows per bucket —
+    i.e. exactly the ``groupBy(bucket).agg(bit_or(bitmap))`` shape that
+    scales to 10^10 keys.  The probe (``probe_bloom_table``) cogroups the
+    probe keys with the filter rows per bucket, so each task tests against
+    only its own bucket's bitmap — no broadcast of the full filter.
+
+    The merged state is ``localCheckpoint``-ed each update to truncate
+    lineage; a production deployment writes it to a state table instead
+    (same rows, same update job).
 
     Correctness note: Bloom state is a performance structure only — the
     exact fallback join in filter_new_requests guarantees output parity
     regardless of FP rate; an overfull bucket degrades speed, never
-    results.  ``overfull()`` tells the caller when a rebuild from the full
-    frontier is worthwhile.
+    results.  ``overfull()`` (a 64-row count collect, no bitmap movement)
+    tells the caller when a resized rebuild from the full frontier is
+    worthwhile; ``size_bits_per_bucket`` picks the rebuild size from the
+    observed key count so a rebuild cannot be immediately overfull again.
     """
 
     def __init__(self, n_buckets: int = 64, bits_per_bucket: int = 1 << 21,
@@ -167,38 +176,112 @@ class BloomState:
         self.n_buckets = n_buckets
         self.n_bits = bits_per_bucket
         self.n_hashes = n_hashes
-        self.bitmaps: dict[int, np.ndarray] = {}
-        self.counts: dict[int, int] = {}
+        self.state: DataFrame | None = None
 
-    def add_keys(self, bucket_keys: "pd.DataFrame") -> None:
-        """(bucket, key) rows → OR positions into each bucket's bitmap."""
-        for b, grp in bucket_keys.groupby("bucket"):
-            bm = self.bitmaps.get(int(b))
-            if bm is None:
-                bm = np.zeros(self.n_bits // 8, dtype=np.uint8)
-                self.bitmaps[int(b)] = bm
-            keys = grp["key"].to_numpy(dtype=np.int64)
-            pos = _positions(keys, self.n_bits, self.n_hashes).ravel()
-            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-            self.counts[int(b)] = self.counts.get(int(b), 0) + len(keys)
+    @staticmethod
+    def size_bits_per_bucket(n_keys: int, n_buckets: int = 64,
+                            bits_per_key: int = BITS_PER_KEY,
+                            headroom: float = 2.0) -> int:
+        """Power-of-two bucket size for ``n_keys`` total keys with growth
+        headroom (ADVICE: a rebuild sized at the old fixed constant would
+        be overfull again immediately once a bucket outgrew it)."""
+        per_bucket = max(1, n_keys // n_buckets)
+        need = int(per_bucket * bits_per_key * headroom)
+        return max(1 << 21, 1 << int(np.ceil(np.log2(max(1, need)))))
+
+    def _delta(self, df: DataFrame, key_col: str,
+               bucket_col: str) -> DataFrame:
+        n_bits, n_hashes = self.n_bits, self.n_hashes
+
+        def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = np.unique(pdf["key"].to_numpy(dtype=np.int64))
+            bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+            pos = _positions(keys, n_bits, n_hashes).ravel()
+            np.bitwise_or.at(bitmap, pos >> 3,
+                             (1 << (pos & 7)).astype(np.uint8))
+            return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                                 "bitmap": [bitmap.tobytes()],
+                                 "n_bits": [n_bits],
+                                 "n_keys": [len(keys)]})
+
+        bucketed = df.select(
+            F.col(key_col).alias("key"),
+            (F.abs(F.hash(bucket_col)) % self.n_buckets).cast("int")
+            .alias("bucket"))
+        return bucketed.groupBy("bucket").applyInPandas(
+            build_group, schema=BLOOM_SCHEMA)
+
+    @staticmethod
+    def _or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bitmap"].iloc[1:]:
+            np.bitwise_or(out, np.frombuffer(b, dtype=np.uint8), out=out)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "bitmap": [out.tobytes()],
+                             "n_bits": [int(pdf["n_bits"].iloc[0])],
+                             # upper bound (re-adds double-count): only the
+                             # overfull() heuristic reads this
+                             "n_keys": [int(pdf["n_keys"].sum())]})
 
     def add_df(self, df: DataFrame, key_col: str = "uh48",
                bucket_col: str = "first_ip") -> None:
-        rows = (df.select(
-            F.col(key_col).alias("key"),
-            (F.abs(F.hash(bucket_col)) % self.n_buckets).cast("int")
-            .alias("bucket")).toPandas())
-        if len(rows):
-            self.add_keys(rows)
+        delta = self._delta(df, key_col, bucket_col)
+        merged = (delta if self.state is None
+                  else self.state.unionByName(delta)
+                  .groupBy("bucket").applyInPandas(
+                      BloomState._or_merge, schema=BLOOM_SCHEMA))
+        self.state = merged.localCheckpoint(eager=True)
 
-    def rows(self) -> list:
-        return [{"bucket": b, "bitmap": bm.tobytes(), "n_bits": self.n_bits,
-                 "n_keys": self.counts.get(b, 0)}
-                for b, bm in self.bitmaps.items()]
+    def counts(self) -> dict[int, int]:
+        if self.state is None:
+            return {}
+        return {int(r["bucket"]): int(r["n_keys"])
+                for r in self.state.select("bucket", "n_keys").collect()}
 
     def overfull(self, bits_per_key: int = BITS_PER_KEY) -> bool:
         return any(c * bits_per_key > self.n_bits
-                   for c in self.counts.values())
+                   for c in self.counts().values())
+
+
+def probe_bloom_table(new_df: DataFrame, state: BloomState,
+                      key_col: str = "uh48", bucket_col: str = "first_ip",
+                      flag_name: str = "maybe_seen") -> DataFrame:
+    """Adds ``maybe_seen`` by cogrouping the distinct probe keys with the
+    filter table per bucket: each task reads only its bucket's bitmap —
+    the partition-local probe shape that scales past broadcastable filter
+    sizes."""
+    if state.state is None:
+        return new_df.withColumn(flag_name, F.lit(False))
+    n_hashes = state.n_hashes
+    keys = new_df.select(
+        F.col(key_col).alias("_k"),
+        (F.abs(F.hash(bucket_col)) % state.n_buckets).cast("int")
+        .alias("_bbucket")).distinct()
+
+    probe_schema = T.StructType([
+        T.StructField("_k", T.LongType()),
+        T.StructField(flag_name, T.BooleanType()),
+    ])
+
+    def probe_group(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame({"_k": pd.Series([], dtype="int64"),
+                                 flag_name: pd.Series([], dtype=bool)})
+        karr = lpdf["_k"].to_numpy(dtype=np.int64)
+        if rpdf.empty:
+            flags = np.zeros(len(karr), dtype=bool)
+        else:
+            bm = np.frombuffer(rpdf["bitmap"].iloc[0], dtype=np.uint8)
+            flags = _test_bitmap(karr, bm, int(rpdf["n_bits"].iloc[0]),
+                                 n_hashes)
+        return pd.DataFrame({"_k": karr, flag_name: flags})
+
+    flags = (keys.groupBy("_bbucket")
+             .cogroup(state.state.groupBy("bucket"))
+             .applyInPandas(probe_group, schema=probe_schema))
+    return (new_df.join(flags.withColumnRenamed("_k", key_col),
+                        key_col, "left")
+            .fillna({flag_name: False}))
 
 
 def filter_new_requests_incremental(new_req: DataFrame,
@@ -206,7 +289,7 @@ def filter_new_requests_incremental(new_req: DataFrame,
                                     state: BloomState) -> DataFrame:
     """filter_new_requests against a maintained BloomState (no per-round
     rebuild); caller is responsible for state.add_df on appended rows."""
-    probed = probe_bloom(new_req, state.rows(), n_buckets=state.n_buckets)
+    probed = probe_bloom_table(new_req, state)
     definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     existing = seen_requests.select(
         "uh48", F.col("hop_count").alias("seen_hop"),

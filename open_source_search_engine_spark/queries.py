@@ -802,6 +802,67 @@ LIMIT 10
 """)
 
 
+def _q1_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 full path: parse 'data join -vector' (implicit AND + negation)
+    → termlist joins + anti-join → tf-sum scoring → top-K."""
+    from .search.postings import build_postings
+    from .search.queryparse import search_query
+    register_views(spark, sf_dir)
+    postings = build_postings(spark.table("documents"))
+    return search_query(postings, "data join -vector", k=10)
+
+
+_register("q1_boolean_search", _q1_boolean, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE length(term) > 0 GROUP BY term, doc_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST((a.tf + b.tf) * 10 AS BIGINT) AS score
+FROM postings a JOIN postings b ON a.doc_id = b.doc_id
+WHERE a.term = 'data' AND b.term = 'join'
+  AND a.doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'vector')
+ORDER BY score DESC, doc_id
+LIMIT 10
+""")
+
+
+def _q1_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 phrase path: '"hash join"' — consecutive-position verify over
+    the positions arrays (Query.cpp quoted-phrase semantics)."""
+    from .search.postings import build_postings
+    from .search.queryparse import search_query
+    register_views(spark, sf_dir)
+    postings = build_postings(spark.table("documents"))
+    return search_query(postings, '"hash join"', k=10)
+
+
+_register("q1_phrase_search", _q1_phrase, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, list_sort(list(pos)) AS positions
+  FROM tok WHERE length(term) > 0 GROUP BY term, doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ptf * 10 * 2 + 50 AS BIGINT) AS score
+FROM (
+  SELECT a.doc_id,
+         len(list_intersect(list_transform(a.positions, p -> p + 1),
+                            b.positions)) AS ptf
+  FROM postings a JOIN postings b
+    ON a.doc_id = b.doc_id AND a.term = 'hash' AND b.term = 'join'
+) t WHERE ptf > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+""")
+
+
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) over the events stream — batch
     form of the stateful streaming operator (streaming/sessionize.py)."""

@@ -41,12 +41,32 @@ def build_postings(docs: DataFrame, text_col: str = "text",
 
 
 def _min_gap(a, b):
-    """Minimum absolute distance between two sorted position arrays —
-    the proximity kernel (positional pair scoring, PosdbTable-style),
-    expressed with Catalyst array lambdas (no UDF)."""
-    return F.array_min(
-        F.flatten(F.transform(
-            a, lambda x: F.transform(b, lambda y: F.abs(x - y)))))
+    """Minimum absolute distance between two sorted position arrays — the
+    proximity kernel, as a LINEAR sorted-merge like the reference's zipper
+    (``PosdbTable.cpp:3044+``), pure Catalyst (no UDF): tag each position
+    with its source list, merge-sort once, and fold tracking the last
+    position seen from each side.  The true min |x-y| is always achieved
+    by a cross-source pair adjacent in the merged order, so one O(n+m)
+    aggregate replaces the |a|x|b| cartesian (which for stopword-frequency
+    terms with tf in the thousands was an OOM-shaped cell explosion)."""
+    merged = F.array_sort(F.concat(
+        F.transform(a, lambda x: F.struct(x.cast("long").alias("p"),
+                                          F.lit(0).alias("src"))),
+        F.transform(b, lambda y: F.struct(y.cast("long").alias("p"),
+                                          F.lit(1).alias("src")))))
+    init = F.struct(F.lit(None).cast("long").alias("l0"),
+                    F.lit(None).cast("long").alias("l1"),
+                    F.lit(None).cast("long").alias("best"))
+
+    def step(acc, e):
+        is0 = e["src"] == 0
+        gap = F.when(is0, e["p"] - acc["l1"]).otherwise(e["p"] - acc["l0"])
+        return F.struct(
+            F.when(is0, e["p"]).otherwise(acc["l0"]).alias("l0"),
+            F.when(~is0, e["p"]).otherwise(acc["l1"]).alias("l1"),
+            F.least(acc["best"], gap).alias("best"))   # least skips nulls
+
+    return F.aggregate(merged, init, step, lambda acc: acc["best"])
 
 
 def search(postings: DataFrame, terms: list[str], k: int = 10) -> DataFrame:

@@ -1,0 +1,290 @@
+"""Q1: query parsing — boolean operators, quoted phrases, field terms.
+
+The reference's ``Query.cpp`` (3,482 LoC) tokenizes a user query into terms
+with operators: implicit AND between bare terms, explicit ``AND``/``OR``
+(left-associative, AND binds tighter), ``NOT``/``-term`` negation, quoted
+phrases ("exact phrase" matches consecutive positions), and field prefixes
+(``site:x``, ``title:x``, ``lang:xx`` — ``Query.cpp`` field table).  This
+module re-expresses that surface as a tiny recursive-descent parser into an
+AST that ``execute()`` maps onto DataFrame algebra over the postings index
+(search/postings.py):
+
+    term        -> postings filter (one termlist: partition-pruned scan)
+    AND         -> inner join on doc_id            (zipper-intersect)
+    OR          -> full outer union of doc sets    (Msg39 merge analogue)
+    NOT         -> left-anti join                  (negative termlist)
+    "a b c"     -> consecutive-position verify via the pairwise zipper
+                   (positions arrays; gap == 1 in order)
+    field:term  -> equality filter on a doc-metadata dimension joined in
+
+Scoring follows search/postings.py: tf-sum * 10 + proximity bonus, with
+phrase matches scoring their phrase tf.  Top-K = ORDER BY + LIMIT
+(TakeOrderedAndProject — the TopTree analogue, TopTree.cpp:209).
+
+Grammar (left-assoc, AND > OR):
+    expr     := orexpr
+    orexpr   := andexpr (OR andexpr)*
+    andexpr  := unary (AND? unary)*      # adjacency = implicit AND
+    unary    := NOT unary | '-' unary | atom
+    atom     := '(' expr ')' | '"' words '"' | field ':' word | word
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FIELDS = frozenset({"site", "lang", "title", "url"})  # Query.cpp field table
+
+
+# --------------------------------------------------------------------- AST
+
+@dataclass(frozen=True)
+class Term:
+    text: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    words: tuple
+
+
+@dataclass(frozen=True)
+class FieldTerm:
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()"]+')
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _tokenize(q: str) -> list[str]:
+    return _TOKEN_RE.findall(q)
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise QueryParseError(f"trailing token {self.peek()!r}")
+        return node
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() is not None and self.peek().upper() == "OR":
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def and_expr(self):
+        parts = [self.unary()]
+        while True:
+            t = self.peek()
+            if t is None or t == ")" or t.upper() == "OR":
+                break
+            if t.upper() == "AND":
+                self.next()
+                continue
+            parts.append(self.unary())
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def unary(self):
+        t = self.peek()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        if t.upper() == "NOT":
+            self.next()
+            return Not(self.unary())
+        if t.startswith("-") and len(t) > 1:
+            self.next()
+            # -term negation (Query.cpp m_fieldSign '-')
+            return Not(_atom_from_token(t[1:]))
+        return self.atom()
+
+    def atom(self):
+        t = self.next()
+        if t == "(":
+            node = self.or_expr()
+            if self.peek() != ")":
+                raise QueryParseError("unbalanced parenthesis")
+            self.next()
+            return node
+        if t == ")":
+            raise QueryParseError("unbalanced parenthesis")
+        return _atom_from_token(t)
+
+
+def _atom_from_token(t: str):
+    if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+        words = tuple(w.lower() for w in t[1:-1].split())
+        if not words:
+            raise QueryParseError("empty phrase")
+        return Phrase(words) if len(words) > 1 else Term(words[0])
+    if ":" in t:
+        f, _, v = t.partition(":")
+        if f.lower() in FIELDS and v:
+            return FieldTerm(f.lower(), v.lower())
+    return Term(t.lower())
+
+
+def parse_query(q: str):
+    """User query string → AST.  Raises QueryParseError on malformed input
+    (unbalanced quotes are tolerated by the tokenizer: an unclosed quote
+    swallows to end of string, like the reference's forgiving parse)."""
+    toks = _tokenize(q)
+    if not toks:
+        raise QueryParseError("empty query")
+    return _Parser(toks).parse()
+
+
+# ----------------------------------------------------------------- execute
+
+@dataclass
+class ExecContext:
+    postings: DataFrame                    # (term, doc_id, tf, positions)
+    doc_meta: DataFrame | None = None      # (doc_id, field columns) dim
+    next_id: int = dc_field(default=0)
+
+    def tag(self) -> int:
+        self.next_id += 1
+        return self.next_id
+
+
+def _term_docs(ctx: ExecContext, term: str) -> DataFrame:
+    """One termlist: (doc_id, score_part) — tf*10 like postings.search."""
+    return (ctx.postings.filter(F.col("term") == term)
+            .select("doc_id", (F.col("tf") * 10).alias("score_part")))
+
+
+def _phrase_docs(ctx: ExecContext, words: tuple) -> DataFrame:
+    """Exact-phrase match: all words present AND consecutive positions in
+    order.  Uses the merged-zipper idea pairwise: for adjacent word pairs,
+    count positions p with p+1 present in the next list via array_intersect
+    of (positions_i + 1) with positions_{i+1} — linear, JVM-side."""
+    lists = [
+        ctx.postings.filter(F.col("term") == w).select(
+            "doc_id", F.col("positions").alias(f"_pos_{i}"))
+        for i, w in enumerate(words)
+    ]
+    joined = lists[0]
+    for nxt in lists[1:]:
+        joined = joined.join(nxt, "doc_id", "inner")
+    # chain: positions of word0 whose +1 is in word1, whose +2 in word2...
+    starts = F.col("_pos_0")
+    for i in range(1, len(words)):
+        shifted = F.transform(starts, lambda p: p + i)  # noqa: B023
+        starts = F.array_intersect(
+            F.transform(F.array_intersect(shifted, F.col(f"_pos_{i}")),
+                        lambda p: p - i),  # noqa: B023
+            starts)
+    phrase_tf = F.size(starts)
+    return (joined.withColumn("_ptf", phrase_tf)
+            .filter(F.col("_ptf") > 0)
+            # phrase hits score like a high-proximity pair (gap<=1 bonus)
+            .select("doc_id", (F.col("_ptf") * 10 * len(words) + 50)
+                    .alias("score_part")))
+
+
+def _field_docs(ctx: ExecContext, node: FieldTerm) -> DataFrame:
+    if ctx.doc_meta is None or node.field not in ctx.doc_meta.columns:
+        # unknown field dimension: matches nothing (reference logs+skips)
+        return (ctx.postings.select("doc_id").limit(0)
+                .withColumn("score_part", F.lit(0).cast("long")))
+    return (ctx.doc_meta
+            .filter(F.lower(F.col(node.field)) == node.value)
+            .select("doc_id", F.lit(0).cast("long").alias("score_part")))
+
+
+def _all_docs(ctx: ExecContext) -> DataFrame:
+    return ctx.postings.select("doc_id").distinct().withColumn(
+        "score_part", F.lit(0).cast("long"))
+
+
+def _exec(ctx: ExecContext, node) -> DataFrame:
+    """Evaluate AST → (doc_id, score_part).  NOT at top level is resolved
+    against the full doc set by the caller through And handling."""
+    if isinstance(node, Term):
+        return _term_docs(ctx, node.text)
+    if isinstance(node, Phrase):
+        return _phrase_docs(ctx, node.words)
+    if isinstance(node, FieldTerm):
+        return _field_docs(ctx, node)
+    if isinstance(node, Or):
+        parts = [_exec(ctx, c) for c in node.children]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.groupBy("doc_id").agg(F.max("score_part").alias("score_part"))
+    if isinstance(node, And):
+        pos = [c for c in node.children if not isinstance(c, Not)]
+        neg = [c.child for c in node.children if isinstance(c, Not)]
+        if not pos:
+            base = _all_docs(ctx)
+        else:
+            parts = [_exec(ctx, c) for c in pos]
+            base = parts[0]
+            for i, p in enumerate(parts[1:], 1):
+                base = (base.join(p.withColumnRenamed("score_part",
+                                                      f"_sp_{i}"),
+                                  "doc_id", "inner"))
+            score = F.col("score_part")
+            for i in range(1, len(parts)):
+                score = score + F.col(f"_sp_{i}")
+            base = base.select("doc_id", score.alias("score_part"))
+        for n in neg:
+            base = base.join(_exec(ctx, n).select("doc_id"),
+                             "doc_id", "left_anti")
+        return base
+    if isinstance(node, Not):
+        # bare NOT: everything except matches
+        return _all_docs(ctx).join(_exec(ctx, node.child).select("doc_id"),
+                                   "doc_id", "left_anti")
+    raise AssertionError(type(node))
+
+
+def search_query(postings: DataFrame, query: str, k: int = 10,
+                 doc_meta: DataFrame | None = None) -> DataFrame:
+    """Full Q1→Q2→Q3 path: parse → DataFrame algebra → top-K.
+
+    Returns (doc_id, score) ordered by (score desc, doc_id)."""
+    ast = parse_query(query)
+    ctx = ExecContext(postings=postings, doc_meta=doc_meta)
+    out = _exec(ctx, ast)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.col("score_part").cast("long").alias("score"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(k))

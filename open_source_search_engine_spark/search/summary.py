@@ -12,11 +12,59 @@ no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WINDOW_TOKENS = 12
 TITLE_TOKENS = 8
+MAX_TITLE_CHARS = 80
+
+
+def title_expr(text: Column | str) -> Column:
+    """Title.cpp candidate ladder as one Catalyst expression: the
+    reference scores <title>, itemprop/og meta titles, <h1>..., and falls
+    back to body text (Title.cpp candidate loop).  Here, in priority
+    order: <title> tag → og:title meta → first <h1> → leading body
+    tokens; the winner is entity-decoded (common entities), whitespace-
+    collapsed, and truncated like the reference's title length cap."""
+    t = F.col(text) if isinstance(text, str) else text
+
+    def _cand(pattern: str) -> F.Column:
+        return F.nullif(F.trim(F.regexp_extract(t, pattern, 1)), F.lit(""))
+
+    raw = F.coalesce(
+        _cand(r"(?is)<title[^>]*>(.*?)</title>"),
+        _cand(r"""(?is)<meta[^>]+property=["']og:title["'][^>]*content=["']([^"']*)"""),
+        _cand(r"(?is)<h1[^>]*>(.*?)</h1>"),
+        F.concat_ws(" ", F.slice(F.split(F.trim(t), r"\s+"), 1,
+                                 TITLE_TOKENS)))
+    # strip any tags nested in the candidate, decode common entities
+    clean = F.regexp_replace(raw, r"<[^>]*>", " ")
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return F.substring(clean, 1, MAX_TITLE_CHARS)
+
+
+def extract_title(text: str) -> str:
+    """Python twin of ``title_expr`` (oracle/test side)."""
+    import html as _html
+    import re as _re
+    for pat in (r"(?is)<title[^>]*>(.*?)</title>",
+                r"""(?is)<meta[^>]+property=["']og:title["'][^>]*content=["']([^"']*)"""):
+        m = _re.search(pat, text or "")
+        if m and m.group(1).strip():
+            break
+    else:
+        m = _re.search(r"(?is)<h1[^>]*>(.*?)</h1>", text or "")
+    if m and m.group(1).strip():
+        raw = m.group(1)
+    else:
+        raw = " ".join((text or "").split()[:TITLE_TOKENS])
+    clean = _re.sub(r"<[^>]*>", " ", raw)
+    clean = _html.unescape(clean)
+    return _re.sub(r"\s+", " ", clean).strip()[:MAX_TITLE_CHARS]
 
 
 def summarize(docs: DataFrame, terms: list[str],
@@ -48,6 +96,8 @@ def summarize(docs: DataFrame, terms: list[str],
         F.first("toks").alias("toks_all"))
     return best.select(
         "doc_id",
-        F.concat_ws(" ", F.slice("toks_all", 1, TITLE_TOKENS)).alias("title"),
+        # Title.cpp candidate ladder; plain-text docs fall through to the
+        # leading-token title (identical to the historical behavior)
+        title_expr(F.concat_ws(" ", "toks_all")).alias("title"),
         F.concat_ws(" ", F.col("b.win")).alias("snippet"),
         F.col("n_hits").cast("long").alias("n_hits"))

@@ -166,3 +166,140 @@ def test_crawl_completion_detection(spark, tmp_path_factory):
          r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
         for r in want.crawl_order)
     assert got == want_rows
+
+
+def test_quota_and_inlink_ladder_parity(spark, tmp_path_factory):
+    """F28/F29 wired into the rule language: a domainpages quota rule
+    visibly caps the mega domain, a numinlinks rule re-prioritizes
+    popular targets — and the Spark pipeline still matches the oracle
+    byte-for-byte under that ladder."""
+    from open_source_search_engine_spark.config import (CrawlConfig,
+                                                        UrlFilterRule,
+                                                        default_url_filters)
+    from open_source_search_engine_spark.corpus import (generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.oracle import run_oracle
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+
+    quota_rules = [
+        UrlFilterRule("domainpages>12 && !isroot", 1, force_delete=True),
+        UrlFilterRule("numinlinks>=2 && hopcount>=2", 42, 40.0, 9, 1000, 7),
+        *default_url_filters(),
+    ]
+    cfg = CrawlConfig(max_rounds=8, url_filters=quota_rules)
+    c = generate_corpus(seed=7, n_domains=8, n_urls=160)
+    want = run_oracle(c, cfg)
+    cd = str(tmp_path_factory.mktemp("qcorpus"))
+    sd = str(tmp_path_factory.mktemp("qstate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, cfg)
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order().collect())
+    want_rows = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in want.crawl_order)
+    assert got == want_rows
+    # the quota visibly caps the mega domain vs the default ladder
+    base = run_oracle(c, CrawlConfig(max_rounds=8))
+    mega = lambda rows: sum("mega.example" in r["url_norm"] for r in rows)
+    assert mega(want.crawl_order) < mega(base.crawl_order)
+
+
+def test_tag_atom_ladder_parity(spark, tmp_path_factory):
+    """S8 tag: atoms read the real tags dimension: a 'tag:authority' rule
+    re-prioritizes the authority domain identically in oracle and Spark."""
+    from open_source_search_engine_spark.config import (CrawlConfig,
+                                                        UrlFilterRule,
+                                                        default_url_filters)
+    from open_source_search_engine_spark.corpus import (generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.oracle import run_oracle
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+
+    rules = [
+        UrlFilterRule("tag:authority && hopcount>=1", 46, 30.0, 9, 1000, 7),
+        UrlFilterRule("tag:commerce && !isroot", 5, 60.0, 2, 1000, 1),
+        *default_url_filters(),
+    ]
+    cfg = CrawlConfig(max_rounds=6, url_filters=rules)
+    c = generate_corpus(seed=11, n_domains=6, n_urls=100)
+    want = run_oracle(c, cfg)
+    cd = str(tmp_path_factory.mktemp("tcorpus"))
+    sd = str(tmp_path_factory.mktemp("tstate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, cfg)
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order().collect())
+    want_rows = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in want.crawl_order)
+    assert got == want_rows
+    # the tag rule actually fires: authority pages carry its priority
+    assert any(r["priority"] == 46 for r in want.crawl_order)
+
+
+def test_robots_ttl_refresh_mechanism(spark, tmp_path_factory):
+    """F19: the compiled robots dimension refreshes when the crawl clock
+    crosses the 24h TTL (Msg13.cpp:477-484) and not before — and a
+    refresh leaves the compiled delays identical (static robots)."""
+    from open_source_search_engine_spark.config import (ROBOTS_TTL_S,
+                                                        CrawlConfig)
+    from open_source_search_engine_spark.corpus import (generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+    c = generate_corpus(seed=17, n_domains=4, n_urls=60)
+    cd = str(tmp_path_factory.mktemp("rcorpus"))
+    sd = str(tmp_path_factory.mktemp("rstate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, CrawlConfig(max_rounds=1))
+    before = sorted(tuple(r) for r in runner.hosts.select(
+        "host", "robots_delay_ms").collect())
+    t0 = 1_700_000_000_000
+    runner._maybe_refresh_robots(t0)            # first call only stamps
+    assert runner.robots_refreshes == 0
+    runner._maybe_refresh_robots(t0 + ROBOTS_TTL_S * 1000)   # == TTL: no
+    assert runner.robots_refreshes == 0
+    runner._maybe_refresh_robots(t0 + ROBOTS_TTL_S * 1000 + 1)
+    assert runner.robots_refreshes == 1
+    after = sorted(tuple(r) for r in runner.hosts.select(
+        "host", "robots_delay_ms").collect())
+    assert after == before
+
+
+def test_change_rate_ladder_parity(spark, tmp_path_factory):
+    """m_percentChangedPerDay (Spider.h:772-910): volatile pages observed
+    changing on refetch carry a change rate that a
+    'percentchangedperday>=50' rule acts on — oracle and Spark agree
+    byte-for-byte, and the rule demonstrably fires."""
+    from open_source_search_engine_spark.config import (CrawlConfig,
+                                                        UrlFilterRule,
+                                                        default_url_filters)
+    from open_source_search_engine_spark.corpus import (generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.oracle import run_oracle
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+
+    rules = [
+        # hot pages respider fast once observed changing
+        UrlFilterRule("percentchangedperday>=50 && hasreply", 46, 5e-5,
+                      9, 1000, 7),
+        *default_url_filters(),
+    ]
+    cfg = CrawlConfig(max_rounds=10, url_filters=rules)
+    c = generate_corpus(seed=11, n_domains=6, n_urls=100)
+    want = run_oracle(c, cfg)
+    assert any(r["priority"] == 46 for r in want.crawl_order), \
+        "change-rate rule never fired in the oracle"
+    cd = str(tmp_path_factory.mktemp("ccorpus"))
+    sd = str(tmp_path_factory.mktemp("cstate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, cfg)
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order().collect())
+    want_rows = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in want.crawl_order)
+    assert got == want_rows

@@ -41,7 +41,9 @@ LADDER = [
 
 def _candidates():
     urls = ["http://www.mega.example/", "http://a.example.com/dir3/x.html",
-            "http://b.example.org/page.php?q=1"]
+            "http://b.example.org/page.php?q=1",
+            "http://c.example.net/feed.atom",
+            "http://d.example.net/2021/05/my-long-post-title-here"]
     out = []
     i = 0
     for url, hop, has_reply, err_code, err_count in itertools.product(
@@ -57,6 +59,11 @@ def _candidates():
             "http_status": 404 if err_code == 404 else 200,
             "is_indexed": has_reply and err_code == 0,
             "site_num_inlinks": (i * 37) % 300,
+            "page_num_inlinks": (i * 13) % 21,
+            "site_pages": (i * 7) % 40,
+            "domain_pages": (i * 11) % 60,
+            "site_tags": ["authority"] if i % 5 == 0 else [],
+            "percent_changed_per_day": (i * 17) % 101,
             "last_spider_time_s": 1_700_000_000 + (i % 5) * 500,
             "discovery_time": NOW_S - (i % 4) * 40000,
             "discovery_time_s": NOW_S - (i % 4) * 40000,
@@ -106,6 +113,7 @@ FULL_FAMILY = [
     "ispermalink", "ispermalinkformat", "isdocidbased", "isreindex",
     "isfakeip", "ispingserver", "insitelist", "hasauthorityinlink",
     "tag:authority", "percentchangedperday>5", "numinlinks>=2",
+    "sitepages>20", "domainpages>30",
     "age>100000", "lang==en,de", "lang!=zh",
 ]
 
@@ -122,7 +130,7 @@ def test_full_family_catalyst_equals_python(spark):
     rules = [UrlFilterRule(e, priority=i) for i, e in
              enumerate(FULL_FAMILY)] + [UrlFilterRule("default", 99)]
     parsed = [parse_expression(r.expression) for r in rules]
-    cands = _candidates()[:60]
+    cands = _candidates()   # full grid: every url incl. rss/permalink shapes
     want = [match_rule_index(parsed, c) for c in cands]
     rows = [{**c, "cand_id": i} for i, c in enumerate(cands)]
     for r in rows:

@@ -96,3 +96,20 @@ def test_short_host_and_bad_scheme_skipped():
                    '<a href="javascript:void(0)">js</a>'
                    '<a href="mailto:x@example.com">mail</a>')
     assert extract_outlinks(BASE, spans) == []
+
+
+def test_entity_decoded_hrefs():
+    """HTML entities in href values must decode before URL resolution
+    (Entities.cpp/entities.json; Xml.cpp parse path): href="a?x=1&amp;y=2"
+    must yield ...?x=1&y=2, incl. numeric and named forms."""
+    from open_source_search_engine_spark.functions.outlinks import (
+        extract_outlinks)
+    spans = [{"kind": "text", "offset": 0, "media_ref": None, "text":
+              '<a href="http://www.x7.example/p?x=1&amp;y=2">a</a> '
+              '<a href="http://www.x7.example/q&#47;deep.html">b</a> '
+              '<a href="http://www.x7.example/r?a=&quot;v&quot;">c</a>'}]
+    links = extract_outlinks("http://www.host0.example/page.html", spans)
+    urls = [l["url_norm"] for l in links]
+    assert "http://www.x7.example/p?x=1&y=2" in urls
+    assert "http://www.x7.example/q/deep.html" in urls
+    assert any('r?a=%22v%22' in u or 'r?a="v"' in u for u in urls), urls

@@ -74,3 +74,54 @@ def test_summary_prefers_denser_window(spark):
     r = summarize(docs, ["spark", "join"]).collect()[0]
     assert r["n_hits"] == 2
     assert "join" in r["snippet"]
+
+
+def test_min_gap_zipper_handles_huge_termlists(spark):
+    """tf~5000 termlists must complete without the |a|x|b| cell explosion
+    (the old flatten materialized 25M cells per doc) and agree with the
+    brute-force min on small inputs."""
+    import random
+    from pyspark.sql import functions as F
+    from open_source_search_engine_spark.search.postings import _min_gap
+
+    rng = random.Random(5)
+    a = sorted(rng.sample(range(1_000_000), 5000))
+    b = sorted(rng.sample(range(1_000_000), 5000))
+    df = spark.createDataFrame([(a, b)], ["pa", "pb"])
+    got = df.select(_min_gap(F.col("pa"), F.col("pb")).alias("g")).first()["g"]
+    want = min(abs(x - y) for x in a for y in b)
+    assert got == want
+    # tiny vectors incl. ties and containment
+    cases = [([1], [1]), ([1, 10], [5]), ([3, 9], [9, 40]), ([7], [2, 8])]
+    for pa, pb in cases:
+        g = (spark.createDataFrame([(pa, pb)], ["pa", "pb"])
+             .select(_min_gap(F.col("pa"), F.col("pb")).alias("g"))
+             .first()["g"])
+        assert g == min(abs(x - y) for x in pa for y in pb), (pa, pb)
+
+
+def test_title_extraction_candidate_ladder(spark):
+    """Title.cpp candidate priority: <title> > og:title > <h1> > leading
+    tokens, entity-decoded and tag-stripped — Catalyst and Python twins
+    must agree."""
+    from pyspark.sql import functions as F
+    from open_source_search_engine_spark.search.summary import (
+        extract_title, title_expr)
+    cases = [
+        ("<html><head><title>Big &amp; Bold</title></head>"
+         "<h1>Wrong one</h1>body text", "Big & Bold"),
+        ('<meta property="og:title" content="Social Title"/>'
+         "<h1>Also wrong</h1>stuff", "Social Title"),
+        ("<h1>The <b>Heading</b></h1> rest of the body here", "The Heading"),
+        ("just plain body words flowing along here with more trailing text",
+         "just plain body words flowing along here with"),
+        ("<title>   </title><h1>Fallback H1</h1>x", "Fallback H1"),
+    ]
+    for text, want in cases:
+        assert extract_title(text) == want, text
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)],
+                               ["i", "text"])
+    got = {r["i"]: r["t"] for r in
+           df.select("i", title_expr("text").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])

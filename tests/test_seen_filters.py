@@ -94,3 +94,48 @@ def test_bloom_crawl_matches_oracle(spark, tmp_path_factory):
                 for r in runner.url_seen().collect()}
     want_seen = {(r["uh48"], r["first_seen_round"]) for r in want.url_seen}
     assert got_seen == want_seen
+
+
+def test_bloom_state_is_distributed(spark):
+    """The maintained filter must hold NO bitmap bytes on the driver: its
+    state is a (bucket, bitmap) DataFrame, updates are executor-side
+    OR-merges, and the probe cogroups per bucket (no broadcast/collect of
+    bitmaps)."""
+    from pyspark.sql import functions as F
+    from open_source_search_engine_spark.pipeline.seen import (
+        BloomState, probe_bloom_table)
+    st = BloomState()
+    assert not hasattr(st, "bitmaps")          # no driver-resident bitmaps
+    seen = spark.range(30_000).select(
+        (F.col("id") * 7919).alias("uh48"),
+        (F.col("id") % 23 + 5000).alias("first_ip"))
+    st.add_df(seen)
+    assert not hasattr(st, "bitmaps")
+    assert st.state is not None and "bitmap" in st.state.columns
+    # incremental OR: second add extends membership without rebuild
+    more = spark.range(30_000, 35_000).select(
+        (F.col("id") * 7919).alias("uh48"),
+        (F.col("id") % 23 + 5000).alias("first_ip"))
+    st.add_df(more)
+    probe_all = spark.range(35_000).select(
+        (F.col("id") * 7919).alias("uh48"),
+        (F.col("id") % 23 + 5000).alias("first_ip"))
+    probed = probe_bloom_table(probe_all, st)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0  # no false negs
+    fresh = spark.range(5_000).select(
+        (F.col("id") * 7919 + 3).alias("uh48"),
+        (F.col("id") % 23 + 5000).alias("first_ip"))
+    fp = probe_bloom_table(fresh, st).filter("maybe_seen").count()
+    assert fp < 500
+    # counts/overfull read only the 64-row (bucket, n_keys) projection
+    assert sum(st.counts().values()) >= 30_000
+    assert not st.overfull()
+
+
+def test_bloom_size_from_observed_counts():
+    from open_source_search_engine_spark.pipeline.seen import (
+        BITS_PER_KEY, BloomState)
+    assert BloomState.size_bits_per_bucket(1000) == 1 << 21  # floor
+    big = BloomState.size_bits_per_bucket(64 * (1 << 20))
+    assert big >= (1 << 20) * BITS_PER_KEY        # fits with headroom
+    assert big & (big - 1) == 0                   # power of two

@@ -246,3 +246,30 @@ def test_dedup_keepers_chain_clusters(spark):
     comp = {r["doc_id"]: r["component"]
             for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_trigram_langid_broad_coverage():
+    """CT trigram profiles + script fast path (LanguageIdentifier.cpp
+    analogue): each language's ordinary sentence must classify correctly,
+    deterministically."""
+    from open_source_search_engine_spark.training.textqual import (
+        identify_language)
+    cases = {
+        "en": "The cat is on the table and the weather is nice today",
+        "de": "Der Hund ist im Garten und das Wetter ist heute schön",
+        "es": "El gato está en la mesa y el tiempo es muy bueno hoy",
+        "fr": "Le chat est sur la table et le temps est beau aujourd'hui",
+        "it": "Il gatto è sul tavolo e il tempo è molto bello oggi",
+        "pt": "O gato está na mesa e o tempo está muito bom hoje",
+        "nl": "De kat zit op de tafel en het weer is vandaag erg mooi",
+        "ru": "Это предложение написано на русском языке для проверки",
+        "zh": "这是一个用中文写的句子用来测试语言识别",
+        "ar": "هذه جملة مكتوبة باللغة العربية للاختبار",
+    }
+    for want, text in cases.items():
+        got, conf = identify_language(text)
+        assert got == want, (want, got)
+        assert conf > 0
+    assert identify_language("") == ("unknown", 0)
+    # determinism
+    assert identify_language(cases["fr"]) == identify_language(cases["fr"])
