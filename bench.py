@@ -116,7 +116,11 @@ def assemble_wave(spark, frontier, replies, wave_start_ms: int,
                 .otherwise(F.lit(0).cast("long"))))
         .filter(F.col("eligible_ms") <= wave_start_ms)
     )
-    return assemble_wave_from_candidates(cand, cfg, wave_start_ms, rnd=0)
+    # payload join-back reads the raw frontier (uh48-unique), not the
+    # un-cached candidate lineage
+    return assemble_wave_from_candidates(
+        cand, cfg, wave_start_ms, rnd=0,
+        payload=frontier.select("uh48", "url"))
 
 
 def run_bench() -> dict:

@@ -76,12 +76,36 @@ class RoundStats:
     jumped: bool
 
 
+# numeric scheduling columns the winner/budget pipeline actually reads —
+# the wide string payload (url, domain, ...) rides along for ONLY the
+# <= global_cap winners via a broadcast join-back, so the two full-frontier
+# winner shuffles move ~60 B/row instead of ~200 B/row (the sort is
+# memory-bandwidth-bound at high core counts)
+_WAVE_SCHED_COLS = [
+    "first_ip", "uh48", "priority", "hop_count", "eligible_ms",
+    "ip_max", "ufn", "max_per_rule", "ip_wait_ms", "robots_delay_ms",
+    "ip_last_end", "harvest",
+]
+
+
 def assemble_wave_from_candidates(cand: DataFrame, cfg: CrawlConfig,
-                                  wave_start: int, rnd: int) -> DataFrame:
+                                  wave_start: int, rnd: int,
+                                  payload: DataFrame | None = None) -> DataFrame:
     """The production wave assembly: F11 winner Window + F14 budgets + F16
     politeness spacing.  Module-level so the bench and the driver-contract
-    catalog exercise EXACTLY this code path (not a SQL twin)."""
+    catalog exercise EXACTLY this code path (not a SQL twin).
+
+    ``payload``: optional (uh48, url, domain, ...) frame the winner rows'
+    string columns are recovered from; defaults to ``cand`` itself (right
+    when cand is cached, as in the crawl round) — pass the cheapest
+    uh48-unique ancestor when cand's lineage is expensive to recompute."""
     from .scale import apply_wave_budgets, salted_topk_per_key
+
+    src = payload if payload is not None else cand
+    payload_cols = [c for c in ("url", "domain") if c in src.columns]
+    sched_cols = [c for c in _WAVE_SCHED_COLS if c in cand.columns]
+    wide = src.select("uh48", *payload_cols)
+    cand = cand.select(*sched_cols)
 
     order = [F.desc("priority"), F.asc("hop_count"),
              F.asc("eligible_ms"), F.asc("uh48")]
@@ -127,7 +151,12 @@ def assemble_wave_from_candidates(cand: DataFrame, cfg: CrawlConfig,
                     + F.col("ip_rank") * F.col("delay_ms"))
         .withColumn("round", F.lit(rnd))
     )
-    return wave
+    if not payload_cols:
+        return wave
+    # recover the string payload for the bounded winner set: broadcasting
+    # the <= global_cap wave rows makes this one scan of the frontier
+    # projection, no shuffle of the big side
+    return wide.join(F.broadcast(wave), "uh48", "inner")
 
 
 class CrawlRunner:

@@ -57,6 +57,17 @@ def spider_shard_col(ip_col: str, n_shards: int) -> Column:
     return F.pandas_udf(_shard, T.IntegerType())(F.col(ip_col))
 
 
+def budget_shard_col(ip_col: str, n_shards: int) -> Column:
+    """Deterministic IP→shard key for BUDGET splitting, JVM-side
+    (Murmur3).  The reference semantics being mirrored are "budgets are
+    enforced per scheduling shard" — WHICH shard an IP lands on is
+    cluster-layout detail, so the hot path avoids the Python tabulation
+    UDF (that exact hash32h mapping is the F4 catalog operator,
+    ``spider_shard_col``); what matters is a deterministic, uniform,
+    per-IP-stable key."""
+    return F.pmod(F.hash(F.col(ip_col)), F.lit(n_shards)).cast("int")
+
+
 def apply_wave_budgets(sel: DataFrame, order: list[Column], global_cap: int,
                        rule_budget_col: str | None = None,
                        n_shards: int = 1) -> DataFrame:
@@ -81,7 +92,7 @@ def apply_wave_budgets(sel: DataFrame, order: list[Column], global_cap: int,
         rule_budget = F.col(rule_budget_col) if rule_budget_col else None
         shard_cap = global_cap
     else:
-        shard = spider_shard_col("first_ip", n_shards)
+        shard = budget_shard_col("first_ip", n_shards)
         rule_budget = (F.greatest(F.lit(1),
                                   F.floor(F.col(rule_budget_col) / n_shards))
                        if rule_budget_col else None)

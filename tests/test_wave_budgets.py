@@ -7,7 +7,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from open_source_search_engine_spark.pipeline.scale import (
-    apply_wave_budgets, salted_topk_per_key, spider_shard_col)
+    apply_wave_budgets, budget_shard_col, salted_topk_per_key)
 
 
 def _frontier(spark, n=400, n_ips=10):
@@ -54,7 +54,7 @@ def test_sharded_budgets_respected(spark):
     wave = apply_wave_budgets(sel, _order(), global_cap=global_cap,
                               rule_budget_col="max_per_rule",
                               n_shards=n_shards)
-    got = (wave.withColumn("shard", spider_shard_col("first_ip", n_shards))
+    got = (wave.withColumn("shard", budget_shard_col("first_ip", n_shards))
            .collect())
     assert len(got) <= global_cap
     seqs = sorted(r["seq_in_round"] for r in got)
