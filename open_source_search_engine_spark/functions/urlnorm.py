@@ -545,6 +545,22 @@ def _looks_like_ip(host: str) -> bool:
     return True
 
 
+def domain_of_host(host: str) -> str:
+    """Registered domain of a bare hostname (Url.cpp:1185-1220 getDomain
+    split, same two-level-TLD table as normalize_url).  '' for IPs and
+    TLD-less hosts — matches ParsedUrl.domain for the same host."""
+    host = host.lower().rstrip(".")
+    if not host or _looks_like_ip(host):
+        return ""
+    parts = host.split(".")
+    if len(parts) < 2:
+        return ""
+    last2 = ".".join(parts[-2:])
+    if last2 in _TWO_LEVEL_TLDS and len(parts) >= 3:
+        return ".".join(parts[-3:])
+    return last2
+
+
 # ---------------------------------------------------------------------------
 # batch API (what the pandas_udf calls)
 # ---------------------------------------------------------------------------

@@ -47,7 +47,7 @@ from ..functions.ghash import hash32_bytes, uh48 as uh48_of
 from ..functions.outlinks import extract_outlinks
 from ..functions.robots import parse_robots
 from ..functions.urlfilters import eval_atoms, parse_expression
-from ..functions.urlnorm import normalize_url
+from ..functions.urlnorm import domain_of_host, normalize_url
 
 ERR_TMP = 32769          # retryable (in TMP_ERROR_CODES)
 ERR_NOT_FOUND = 32780    # permanent
@@ -73,6 +73,10 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
     host_ip = {h["host"]: h["first_ip"] for h in corpus.hosts}
     host_robots = {h["host"]: h["robots_txt"] or "" for h in corpus.hosts}
     host_tags = {h["host"]: tuple(h.get("tags") or ()) for h in corpus.hosts}
+    # domains whose tagdb site carries 'authority' — feeds
+    # hasauthorityinlink (Spider.cpp m_hasAuthorityInlink via Linkdb+Tagdb)
+    auth_domains = {domain_of_host(h["host"]) for h in corpus.hosts
+                    if "authority" in (h.get("tags") or ())} - {""}
     robots_cache: dict[str, object] = {}
 
     def robots_of(host: str):
@@ -93,6 +97,7 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
     cd_table: dict[str, int] = {}      # domain -> crawl delay ms (first wins)
     first_seen: dict[int, tuple[str, int]] = {}
     inlink_cblocks: dict[int, set] = {}  # uh48 -> parent-IP /24 blocks (F29)
+    auth_inlink: set[int] = set()        # uh48s linked from authority sites
 
     def add_request(url_norm: str, hop: int, added_s: int, disc_s: int,
                     parent: int | None, is_add_url: bool, round_no: int,
@@ -114,6 +119,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             # (SpiderColl.cpp:2701-2742; parent ip via the firstip map)
             inlink_cblocks.setdefault(u, set()).add(
                 _domain_ip(parent_domain) >> 8)
+            if parent_domain in auth_domains:
+                auth_inlink.add(u)
         cur = requests.get(u)
         cand = {
             "uh48": u, "url": p.url, "host": p.host, "domain": p.domain,
@@ -186,6 +193,7 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             ctx["site_pages"] = site_pages.get(req["host"], 0)
             ctx["domain_pages"] = domain_pages.get(req["domain"], 0)
             ctx["site_tags"] = host_tags.get(req["host"], ())
+            ctx["has_authority_inlink"] = u in auth_inlink
             if rep is not None:
                 ctx.update(has_reply=True, err_code=rep["err_code"],
                            err_count=rep["err_count"],

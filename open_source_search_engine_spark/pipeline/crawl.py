@@ -42,9 +42,9 @@ from ..config import (HORIZON_MS, VERSION_MIX, VERSION_PERIOD_S,
                       VOLATILE_MOD, CrawlConfig)
 from . import snapshots as snap
 from .filters import compile_rule_match, rule_arrays
-from .udfs import (domain_ip_udf, hash32_udf, make_normalize_udf,
-                   make_robots_udfs, outlinks_map_in_pandas, uh48_udf,
-                   OUTLINK_STRUCT)
+from .udfs import (domain_ip_udf, domain_of_host_udf, hash32_udf,
+                   make_normalize_udf, make_robots_udfs,
+                   outlinks_map_in_pandas, uh48_udf, OUTLINK_STRUCT)
 
 ERR_TMP = 32769
 ERR_NOT_FOUND = 32780
@@ -368,16 +368,30 @@ class CrawlRunner:
         # F29: page_num_inlinks = distinct /24 C-blocks of linking parents
         # per uh48, cap 20 (SpiderColl.cpp:2701-2742) — counted over ALL
         # stored request rows (each link occurrence), like the reference's
-        # scan; compaction collapses duplicates just like the Rdb merge
+        # scan; compaction collapses duplicates just like the Rdb merge.
+        # hasauthorityinlink (Spider.cpp m_hasAuthorityInlink; Linkdb feeds
+        # it from inlinkers whose tagdb site carries the 'authority' tag)
+        # rides the same aggregate: a link occurrence whose parent domain
+        # belongs to an authority-tagged site sets the flag.
+        auth_dom = (self.hosts
+                    .filter(F.array_contains("tags", "authority"))
+                    .select(domain_of_host_udf("host")
+                            .alias("parent_domain"))
+                    .distinct())
         pni = (requests.filter(F.col("parent_domain").isNotNull())
-               .select("uh48",
+               .join(F.broadcast(auth_dom.withColumn(
+                   "_auth", F.lit(True))), "parent_domain", "left")
+               .select("uh48", "_auth",
                        F.floor(domain_ip_udf("parent_domain") / 256)
                        .alias("cblock"))
                .groupBy("uh48")
                .agg(F.least(F.count_distinct("cblock"), F.lit(20))
-                    .alias("page_num_inlinks")))
+                    .alias("page_num_inlinks"),
+                    F.max(F.coalesce("_auth", F.lit(False)))
+                    .alias("has_authority_inlink")))
         cand = (cand.join(F.broadcast(pni), "uh48", "left")
-                .fillna({"page_num_inlinks": 0}))
+                .fillna({"page_num_inlinks": 0,
+                         "has_authority_inlink": False}))
         # F28: site/domain page quotas = distinct indexed uh48 per host /
         # domain (SpiderColl.cpp:2754-2798), feeding the sitepages /
         # domainpages rule atoms (Spider.cpp:2949-2961)

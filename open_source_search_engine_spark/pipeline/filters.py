@@ -69,9 +69,13 @@ def _flag_column(name: str) -> Column:
         # long hyphenated slug
         return (F.col("path_cgi").rlike(r"/\d{4}/\d{1,2}(/|$)")
                 | F.col("path_cgi").rlike(r"/[^/?]*(-[^/?]*){3,}(\?|$)"))
+    if name == "hasauthorityinlink":
+        # fed by the F29 aggregate in _candidates: any stored link
+        # occurrence from an authority-tagged site (Spider.cpp
+        # m_hasAuthorityInlink / Linkdb+Tagdb)
+        return F.coalesce(F.col("has_authority_inlink"), F.lit(False))
     if name in ("isrss", "ispermalink", "isdocidbased", "isreindex",
-                "isfakeip", "ispingserver", "insitelist",
-                "hasauthorityinlink"):
+                "isfakeip", "ispingserver", "insitelist"):
         # content-/index-time flags the deterministic fixture never sets
         # (no RSS parse, no docid reindex, no pingservers) — constant
         # False, matching the oracle's defaults; a deployment carrying

@@ -21,7 +21,7 @@ from ..corpus import _domain_ip
 from ..functions.ghash import hash32_bytes, uh48_bytes
 from ..functions.outlinks import extract_outlinks
 from ..functions.robots import crawl_delay_batch, robots_allowed_batch
-from ..functions.urlnorm import normalize_url
+from ..functions.urlnorm import domain_of_host, normalize_url
 
 
 @F.pandas_udf(T.LongType())
@@ -34,6 +34,13 @@ def uh48_udf(urls: pd.Series) -> pd.Series:
 @F.pandas_udf(T.LongType())
 def hash32_udf(strs: pd.Series) -> pd.Series:
     return pd.Series(hash32_bytes(strs.fillna("").str.encode("utf-8")))
+
+
+@F.pandas_udf(T.StringType())
+def domain_of_host_udf(hosts: pd.Series) -> pd.Series:
+    """Registered domain of a hostname (Url.cpp getDomain split) — used to
+    map the tagdb hosts dimension to per-domain authority status."""
+    return hosts.fillna("").map(domain_of_host)
 
 
 @F.pandas_udf(T.LongType())
