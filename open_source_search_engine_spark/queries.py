@@ -592,6 +592,26 @@ def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs_long(spark, sf_dir)).orderBy("doc_id")
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE training (Sennrich 2016): distributed word-freq table ->
+    bounded deterministic collect -> merge learning; the learned merge
+    table IS the checkable artifact."""
+    from .training.bpe import train_bpe
+    merges = train_bpe(_docs_long(spark, sf_dir), n_merges=200)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string").orderBy("rank")
+
+
+def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode: per-doc pre-token/BPE-piece counts plus the
+    leading pieces (broadcast ranks, mapInPandas, no shuffle)."""
+    from .training.bpe import apply_bpe, train_bpe
+    docs = _docs_long(spark, sf_dir)
+    merges = train_bpe(docs, n_merges=200)
+    return apply_bpe(docs, merges).orderBy("doc_id")
+
+
 def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training.textqual import quality_signals
     register_views(spark, sf_dir)
@@ -626,6 +646,8 @@ GOLDEN_QUERIES: list[tuple[str, Callable, str]] = [
     ("dedup_simhash_pairs", _dedup_simhash_pairs, "doc_a, doc_b"),
     ("lang_id_ngram", _lang_id, "doc_id"),
     ("token_count_bpe", _token_counts, "doc_id"),
+    ("bpe_train_merges", _bpe_merges, "rank"),
+    ("bpe_tokenize", _bpe_tokenize, "doc_id"),
     ("text_quality_catalyst", _quality, "doc_id"),
     ("embed_ann_lsh", _embed_ann, "dot_q DESC, vec_id"),
     ("multimodal_features", _multimodal_features, "media_id"),
