@@ -727,6 +727,18 @@ def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("va", "vb"))
 
 
+def _embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding near-dup path: banded sign-LSH blocking (no
+    label column needed — the block key is derived from the vector) +
+    exact integer-Gram verify per bucket.  Precision is exact; recall is
+    the banding dial (4 bands x 8 planes here)."""
+    from .training.simsearch import lsh_neardup_pairs
+    register_views(spark, sf_dir)
+    return (lsh_neardup_pairs(spark.table("embeddings"),
+                              min_dot_q=150000, n_bands=4, band_planes=8)
+            .orderBy("va", "vb"))
+
+
 _register("dedup_embed_cosine_pairs", _embed_neardup_spark, """
 WITH pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -952,6 +964,8 @@ def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("dedup_pipeline_keepers", _dedup_keepers, "doc_id")
+_register_golden("dedup_embed_cosine_pairs_lsh", _embed_neardup_lsh,
+                 "va, vb")
 
 
 def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,6 +88,91 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
+# banded sign-LSH near-duplicate pairs — the 100 TB embedding-dedup path
+# (no label/source blocking: the block key is derived from the vector)
+# ---------------------------------------------------------------------------
+
+# separate fixed-seed hyperplane matrix for the near-dup bands so the
+# ANN bucket assignments above (and their goldens) stay byte-stable
+_DEDUP_PLANES = np.random.RandomState(0xDED0).standard_normal((DIM, 32))
+
+PAIR_SCHEMA = T.StructType([
+    T.StructField("va", T.LongType()),
+    T.StructField("vb", T.LongType()),
+    T.StructField("dot_q", T.LongType()),
+])
+
+
+def gram_block_pairs(min_dot_q: int):
+    """Within-block all-pairs kernel: ONE NumPy/BLAS Gram matmul per block
+    over the integer-quantized vectors (exact in float64: |dot| <=
+    64*4000^2 << 2^53), emit pairs with dot_q >= min_dot_q."""
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        q = np.stack(pdf["qvec"].values).astype(np.float64)
+        gram = q @ q.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        dots = gram[ia, ib].astype(np.int64)
+        keep = dots >= min_dot_q
+        return pd.DataFrame({"va": ids[ia[keep]], "vb": ids[ib[keep]],
+                             "dot_q": dots[keep]})
+    return _block_pairs
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    """Per-vector integer quantization (one pass, exact HALF_UP round) so
+    every pair kernel downstream is pure integer arithmetic."""
+    return emb.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double") * 1000).cast("long"))
+        .alias("qvec"))
+
+
+def _band_buckets(emb: DataFrame, band: int, band_planes: int) -> DataFrame:
+    planes = _DEDUP_PLANES[:, band * band_planes:(band + 1) * band_planes]
+
+    def _bucket(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            mat = np.stack(batch["embedding"].values).astype(np.float64)
+            signs = (mat @ planes) > 0
+            buckets = (signs.astype(np.int64)
+                       * (1 << np.arange(band_planes, dtype=np.int64))
+                       ).sum(axis=1)
+            yield pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
+                                "bucket": buckets})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _bucket, schema=BUCKET_SCHEMA)
+
+
+def lsh_neardup_pairs(emb: DataFrame, min_dot_q: int = 150000,
+                      n_bands: int = 4, band_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs with LSH-bucket blocking (the scale
+    path — candidate generation never materializes O(n^2)).
+
+    Banding gives the recall dial, exactly like MinHash-LSH: a pair
+    collides if ANY of the ``n_bands`` sign-bucket bands agrees on all its
+    ``band_planes`` bits (pair-collision prob = 1-(1-p^r)^b with p =
+    1 - theta/pi); the exact integer Gram verify inside each bucket kills
+    false positives, so precision is exact and only recall is
+    probabilistic.  Size band_planes ~ log2(n_vectors / target_bucket)
+    at scale; the distinct() dedups pairs found by several bands."""
+    quant = quantized(emb)
+    kernel = gram_block_pairs(min_dot_q)
+    per_band = [
+        quant.join(_band_buckets(emb, band, band_planes), "vec_id")
+        .groupBy("bucket").applyInPandas(kernel, schema=PAIR_SCHEMA)
+        for band in range(n_bands)
+    ]
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+# ---------------------------------------------------------------------------
 
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
                   sample: int = 512) -> np.ndarray:

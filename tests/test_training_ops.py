@@ -273,3 +273,43 @@ def test_trigram_langid_broad_coverage():
     assert identify_language("") == ("unknown", 0)
     # determinism
     assert identify_language(cases["fr"]) == identify_language(cases["fr"])
+
+
+def test_lsh_neardup_pairs_planted_and_exact_precision(spark):
+    """Banded sign-LSH embedding near-dup (the no-label 100 TB path):
+    planted high-cosine duplicates are recovered (an identical copy shares
+    every band bucket, so recall for true dups is structural, not luck),
+    and every emitted pair passes the exact integer-Gram threshold —
+    precision is exact by construction."""
+    import numpy as np
+
+    from open_source_search_engine_spark.training.simsearch import (
+        lsh_neardup_pairs)
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = list(base)
+    # plant: ids 40/41 are exact copies of 0/1; id 42 is a 0.99-cosine
+    # perturbation of vector 2
+    vecs.append(base[0])
+    vecs.append(base[1])
+    v = base[2] + 0.08 * rng.standard_normal(64)
+    vecs.append(v / np.linalg.norm(v))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {(r["va"], r["vb"]): r["dot_q"]
+           for r in lsh_neardup_pairs(emb, min_dot_q=900000).collect()}
+    assert (0, 40) in got and (1, 41) in got   # exact copies always collide
+    assert got[(0, 40)] >= 990000
+    # exact verify: recompute every emitted dot from the quantized vectors
+    q = {i: np.round(np.array(v, dtype=np.float32).astype(np.float64) * 1000)
+         for i, v in rows}
+    for (a, b), dot in got.items():
+        assert int(q[a] @ q[b]) == dot
+        assert dot >= 900000
+    # determinism
+    again = {(r["va"], r["vb"]): r["dot_q"]
+             for r in lsh_neardup_pairs(emb, min_dot_q=900000).collect()}
+    assert again == got
