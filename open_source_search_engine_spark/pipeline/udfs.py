@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..corpus import _domain_ip
+from ..functions.charset import decode_batch
 from ..functions.ghash import hash32_bytes, uh48_bytes
 from ..functions.outlinks import extract_outlinks
 from ..functions.robots import crawl_delay_batch, robots_allowed_batch
@@ -143,3 +144,28 @@ def outlinks_map_in_pandas(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         if len(df):
             df["uh48"] = uh48_bytes(df["url"].str.encode("utf-8"))
         yield df
+
+
+# decoded-page struct for the charset stage (getCharset/Unicode.cpp: every
+# fetched body converts to unicode text before link harvest and indexing)
+CHARSET_STRUCT = T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("charset", T.StringType()),
+    T.StructField("charset_source", T.StringType()),
+])
+
+
+def charset_decode_map_in_pandas(iterator: Iterator[pd.DataFrame]
+                                 ) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (raw binary, content_type) → (text, charset,
+    charset_source).  Pass-through columns ride alongside: the input batch
+    is yielded back with the three decoded columns appended."""
+    for batch in iterator:
+        cols = decode_batch(
+            [bytes(b) if b is not None else b"" for b in batch["raw"]],
+            list(batch.get("content_type",
+                           pd.Series([None] * len(batch)))))
+        out = batch.drop(columns=["raw", "content_type"], errors="ignore")
+        for k, v in cols.items():
+            out[k] = pd.Series(v, dtype="object")
+        yield out

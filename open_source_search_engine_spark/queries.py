@@ -592,6 +592,80 @@ def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs_long(spark, sf_dir)).orderBy("doc_id")
 
 
+def _charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + decode (XmlDoc getCharset → iana_charset alias →
+    Unicode conversion): deterministic raw page bytes are synthesized from
+    the documents table in five encodings/declaration styles (utf-8 plain,
+    BOM'd utf-16-le, http-header latin-1 (→cp1252 per HTML5), meta-tag
+    windows-1252, http-header shift_jis), then decoded by the production
+    kernel.  round_trip proves the detected codec reproduced the original
+    text exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .pipeline.udfs import charset_decode_map_in_pandas
+
+    raw_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("raw", T.BinaryType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("expected", T.StringType()),
+    ])
+
+    def _synth(it):
+        for batch in it:
+            ids, raws, ctypes, exps = [], [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+                v = int(doc_id) % 5
+                if v == 0:          # plain utf-8, no declaration
+                    body, ctype = text + " café", None
+                    raw = body.encode("utf-8")
+                elif v == 1:        # BOM'd utf-16-le
+                    body, ctype = text + " café", None
+                    raw = b"\xff\xfe" + body.encode("utf-16-le")
+                elif v == 2:        # http header declares latin-1
+                    body = text + " café"
+                    ctype = "text/html; charset=iso-8859-1"
+                    raw = body.encode("cp1252", errors="replace")
+                    body = raw.decode("cp1252")
+                elif v == 3:        # meta tag declares windows-1252
+                    body = ('<meta charset="windows-1252">' + text + " café")
+                    ctype = "text/html"
+                    raw = body.encode("cp1252", errors="replace")
+                    body = raw.decode("cp1252")
+                else:               # http header declares x-sjis alias
+                    body = text + " テスト"
+                    ctype = "text/html; charset=x-sjis"
+                    raw = body.encode("shift_jis", errors="replace")
+                    body = raw.decode("shift_jis")
+                ids.append(int(doc_id))
+                raws.append(raw)
+                ctypes.append(ctype)
+                exps.append(body)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "raw": pd.Series(raws, dtype="object"),
+                                "content_type": pd.Series(ctypes,
+                                                          dtype="object"),
+                                "expected": pd.Series(exps, dtype="object")})
+
+    raw_pages = _docs_long(spark, sf_dir).mapInPandas(_synth,
+                                                      schema=raw_schema)
+    decode_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("expected", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("charset", T.StringType()),
+        T.StructField("charset_source", T.StringType()),
+    ])
+    decoded = raw_pages.mapInPandas(charset_decode_map_in_pandas,
+                                    schema=decode_schema)
+    return (decoded.select(
+                "doc_id", "charset", "charset_source",
+                F.length("text").cast("long").alias("n_chars"),
+                (F.col("text") == F.col("expected")).alias("round_trip"))
+            .orderBy("doc_id"))
+
+
 def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE training (Sennrich 2016): distributed word-freq table ->
     bounded deterministic collect -> merge learning; the learned merge
@@ -648,6 +722,7 @@ GOLDEN_QUERIES: list[tuple[str, Callable, str]] = [
     ("token_count_bpe", _token_counts, "doc_id"),
     ("bpe_train_merges", _bpe_merges, "rank"),
     ("bpe_tokenize", _bpe_tokenize, "doc_id"),
+    ("content_charset_decode", _charset_decode, "doc_id"),
     ("text_quality_catalyst", _quality, "doc_id"),
     ("embed_ann_lsh", _embed_ann, "dot_q DESC, vec_id"),
     ("multimodal_features", _multimodal_features, "media_id"),
