@@ -90,4 +90,10 @@ class CrawlConfig:
     # shard count so per-rule/global budget windows never sort one
     # unbounded partition (host-local doledb, Hostdb.cpp:1761-1765)
     n_wave_shards: int = 1
+    # F7/S3 merge cadence: physically compact the request/reply log every
+    # N completed rounds (the reference merges Rdb files on a size trigger,
+    # RdbMerge.cpp; a round count is the batch analogue).  0 = only when
+    # the caller asks.  Compaction is semantics-preserving, so any cadence
+    # yields byte-identical crawl order.
+    compact_every: int = 0
     url_filters: list[UrlFilterRule] = field(default_factory=default_url_filters)

@@ -574,6 +574,13 @@ class CrawlRunner:
             stats = self._run_round(m)
             if progress:
                 progress(stats)
+            # periodic Rdb-merge analogue: bound the per-round re-read cost
+            # (each round unions all live generations) by rewriting the log
+            # to its keep-rule base every compact_every rounds
+            if (cfg.compact_every and not m.finished
+                    and m.completed_rounds % cfg.compact_every == 0):
+                self.compact()
+                m = snap.load_manifest(self.state_dir)
         return m
 
     def step(self) -> RoundStats | None:

@@ -118,6 +118,26 @@ def test_compaction_preserves_crawl(spark, small_corpus, cfg, oracle_out,
     assert got_seen == want_seen
 
 
+def test_compaction_cadence_in_run(spark, small_corpus, cfg, oracle_out,
+                                   tmp_path_factory):
+    """cfg.compact_every wires the Rdb-merge cadence into run(): compacting
+    every 2 rounds still matches the oracle byte-for-byte."""
+    import dataclasses
+
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+    _, corpus_dir = small_corpus
+    state = str(tmp_path_factory.mktemp("ccstate"))
+    runner = CrawlRunner(spark, corpus_dir, state,
+                         dataclasses.replace(cfg, compact_every=2))
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order().collect())
+    want = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in oracle_out.crawl_order)
+    assert got == want
+
+
 def test_crawl_discovers_beyond_seeds(oracle_out, small_corpus):
     c, _ = small_corpus
     assert len(oracle_out.url_seen) > len(c.seeds)
