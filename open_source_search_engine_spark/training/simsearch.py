@@ -130,21 +130,37 @@ def quantized(emb: DataFrame) -> DataFrame:
         .alias("qvec"))
 
 
-def _band_buckets(emb: DataFrame, band: int, band_planes: int) -> DataFrame:
-    planes = _DEDUP_PLANES[:, band * band_planes:(band + 1) * band_planes]
+_BAND_BUCKET_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("band", T.IntegerType()),
+    T.StructField("bucket", T.LongType()),
+])
+
+
+def _all_band_buckets(emb: DataFrame, n_bands: int,
+                      band_planes: int) -> DataFrame:
+    """(vec_id, band, bucket) for EVERY band in ONE Arrow pass: one
+    matmul against the full n_bands*band_planes plane matrix per batch,
+    then a reshape — not one scan per band."""
+    planes = _DEDUP_PLANES[:, :n_bands * band_planes]
+    weights = 1 << np.arange(band_planes, dtype=np.int64)
 
     def _bucket(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in it:
             mat = np.stack(batch["embedding"].values).astype(np.float64)
-            signs = (mat @ planes) > 0
-            buckets = (signs.astype(np.int64)
-                       * (1 << np.arange(band_planes, dtype=np.int64))
-                       ).sum(axis=1)
-            yield pd.DataFrame({"vec_id": batch["vec_id"].astype("int64"),
-                                "bucket": buckets})
+            signs = (mat @ planes) > 0          # (n, bands*planes)
+            buckets = (signs.reshape(len(mat), n_bands, band_planes)
+                       .astype(np.int64) * weights).sum(axis=2)
+            ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32),
+                                len(mat)),
+                "bucket": buckets.reshape(-1),
+            })
 
     return emb.select("vec_id", "embedding").mapInPandas(
-        _bucket, schema=BUCKET_SCHEMA)
+        _bucket, schema=_BAND_BUCKET_SCHEMA)
 
 
 def lsh_neardup_pairs(emb: DataFrame, min_dot_q: int = 150000,
@@ -158,18 +174,18 @@ def lsh_neardup_pairs(emb: DataFrame, min_dot_q: int = 150000,
     1 - theta/pi); the exact integer Gram verify inside each bucket kills
     false positives, so precision is exact and only recall is
     probabilistic.  Size band_planes ~ log2(n_vectors / target_bucket)
-    at scale; the distinct() dedups pairs found by several bands."""
+    at scale.
+
+    Plan shape: ONE bucket-assignment scan (all bands per Arrow batch),
+    ONE shuffle keyed (band, bucket), the Gram kernel per group, then
+    distinct() to dedup pairs found by several bands."""
     quant = quantized(emb)
     kernel = gram_block_pairs(min_dot_q)
-    per_band = [
-        quant.join(_band_buckets(emb, band, band_planes), "vec_id")
-        .groupBy("bucket").applyInPandas(kernel, schema=PAIR_SCHEMA)
-        for band in range(n_bands)
-    ]
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    blocked = quant.join(_all_band_buckets(emb, n_bands, band_planes),
+                         "vec_id")
+    return (blocked.groupBy("band", "bucket")
+            .applyInPandas(kernel, schema=PAIR_SCHEMA)
+            .distinct())
 
 
 # ---------------------------------------------------------------------------
