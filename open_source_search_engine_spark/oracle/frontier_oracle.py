@@ -77,6 +77,14 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
     # hasauthorityinlink (Spider.cpp m_hasAuthorityInlink via Linkdb+Tagdb)
     auth_domains = {domain_of_host(h["host"]) for h in corpus.hosts
                     if "authority" in (h.get("tags") or ())} - {""}
+    # seed site list → registered-domain table (Spider.cpp:1631-1750
+    # updateSiteListBuf / m_siteListDomTable); empty list matches all
+    site_list_domains: set[str] = set()
+    for s in corpus.seeds:
+        p = normalize_url(s["url"], strip_params=True,
+                          strip_common_file=True)
+        if p is not None and p.domain:
+            site_list_domains.add(p.domain)
     robots_cache: dict[str, object] = {}
 
     def robots_of(host: str):
@@ -194,6 +202,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             ctx["domain_pages"] = domain_pages.get(req["domain"], 0)
             ctx["site_tags"] = host_tags.get(req["host"], ())
             ctx["has_authority_inlink"] = u in auth_inlink
+            ctx["in_site_list"] = (not site_list_domains
+                                   or req["domain"] in site_list_domains)
             if rep is not None:
                 ctx.update(has_reply=True, err_code=rep["err_code"],
                            err_count=rep["err_count"],

@@ -185,6 +185,18 @@ class CrawlRunner:
             os.path.join(corpus_dir, "outcomes.parquet")).cache()
         self._robots_compiled_at_ms: int | None = None
         self.robots_refreshes = 0
+        # site list = the seed list's registered domains
+        # (Spider.cpp:1631-1750 updateSiteListBuf → m_siteListDomTable;
+        # PageBasic.cpp getMatchingUrlPattern dom fast path) — feeds the
+        # `insitelist` rule atom.  Empty list = user is spidering the whole
+        # internet → every URL matches (Spider.cpp:2426-2428).
+        seeds = spark.read.parquet(os.path.join(corpus_dir, "seeds.parquet"))
+        self.site_list_domains = (
+            seeds.select(self._normalize("url").alias("n"))
+            .select(F.col("n.domain").alias("domain"))
+            .filter(F.col("domain").isNotNull() & (F.col("domain") != ""))
+            .distinct().cache())
+        self._site_list_empty = self.site_list_domains.limit(1).count() == 0
 
     def _maybe_refresh_robots(self, now_ms: int) -> None:
         """F19: the robots cache has a 24 h TTL (Msg13.cpp:477-484).  When
@@ -329,6 +341,14 @@ class CrawlRunner:
                .join(F.broadcast(self.hosts.select(
                    "host", F.col("tags").alias("site_tags"))),
                    "host", "left"))
+        # insitelist (Spider.cpp:2418-2441): domain membership in the seed
+        # site list; an empty list matches everything
+        if self._site_list_empty:
+            req = req.withColumn("in_site_list", F.lit(True))
+        else:
+            req = (req.join(F.broadcast(self.site_list_domains.withColumn(
+                       "in_site_list", F.lit(True))), "domain", "left")
+                   .fillna({"in_site_list": False}))
         if replies is not None:
             rep = self._latest_reply(replies).select(
                 "uh48", "err_code", "err_count", "http_status", "is_indexed",

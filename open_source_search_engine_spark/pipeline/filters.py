@@ -74,8 +74,12 @@ def _flag_column(name: str) -> Column:
         # occurrence from an authority-tagged site (Spider.cpp
         # m_hasAuthorityInlink / Linkdb+Tagdb)
         return F.coalesce(F.col("has_authority_inlink"), F.lit(False))
+    if name == "insitelist":
+        # seed-site-list domain membership (Spider.cpp:2418-2441 via the
+        # m_siteListDomTable fast path), joined on in _candidates
+        return F.coalesce(F.col("in_site_list"), F.lit(False))
     if name in ("isrss", "ispermalink", "isdocidbased", "isreindex",
-                "isfakeip", "ispingserver", "insitelist"):
+                "isfakeip", "ispingserver"):
         # content-/index-time flags the deterministic fixture never sets
         # (no RSS parse, no docid reindex, no pingservers) — constant
         # False, matching the oracle's defaults; a deployment carrying

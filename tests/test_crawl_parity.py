@@ -264,6 +264,58 @@ def test_authority_inlink_ladder_parity(spark, tmp_path_factory):
     assert any("mega.example" not in r["url_norm"] for r in fired)
 
 
+def test_insitelist_ladder_parity(spark, tmp_path_factory):
+    """insitelist reads the real seed site list (Spider.cpp:2418-2441 via
+    the site-list dom table): the classic 'only spider my sites' ladder
+    (`!insitelist` force-deletes) visibly confines the crawl to the seed
+    domains, with exact oracle parity."""
+    from open_source_search_engine_spark.config import (CrawlConfig,
+                                                        UrlFilterRule,
+                                                        default_url_filters)
+    from open_source_search_engine_spark.corpus import (generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.functions.urlnorm import (
+        normalize_url)
+    from open_source_search_engine_spark.oracle import run_oracle
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+
+    rules = [
+        UrlFilterRule("!insitelist", 1, force_delete=True),
+        *default_url_filters(),
+    ]
+    cfg = CrawlConfig(max_rounds=6, url_filters=rules)
+    c = generate_corpus(seed=17, n_domains=7, n_urls=110)
+    # shrink the site list to 3 domains so cross-domain outlinks create
+    # genuine out-of-list candidates (the stock corpus seeds every domain)
+    keep = {"mega.example", "a0.example", "a1.example"}
+    c.seeds = [s for s in c.seeds
+               if normalize_url(s["url"], strip_params=True,
+                                strip_common_file=True).domain in keep]
+    want = run_oracle(c, cfg)
+    cd = str(tmp_path_factory.mktemp("slcorpus"))
+    sd = str(tmp_path_factory.mktemp("slstate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, cfg)
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order().collect())
+    want_rows = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in want.crawl_order)
+    assert got == want_rows
+    # confinement is real: every scheduled URL is on a seed domain, and
+    # the unrestricted ladder reaches more domains
+    seed_doms = {normalize_url(s["url"], strip_params=True,
+                               strip_common_file=True).domain
+                 for s in c.seeds}
+    def doms(rows):
+        return {normalize_url(r["url_norm"]).domain for r in rows}
+    assert doms(want.crawl_order) <= seed_doms
+    base = run_oracle(c, CrawlConfig(max_rounds=6))
+    assert len(doms(base.crawl_order)) > len(doms(want.crawl_order))
+    assert doms(want.crawl_order) == keep
+
+
 def test_tag_atom_ladder_parity(spark, tmp_path_factory):
     """S8 tag: atoms read the real tags dimension: a 'tag:authority' rule
     re-prioritizes the authority domain identically in oracle and Spark."""

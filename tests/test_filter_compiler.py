@@ -64,6 +64,7 @@ def _candidates():
             "domain_pages": (i * 11) % 60,
             "site_tags": ["authority"] if i % 5 == 0 else [],
             "has_authority_inlink": i % 9 == 0,
+            "in_site_list": i % 4 == 0,
             "percent_changed_per_day": (i * 17) % 101,
             "last_spider_time_s": 1_700_000_000 + (i % 5) * 500,
             "discovery_time": NOW_S - (i % 4) * 40000,
