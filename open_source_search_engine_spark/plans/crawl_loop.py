@@ -40,7 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     from ..pipeline.crawl import CrawlRunner
     from ..session import get_spark
 
-    cfg = CrawlConfig(max_rounds=args.rounds)
+    cfg = CrawlConfig(max_rounds=args.rounds,
+                      compact_every=args.compact_every)
     corpus = generate_corpus(seed=args.seed, n_domains=args.n_domains,
                              n_urls=args.n_urls)
     corpus_dir = args.corpus_dir or tempfile.mkdtemp(prefix="crawl_corpus_")
@@ -54,12 +55,10 @@ def main(argv: list[str] | None = None) -> int:
                          use_bloom_seen=args.bloom)
 
     def progress(st):
+        # compaction cadence runs INSIDE CrawlRunner.run (cfg.compact_every)
+        # where the manifest handoff is safe — not from this callback
         print(f"round={st.round:3d} wave={st.wave_rows:5d} "
               f"new_requests={st.new_requests:5d} jumped={st.jumped}")
-        if (args.compact_every and st.wave_rows
-                and (st.round + 1) % args.compact_every == 0):
-            runner.compact()
-            print(f"  compacted after round {st.round}")
 
     m = runner.run(progress=progress)
     n_sched = runner.crawl_order().count()
