@@ -84,7 +84,12 @@ class CrawlConfig:
     crawl_delay_cap_ms: int = CRAWL_DELAY_CAP_MS
     user_agent: str = USER_AGENT
     fetch_duration_ms: int = FETCH_DURATION_MS
-    round_interval_ms: int = 0       # 0 = next round starts when prior ends
+    # micro-batch trigger cadence: round R+1's clock starts no earlier
+    # than round R's start + this (0 = next round starts when the prior
+    # round's fetches end) — the batch analogue of the reference's spider
+    # loop re-entering on a timer; lets long-TTL behaviors (robots 24 h
+    # refresh, respider frequencies) be exercised in few rounds
+    round_interval_ms: int = 0
     # F14 budget sharding (scale.apply_wave_budgets): 1 = single-queue
     # reference semantics (fixture parity); production sets the scheduling
     # shard count so per-rule/global budget windows never sort one

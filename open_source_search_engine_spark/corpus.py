@@ -119,7 +119,19 @@ def generate_corpus(
             hosts.append({"host": h, "first_ip": ip,
                           "robots_txt": robots_by_host.get(
                               h, robots_by_domain[d]),
-                          "tags": tags})
+                          "tags": tags,
+                          "robots_txt_after": None,
+                          "robots_change_at_s": None})
+
+    # F19 fixture: one domain REWRITES its robots.txt 12 h into the crawl
+    # (new Crawl-delay + a fresh Disallow).  The crawler only sees it at
+    # the next 24 h TTL refresh (Msg13.cpp:477-484) — crawls whose clock
+    # never crosses the TTL are unaffected.
+    for h in hosts:
+        if h["host"] == "www.a1.example":
+            h["robots_txt_after"] = ("User-agent: *\nCrawl-delay: 4\n"
+                                     "Disallow: /dir3/\n")
+            h["robots_change_at_s"] = BASE_TIME_S + 12 * 3600
 
     # --- URL universe ----------------------------------------------------
     n_mega = int(n_urls * mega_share)
@@ -281,7 +293,9 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
         pa.Table.from_pylist(corpus.hosts, schema=pa.schema(
             [("host", pa.string()), ("first_ip", pa.int64()),
              ("robots_txt", pa.string()),
-             ("tags", pa.list_(pa.string()))])),
+             ("tags", pa.list_(pa.string())),
+             ("robots_txt_after", pa.string()),
+             ("robots_change_at_s", pa.int64())])),
         os.path.join(out_dir, "hosts.parquet"))
     pq.write_table(
         pa.Table.from_pylist(corpus.seeds, schema=pa.schema(

@@ -40,8 +40,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..config import (HORIZON_MS, VERSION_MIX, VERSION_PERIOD_S,
-                      VOLATILE_MOD, CrawlConfig, TMP_ERROR_CODES)
+from ..config import (HORIZON_MS, ROBOTS_TTL_S, VERSION_MIX,
+                      VERSION_PERIOD_S, VOLATILE_MOD, CrawlConfig,
+                      TMP_ERROR_CODES)
 from ..corpus import Corpus, _domain_ip
 from ..functions.ghash import hash32_bytes, uh48 as uh48_of
 from ..functions.outlinks import extract_outlinks
@@ -71,7 +72,23 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
     parsed_rules = [parse_expression(r.expression) for r in rules]
 
     host_ip = {h["host"]: h["first_ip"] for h in corpus.hosts}
-    host_robots = {h["host"]: h["robots_txt"] or "" for h in corpus.hosts}
+
+    # F19: the robots CACHE — bodies effective at the last compile clock;
+    # a host's (robots_txt_after, robots_change_at_s) rewrite is only seen
+    # when the crawl clock crosses the 24 h TTL (Msg13.cpp:477-484)
+    def _effective_robots(now_s: int) -> dict[str, str]:
+        cur: dict[str, str] = {}
+        for h in corpus.hosts:
+            txt = h["robots_txt"] or ""
+            after = h.get("robots_txt_after")
+            at = h.get("robots_change_at_s")
+            if after is not None and at is not None and at <= now_s:
+                txt = after
+            cur[h["host"]] = txt
+        return cur
+
+    host_robots = _effective_robots(cfg.wave_start_ms // 1000)
+    robots_cached_at_ms: int | None = None
     host_tags = {h["host"]: tuple(h.get("tags") or ()) for h in corpus.hosts}
     # domains whose tagdb site carries 'authority' — feeds
     # hasauthorityinlink (Spider.cpp m_hasAuthorityInlink via Linkdb+Tagdb)
@@ -170,6 +187,12 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
 
     for round_no in range(cfg.max_rounds):
         now_s = wave_start // 1000
+        # F19 TTL refresh — mirrors CrawlRunner._maybe_refresh_robots
+        if robots_cached_at_ms is None:
+            robots_cached_at_ms = wave_start
+        elif wave_start - robots_cached_at_ms > ROBOTS_TTL_S * 1000:
+            host_robots = _effective_robots(now_s)
+            robots_cached_at_ms = wave_start
         # sniTable (SpiderColl.cpp:580-610): distinct external linking
         # domains per host over the deduped frontier, capped 255
         site_inlinks: dict[str, set] = {}
@@ -250,7 +273,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
 
         if not eligible:
             if min_future is not None and min_future - wave_start <= HORIZON_MS:
-                wave_start = min_future
+                wave_start = max(min_future,
+                                 wave_start + cfg.round_interval_ms)
                 continue
             break
 
@@ -390,7 +414,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             cd_table[dom] = cdv
 
         out.rounds = round_no + 1
-        wave_start = max(wave_start + 1, max_end)
+        wave_start = max(wave_start + 1, max_end,
+                         wave_start + cfg.round_interval_ms)
 
     out.url_seen = [
         {"uh48": u, "url_norm": v[0], "first_seen_round": v[1]}

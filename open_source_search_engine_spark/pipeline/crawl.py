@@ -173,12 +173,11 @@ class CrawlRunner:
         self._robots_allowed, self._robots_delay = make_robots_udfs(
             self.cfg.user_agent)
         # dims — hosts gets its robots crawl-delay compiled once (F17/F19:
-        # robots are cached per host, 24 h TTL in prod)
-        self.hosts = (
-            spark.read.parquet(os.path.join(corpus_dir, "hosts.parquet"))
-            .withColumn("robots_delay_ms", self._robots_delay("robots_txt"))
-            .cache()
-        )
+        # robots are cached per host, 24 h TTL); a host whose robots body
+        # CHANGES mid-crawl (robots_txt_after / robots_change_at_s corpus
+        # columns) is picked up at the next TTL refresh, not before —
+        # exactly the reference's cache behavior
+        self.hosts = self._compile_hosts(self.cfg.wave_start_ms // 1000)
         self.docs = spark.read.parquet(
             os.path.join(corpus_dir, "docs.parquet"))
         self.outcomes = spark.read.parquet(
@@ -198,25 +197,40 @@ class CrawlRunner:
             .distinct().cache())
         self._site_list_empty = self.site_list_domains.limit(1).count() == 0
 
+    def _compile_hosts(self, now_s: int) -> DataFrame:
+        """Compile the per-host robots dimension EFFECTIVE at ``now_s``: a
+        host carrying (robots_txt_after, robots_change_at_s) serves the new
+        body once the compile clock passes the change time — the webserver
+        changed its file; whether the crawler SEES it is gated by the 24 h
+        cache TTL in _maybe_refresh_robots."""
+        raw = self.spark.read.parquet(
+            os.path.join(self.corpus_dir, "hosts.parquet"))
+        if "robots_txt_after" in raw.columns:
+            raw = raw.withColumn(
+                "robots_txt",
+                F.when(F.col("robots_txt_after").isNotNull()
+                       & F.col("robots_change_at_s").isNotNull()
+                       & (F.col("robots_change_at_s") <= F.lit(now_s)),
+                       F.col("robots_txt_after"))
+                .otherwise(F.col("robots_txt")))
+        return (raw.drop("robots_txt_after", "robots_change_at_s")
+                .withColumn("robots_delay_ms",
+                            self._robots_delay("robots_txt"))
+                .cache())
+
     def _maybe_refresh_robots(self, now_ms: int) -> None:
         """F19: the robots cache has a 24 h TTL (Msg13.cpp:477-484).  When
         the crawl clock moves past the TTL, re-read and recompile the
-        per-host robots dimension — in the static-robots fixture this is a
-        no-op on results, but the cadence is the cached behavior a live
-        deployment refreshes robots bodies on."""
+        per-host robots dimension — picking up any robots bodies that
+        changed since the last compile (static hosts make it a no-op on
+        results)."""
         from ..config import ROBOTS_TTL_S
         if self._robots_compiled_at_ms is None:
             self._robots_compiled_at_ms = now_ms
             return
         if now_ms - self._robots_compiled_at_ms > ROBOTS_TTL_S * 1000:
             self.hosts.unpersist()
-            self.hosts = (
-                self.spark.read.parquet(
-                    os.path.join(self.corpus_dir, "hosts.parquet"))
-                .withColumn("robots_delay_ms",
-                            self._robots_delay("robots_txt"))
-                .cache()
-            )
+            self.hosts = self._compile_hosts(now_ms // 1000)
             self._robots_compiled_at_ms = now_ms
             self.robots_refreshes += 1
 
@@ -334,7 +348,25 @@ class CrawlRunner:
                .groupBy("host")
                .agg(F.least(F.count_distinct("parent_domain"), F.lit(255))
                     .alias("site_num_inlinks")))
-        req = (deduped.filter(F.col("robots_allowed"))
+        # robots verdict + delay are evaluated per ROUND against the
+        # CURRENT cached robots dim (the oracle checks robots_of(host) at
+        # candidate time, and the reference checks its Msg13 robots cache
+        # at spider time) — not the creation-time snapshot stored on the
+        # request row, which a TTL refresh may have superseded
+        cur = self.hosts.select(
+            "host", F.col("robots_txt").alias("_cur_robots"),
+            F.col("robots_delay_ms").alias("_cur_delay"))
+        deduped = (
+            deduped.drop("robots_delay_ms")
+            .join(F.broadcast(cur), "host", "left")
+            .withColumn("_cur_allowed",
+                        F.when(F.col("_cur_robots").isNull(), F.lit(True))
+                        .otherwise(self._robots_allowed("_cur_robots",
+                                                        "path_cgi")))
+            .withColumn("robots_delay_ms",
+                        F.coalesce(F.col("_cur_delay"), F.lit(-1)))
+            .drop("_cur_robots", "_cur_delay"))
+        req = (deduped.filter(F.col("_cur_allowed")).drop("_cur_allowed")
                .join(F.broadcast(sni), "host", "left")
                .fillna({"site_num_inlinks": 0})
                # tagdb dimension (S8/Tagdb.cpp): site tags for tag: atoms
@@ -620,7 +652,14 @@ class CrawlRunner:
     def _run_round(self, m: snap.Manifest) -> RoundStats:
         rnd = m.completed_rounds
         wave_start = m.wave_start_ms
+        if self._robots_compiled_at_ms is None and m.robots_compiled_at_ms:
+            # resume: restore the robots-cache stamp and the dim effective
+            # AT that stamp, so refresh timing matches a continuous run
+            self._robots_compiled_at_ms = m.robots_compiled_at_ms
+            self.hosts.unpersist()
+            self.hosts = self._compile_hosts(m.robots_compiled_at_ms // 1000)
         self._maybe_refresh_robots(wave_start)
+        m.robots_compiled_at_ms = self._robots_compiled_at_ms or 0
         requests = self._read_all("requests", m)
         replies = self._read_all("replies", m)
         cand = self._candidates(requests, replies, wave_start).cache()
@@ -642,7 +681,9 @@ class CrawlRunner:
                 m.completed_rounds = rnd + 1
                 if (min_future is not None
                         and min_future - wave_start <= HORIZON_MS):
-                    m.wave_start_ms = int(min_future)
+                    m.wave_start_ms = max(
+                        int(min_future),
+                        wave_start + self.cfg.round_interval_ms)
                 else:
                     m.finished = True
                 snap.commit_manifest(self.state_dir, m)
@@ -677,7 +718,12 @@ class CrawlRunner:
                     snap.round_dir(self.state_dir, "requests", rnd + 1))
                     .select("uh48", "first_ip"))
             m.completed_rounds = rnd + 1
-            m.wave_start_ms = max(wave_start + 1, int(max_end))
+            # next round's clock: prior fetches done, and no earlier than
+            # the micro-batch trigger cadence (round_interval_ms — the
+            # batch analogue of the reference's continuous spider loop
+            # re-entering SpiderLoop::spiderDoledUrls on a timer)
+            m.wave_start_ms = max(wave_start + 1, int(max_end),
+                                  wave_start + self.cfg.round_interval_ms)
             snap.commit_manifest(self.state_dir, m)
             return RoundStats(rnd, n_wave, n_new, jumped=False)
         finally:
@@ -768,6 +814,39 @@ class CrawlRunner:
         if wv is not None:
             out = out.join(wv, "round", "left")
         return out.orderBy("round")
+
+    def indexed_docs(self) -> DataFrame:
+        """Titledb analogue: the pages the crawl actually INDEXED — the
+        latest reply per uh48 with ``is_indexed`` (XmlDoc indexes the doc
+        into titledb/posdb after a good download, XmlDoc.cpp indexDoc
+        path) — joined back to the docs dimension for their span content.
+
+        Returns (uh48, url, spans, text) where ``text`` is the
+        concatenation of the text spans in offset order (media_ref spans
+        excluded), ready for ``search.postings.build_postings`` /
+        ``search.summary.summarize`` — the hand-off from the crawl tier
+        to the query-serving tier."""
+        m = snap.load_manifest(self.state_dir)
+        replies = self._read_all("replies", m)
+        waves = self._read_all("waves", m)
+        if replies is None or waves is None:
+            from ..schemas import SPAN
+            return self.spark.createDataFrame([], T.StructType([
+                T.StructField("uh48", T.LongType(), False),
+                T.StructField("url", T.StringType(), False),
+                T.StructField("spans", T.ArrayType(SPAN), False),
+                T.StructField("text", T.StringType(), False)]))
+        indexed = (self._latest_reply(replies)
+                   .filter(F.col("is_indexed")).select("uh48"))
+        urls = waves.select("uh48", "url").distinct()
+        text = F.concat_ws(
+            " ",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"]))
+        return (indexed.join(urls, "uh48")
+                .join(self.docs, F.col("url") == F.col("doc_id"))
+                .select("uh48", "url", "spans", text.alias("text")))
 
     def host_final(self) -> DataFrame:
         m = snap.load_manifest(self.state_dir)

@@ -80,8 +80,10 @@ def _flag_column(name: str) -> Column:
         return F.coalesce(F.col("in_site_list"), F.lit(False))
     if name in ("isrss", "ispermalink", "isdocidbased", "isreindex",
                 "isfakeip", "ispingserver"):
-        # content-/index-time flags the deterministic fixture never sets
-        # (no RSS parse, no docid reindex, no pingservers) — constant
+        # ispingserver is constant false IN THE REFERENCE TOO
+        # (Url.cpp:2548 `bool Url::isPingServer() { return false; }`);
+        # the others are content-/injection-path flags the deterministic
+        # fixture never sets (no RSS parse, no docid reindex) — constant
         # False, matching the oracle's defaults; a deployment carrying
         # these columns swaps in F.col(...)
         return F.lit(False)

@@ -32,6 +32,9 @@ class Manifest:
     completed_rounds: int = 0          # rounds 0..completed_rounds-1 committed
     wave_start_ms: int = 0             # clock for the NEXT round
     finished: bool = False
+    robots_compiled_at_ms: int = 0     # F19 robots-cache stamp (0 = unset);
+    # persisted so a resumed crawl refreshes robots at the SAME clock a
+    # continuous run would (24 h TTL, Msg13.cpp:477-484)
     rows: dict = field(default_factory=dict)   # "requests/0" -> count
     files: dict = field(default_factory=dict)  # "waves/0" -> [file names]
 

@@ -35,6 +35,11 @@ HOSTS = T.StructType([
     T.StructField("host", T.StringType(), False),
     T.StructField("first_ip", T.LongType(), False),
     T.StructField("robots_txt", T.StringType(), True),
+    T.StructField("tags", T.ArrayType(T.StringType()), True),  # S8 tagdb
+    # F19 dynamic robots: body the webserver serves after change_at
+    # (picked up by the crawler at the next 24 h TTL refresh)
+    T.StructField("robots_txt_after", T.StringType(), True),
+    T.StructField("robots_change_at_s", T.LongType(), True),
 ])
 
 SEEDS = T.StructType([

@@ -353,7 +353,9 @@ def test_tag_atom_ladder_parity(spark, tmp_path_factory):
 def test_robots_ttl_refresh_mechanism(spark, tmp_path_factory):
     """F19: the compiled robots dimension refreshes when the crawl clock
     crosses the 24h TTL (Msg13.cpp:477-484) and not before — and a
-    refresh leaves the compiled delays identical (static robots)."""
+    refresh picks up exactly the robots bodies that changed (the corpus
+    rewrites www.a1.example's Crawl-delay to 4 s at +12 h; every other
+    host is static)."""
     from open_source_search_engine_spark.config import (ROBOTS_TTL_S,
                                                         CrawlConfig)
     from open_source_search_engine_spark.corpus import (generate_corpus,
@@ -375,7 +377,50 @@ def test_robots_ttl_refresh_mechanism(spark, tmp_path_factory):
     assert runner.robots_refreshes == 1
     after = sorted(tuple(r) for r in runner.hosts.select(
         "host", "robots_delay_ms").collect())
-    assert after == before
+    changed = {h for (h, d0), (h2, d1) in zip(before, after) if d0 != d1}
+    assert changed == {"www.a1.example"}
+    assert dict(after)["www.a1.example"] == 4000
+
+
+def test_robots_change_ttl_parity(spark, tmp_path_factory):
+    """F19 with robots that actually CHANGE: www.a1.example rewrites its
+    robots.txt 12 h in (Crawl-delay 4 + Disallow /dir3/).  With 10 h
+    between rounds the crawl clock crosses the 24 h TTL mid-crawl, the
+    cached dim refreshes, and /dir3/ stops being scheduled — oracle and
+    Spark byte-identical throughout."""
+    from open_source_search_engine_spark.config import CrawlConfig
+    from open_source_search_engine_spark.corpus import (generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.oracle import run_oracle
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+
+    cfg = CrawlConfig(max_rounds=8, round_interval_ms=10 * 3600 * 1000)
+    c = generate_corpus(seed=23, n_domains=6, n_urls=160)
+    want = run_oracle(c, cfg)
+    cd = str(tmp_path_factory.mktemp("rtcorpus"))
+    sd = str(tmp_path_factory.mktemp("rtstate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, cfg)
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order().collect())
+    want_rows = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in want.crawl_order)
+    assert got == want_rows
+    assert runner.robots_refreshes >= 1
+    # the rewrite is visible: a1/dir3 URLs scheduled before the refresh
+    # round, never after (the new Disallow gates them)
+    refresh_ms = cfg.wave_start_ms + 24 * 3600 * 1000
+    a1dir3 = [r for r in want.crawl_order
+              if "a1.example/dir3" in r["url_norm"]]
+    assert a1dir3, "fixture must exercise /dir3/ on a1 before the change"
+    assert all(r["fetch_at_ms"] < refresh_ms + 10 * 3600 * 1000
+               for r in a1dir3)
+    # and some a1 dir3 URL was discovered but left unscheduled
+    seen_urls = {r["url_norm"] for r in want.url_seen}
+    sched_urls = {r["url_norm"] for r in want.crawl_order}
+    assert any("a1.example/dir3" in u for u in seen_urls - sched_urls)
 
 
 def test_change_rate_ladder_parity(spark, tmp_path_factory):
