@@ -1052,3 +1052,79 @@ def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("q5_result_summaries", _summaries, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Link-graph tier (Linkdb.cpp / Msg25 / siteRank): inlink aggregation and
+# an integer-arithmetic PageRank over a deterministic link graph derived
+# from the frontier (each page links to 3 modular targets).  Integer
+# floor-division ranks are bit-identical across engines — the oracle is
+# the same power iteration unrolled as a chain of CTEs.
+# ---------------------------------------------------------------------------
+
+_LINKS_CTE = """
+, nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM frontier)
+, links AS (
+  SELECT DISTINCT f.uh AS src, (f.uh * 31 + j.j * 17) % nl.n AS dst
+  FROM frontier f, nl,
+       (SELECT 1 AS j UNION ALL SELECT 2 UNION ALL SELECT 3) j
+  WHERE (f.uh * 31 + j.j * 17) % nl.n <> f.uh
+)
+"""
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(FRONTIER_CTE + _LINKS_CTE
+                     + "SELECT src, dst FROM links")
+
+
+def _linkrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (siteRank analogue) — production graph.linkrank.pagerank
+    (join-per-superstep Pregel pattern), 3 iterations, scaled-integer
+    ranks."""
+    from .graph.linkrank import pagerank
+    edges = _link_edges(spark, sf_dir)
+    nodes = spark.sql(FRONTIER_CTE + "SELECT uh AS node FROM frontier")
+    return pagerank(edges, nodes, n_iter=3).orderBy("node")
+
+
+def _linkrank_oracle(n_iter: int = 3) -> str:
+    """The identical integer power iteration as unrolled DuckDB CTEs."""
+    from .graph.linkrank import BASE_SHARE, DAMP_DEN, DAMP_NUM, RANK_SCALE
+    parts = [FRONTIER_CTE + _LINKS_CTE]
+    parts.append("""
+, deg AS (SELECT src, COUNT(*) AS deg FROM links GROUP BY src)
+, nodes AS (SELECT uh AS node FROM frontier)
+, r0 AS (SELECT node, CAST(%d AS BIGINT) AS rank FROM nodes)
+""" % RANK_SCALE)
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+, c{i} AS (
+  SELECT l.dst AS dst, SUM(r.rank // d.deg) AS inflow
+  FROM links l
+  JOIN r{i - 1} r ON r.node = l.src
+  JOIN deg d ON d.src = l.src
+  GROUP BY l.dst)
+, r{i} AS (
+  SELECT n.node,
+         CAST({BASE_SHARE} + ({DAMP_NUM} * COALESCE(c.inflow, 0)) // {DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.dst = n.node)
+""")
+    parts.append(f"SELECT node, rank FROM r{n_iter} ORDER BY node")
+    return "".join(parts)
+
+
+def _link_inlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Msg25 inlink aggregation over the same graph: distinct inlinkers
+    per linkee (feeds numinlinks/siteNumInlinks rule atoms)."""
+    from .graph.linkrank import inlink_counts
+    return inlink_counts(_link_edges(spark, sf_dir)).orderBy("dst")
+
+
+_register("linkgraph_pagerank", _linkrank, _linkrank_oracle(3))
+_register("linkgraph_inlinks", _link_inlinks, FRONTIER_CTE + _LINKS_CTE + """
+SELECT dst, COUNT(DISTINCT src) AS n_inlinks
+FROM links GROUP BY dst ORDER BY dst
+""")
