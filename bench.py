@@ -155,7 +155,7 @@ def run_bench() -> dict:
     for key in ["f11_winner_window", "f14_wave_caps", "dedup_exact",
                 "q2_posting_intersect_topk", "events_tumbling_window",
                 "embed_topk_bruteforce", "dedup_minhash_sig",
-                "text_quality_catalyst"]:
+                "text_quality_catalyst", "linkgraph_pagerank"]:
         t0 = time.time()
         QUERIES[key](spark, sf_dir).count()
         timings[key] = round(time.time() - t0, 3)

@@ -51,7 +51,7 @@ def inlink_counts(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
-             n_iter: int = 3) -> DataFrame:
+             n_iter: int = 3, checkpoint_every: int = 0) -> DataFrame:
     """Integer-arithmetic PageRank over ``edges(src, dst)``.
 
     ``nodes``: one ``node`` column; defaults to distinct src ∪ dst.
@@ -60,7 +60,12 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
     rank_0(v)   = RANK_SCALE
     rank_i+1(v) = BASE_SHARE
                 + (DAMP_NUM * Σ_{u→v} (rank_i(u) div outdeg(u))) div DAMP_DEN
-    """
+
+    Lazy by default: a few supersteps stay one fused Catalyst plan (the
+    identical edges⨝deg subtree is a ReusedExchange, no per-iteration
+    job).  For deep iteration set ``checkpoint_every`` — ranks are
+    localCheckpoint()ed every K supersteps to truncate lineage — and
+    cache ``edges`` yourself so the scan isn't repeated."""
     edges = edges.select("src", "dst").distinct()
     if nodes is None:
         nodes = (edges.select(F.col("src").alias("node"))
@@ -68,24 +73,21 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
                  .distinct())
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # shares ride on the edge rows: one join per superstep, on src
-    edges_deg = edges.join(deg, "src").cache()
+    edges_deg = edges.join(deg, "src")
     ranks = nodes.withColumn("rank", F.lit(RANK_SCALE).cast("long"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(F.col("dst"), F.expr("rank div deg").alias("share"))
             .groupBy("dst").agg(F.sum("share").alias("inflow")))
-        prev = ranks
         ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
                  .select(
                      "node",
                      (F.lit(BASE_SHARE)
                       + F.expr(f"{DAMP_NUM} * coalesce(inflow, 0) "
                                f"div {DAMP_DEN}"))
-                     .cast("long").alias("rank"))
-                 .cache())
-        ranks.count()               # materialize before dropping the parent
-        if prev is not nodes:
-            prev.unpersist()
-    edges_deg.unpersist()
+                     .cast("long").alias("rank")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
     return ranks

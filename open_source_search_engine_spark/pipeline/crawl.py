@@ -815,6 +815,23 @@ class CrawlRunner:
             out = out.join(wv, "round", "left")
         return out.orderBy("round")
 
+    def link_graph(self) -> DataFrame:
+        """Linkdb analogue over the crawl's own discoveries: one
+        (src, dst) row per distinct parent→child link observed in the
+        request log (Linkdb.cpp stores one key per linkee/linker pair;
+        Msg25 aggregates them).  Seeds/injects (no parent) are excluded.
+        Feed to ``graph.linkrank.inlink_counts`` / ``pagerank`` for the
+        siteNumInlinks / siteRank signals the reference derives from
+        Linkdb."""
+        m = snap.load_manifest(self.state_dir)
+        req = self._read_all("requests", m)
+        assert req is not None
+        return (req.filter((F.col("parent_uh48") >= 0)   # -1 = seed/inject
+                           & (F.col("parent_uh48") != F.col("uh48")))
+                .select(F.col("parent_uh48").alias("src"),
+                        F.col("uh48").alias("dst"))
+                .distinct())
+
     def indexed_docs(self) -> DataFrame:
         """Titledb analogue: the pages the crawl actually INDEXED — the
         latest reply per uh48 with ``is_indexed`` (XmlDoc indexes the doc

@@ -119,6 +119,34 @@ def test_crawl_index_search_parity(spark, indexed):
     assert got_not == want_not
 
 
+def test_crawl_link_graph_ranks(spark, crawled):
+    """Crawl → Linkdb → siteRank: the crawl's own parent→child link log
+    feeds inlink counts and integer PageRank, pinned against a Python
+    power iteration over the same edges."""
+    from open_source_search_engine_spark.graph.linkrank import (
+        RANK_SCALE, inlink_counts, pagerank)
+    edges = crawled.link_graph().cache()
+    e = [(r["src"], r["dst"]) for r in edges.collect()]
+    assert e and all(s != d and s >= 0 for s, d in e)
+    nodes = sorted({v for p in e for v in p})
+    counts = {r["dst"]: r["n_inlinks"]
+              for r in inlink_counts(edges).collect()}
+    want_counts: dict[int, int] = {}
+    for _, d in set(e):
+        want_counts[d] = want_counts.get(d, 0) + 1
+    assert counts == want_counts
+
+    from test_linkrank import _py_pagerank
+    nodes_df = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, nodes_df, n_iter=3).collect()}
+    assert got == _py_pagerank(e, nodes, n_iter=3)
+    # dangling pages drop mass, so ranks shrink below the initial scale;
+    # a page with inlinks still accumulates above the (1-d) base share
+    from open_source_search_engine_spark.graph.linkrank import BASE_SHARE
+    assert BASE_SHARE < max(got.values()) < RANK_SCALE
+
+
 def test_search_results_summarize(spark, indexed):
     from open_source_search_engine_spark.search.summary import summarize
     hits = indexed.select(F.col("uh48").alias("doc_id"), "text")
