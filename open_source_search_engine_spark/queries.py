@@ -1128,3 +1128,54 @@ _register("linkgraph_inlinks", _link_inlinks, FRONTIER_CTE + _LINKS_CTE + """
 SELECT dst, COUNT(DISTINCT src) AS n_inlinks
 FROM links GROUP BY dst ORDER BY dst
 """)
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4 document-shape quality filters (training/gopher.py): scaled-
+# integer measures + pass flag; the oracle recomputes the same integer
+# arithmetic from DuckDB's own tokenization.
+# ---------------------------------------------------------------------------
+
+def _gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.gopher import gopher_quality
+    return gopher_quality(_docs_long(spark, sf_dir)).orderBy("doc_id")
+
+
+_register("text_gopher_quality", _gopher, r"""
+WITH raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1)
+           AS i
+  FROM documents
+), toks AS (SELECT doc_id, w, i FROM raw WHERE w <> ''),
+base AS (
+  SELECT doc_id, COUNT(*) AS n_words, SUM(length(w)) AS sum_len,
+         SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END)
+           AS n_alpha,
+         SUM(CASE WHEN w LIKE '%#%' OR w LIKE '%...%' OR w LIKE '%…%'
+             THEN 1 ELSE 0 END) AS n_sym
+  FROM toks GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, w,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks),
+bic AS (
+  SELECT doc_id, w, w2, COUNT(*) AS c
+  FROM bi WHERE w2 IS NOT NULL GROUP BY doc_id, w, w2),
+bitop AS (SELECT doc_id, MAX(c) AS top_c FROM bic GROUP BY doc_id)
+SELECT b.doc_id, b.n_words,
+       CAST(100 * b.sum_len // b.n_words AS BIGINT) AS mean_word_len_x100,
+       CAST(100 * b.n_alpha // b.n_words AS BIGINT) AS frac_alpha_x100,
+       CAST(1000 * b.n_sym // b.n_words AS BIGINT) AS symbol_ratio_x1000,
+       CAST(1000 * 2 * COALESCE(t.top_c, 0) // b.n_words AS BIGINT)
+         AS top_bigram_x1000,
+       (b.n_words BETWEEN 50 AND 100000)
+         AND (100 * b.sum_len // b.n_words BETWEEN 300 AND 1000)
+         AND (100 * b.n_alpha // b.n_words >= 80)
+         AND (1000 * b.n_sym // b.n_words <= 100)
+         AND (1000 * 2 * COALESCE(t.top_c, 0) // b.n_words <= 180)
+         AS gopher_pass
+FROM base b LEFT JOIN bitop t USING (doc_id)
+ORDER BY b.doc_id
+""")

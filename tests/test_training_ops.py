@@ -313,3 +313,25 @@ def test_lsh_neardup_pairs_planted_and_exact_precision(spark):
     again = {(r["va"], r["vb"]): r["dot_q"]
              for r in lsh_neardup_pairs(emb, min_dot_q=900000).collect()}
     assert again == got
+
+
+def test_gopher_quality_rules(spark):
+    from open_source_search_engine_spark.training.gopher import gopher_quality
+
+    good = " ".join(f"word{i}" for i in range(100))
+    short = "too short"
+    repetitive = "again again " * 60                 # one bigram dominates
+    symbols = " ".join("##tag" for _ in range(80))   # symbol words
+    rows = [(1, good), (2, short), (3, repetitive), (4, symbols)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["gopher_pass"] is False            # n_words < 50
+    assert out[2]["n_words"] == 2
+    assert out[3]["gopher_pass"] is False            # top bigram covers all
+    assert out[3]["top_bigram_x1000"] > 180
+    assert out[4]["gopher_pass"] is False            # symbol ratio
+    assert out[4]["symbol_ratio_x1000"] == 1000
+    # scaled-integer measures are exact: mean word len of doc 2
+    assert out[2]["mean_word_len_x100"] == (100 * len("tooshort")) // 2
