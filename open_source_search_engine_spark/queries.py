@@ -1179,3 +1179,121 @@ SELECT b.doc_id, b.n_words,
 FROM base b LEFT JOIN bitop t USING (doc_id)
 ORDER BY b.doc_id
 """)
+
+
+# ---------------------------------------------------------------------------
+# Line-tier corpus ops (training/lines.py, training/gopher.py): corpus-wide
+# first-occurrence line dedup, Gopher repetition measures, and dup-ngram
+# coverage.  Lines are deterministic 10-token segments (the fixture corpus
+# carries no newlines); the segmentation regex is applied identically by
+# both engines.
+# ---------------------------------------------------------------------------
+
+def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.lines import line_dedup, segment_text
+    docs = _docs_long(spark, sf_dir).withColumn("text", segment_text("text"))
+    return line_dedup(docs).orderBy("doc_id")
+
+
+_register("dedup_lines", _dedup_lines, r"""
+WITH seg AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+  FROM documents),
+rawl AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS l,
+         generate_subscripts(string_split(t, chr(10)), 1) - 1 AS line_no
+  FROM seg),
+lines AS (
+  SELECT doc_id, line_no, trim(l) AS line FROM rawl WHERE trim(l) <> ''),
+ranked AS (
+  SELECT doc_id, line_no, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lines),
+keptagg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_no) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(k.text_dedup, '') AS text_dedup
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+LEFT JOIN tot t USING (doc_id) LEFT JOIN keptagg k USING (doc_id)
+ORDER BY d.doc_id
+""")
+
+
+def _gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.gopher import gopher_repetition
+    return gopher_repetition(_docs_long(spark, sf_dir)).orderBy("doc_id")
+
+
+_register("text_gopher_repetition", _gopher_rep, r"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+seg AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+  FROM base),
+rawl AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS l FROM seg),
+lines AS (SELECT doc_id, trim(l) AS line FROM rawl WHERE trim(l) <> ''),
+pl AS (SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+       FROM lines GROUP BY doc_id, line),
+ls AS (SELECT doc_id, SUM(c) AS n_lines, SUM(c - 1) AS n_dup_lines,
+              SUM(c * len) AS line_chars,
+              SUM((c - 1) * len) AS dup_line_chars
+       FROM pl GROUP BY doc_id),
+rawt AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1)
+           AS i
+  FROM base),
+toks AS (SELECT doc_id, w, i FROM rawt WHERE w <> ''),
+tc AS (SELECT doc_id, SUM(length(w)) AS tok_chars FROM toks GROUP BY doc_id),
+ld AS (SELECT doc_id, w,
+              LEAD(w, 1) OVER win AS w1,
+              LEAD(w, 2) OVER win AS w2,
+              LEAD(w, 3) OVER win AS w3
+       FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+grams AS (
+  SELECT doc_id, 2 AS n, w || ' ' || w1 AS g FROM ld WHERE w1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 3, w || ' ' || w1 || ' ' || w2 FROM ld WHERE w2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 4, w || ' ' || w1 || ' ' || w2 || ' ' || w3
+  FROM ld WHERE w3 IS NOT NULL),
+tal AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g),
+top AS (SELECT doc_id,
+  MAX(CASE WHEN n = 2 AND c >= 2 THEN c * (length(g) - 1) ELSE 0 END) AS top2,
+  MAX(CASE WHEN n = 3 AND c >= 2 THEN c * (length(g) - 2) ELSE 0 END) AS top3,
+  MAX(CASE WHEN n = 4 AND c >= 2 THEN c * (length(g) - 3) ELSE 0 END) AS top4
+  FROM tal GROUP BY doc_id)
+SELECT ls.doc_id, CAST(ls.n_lines AS BIGINT) AS n_lines,
+  CAST(1000 * ls.n_dup_lines // ls.n_lines AS BIGINT)
+    AS dup_line_frac_x1000,
+  CAST(1000 * ls.dup_line_chars // ls.line_chars AS BIGINT)
+    AS dup_line_chars_x1000,
+  CAST(1000 * COALESCE(top.top2, 0) // tc.tok_chars AS BIGINT)
+    AS top2_chars_x1000,
+  CAST(1000 * COALESCE(top.top3, 0) // tc.tok_chars AS BIGINT)
+    AS top3_chars_x1000,
+  CAST(1000 * COALESCE(top.top4, 0) // tc.tok_chars AS BIGINT)
+    AS top4_chars_x1000,
+  (1000 * ls.n_dup_lines // ls.n_lines <= 300)
+    AND (1000 * ls.dup_line_chars // ls.line_chars <= 200)
+    AND (1000 * COALESCE(top.top2, 0) // tc.tok_chars <= 200)
+    AND (1000 * COALESCE(top.top3, 0) // tc.tok_chars <= 180)
+    AND (1000 * COALESCE(top.top4, 0) // tc.tok_chars <= 160) AS rep_pass
+FROM ls JOIN tc USING (doc_id) LEFT JOIN top USING (doc_id)
+ORDER BY ls.doc_id
+""")
+
+
+def _dup_ngram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.gopher import dup_ngram_coverage
+    return dup_ngram_coverage(_docs_long(spark, sf_dir)).orderBy("doc_id")
+
+
+_register_golden("text_dup_ngram_coverage", _dup_ngram_cov, "doc_id")

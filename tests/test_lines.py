@@ -1,0 +1,128 @@
+"""Behavioral tests for line-tier corpus ops: corpus-wide line dedup,
+C4 line filtering, Gopher repetition measures, dup-ngram coverage."""
+
+from __future__ import annotations
+
+
+def test_line_dedup_cross_doc_boilerplate(spark):
+    from open_source_search_engine_spark.training.lines import line_dedup
+
+    boiler = "accept our cookie policy to continue"
+    rows = [
+        (1, f"unique alpha text one\n{boiler}\nmore alpha body"),
+        (2, f"{boiler}\nunique beta body text"),
+        (3, f"unique gamma body\n{boiler}"),
+        (4, boiler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+
+    # doc 1 is the first occurrence in (doc_id, line_no) order -> keeps it
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert boiler in out[1]["text_dedup"]
+    # every later doc loses the boilerplate line but keeps its own lines
+    assert out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "unique beta body text"
+    assert out[3]["n_kept"] == 1
+    assert out[3]["text_dedup"] == "unique gamma body"
+    # a doc that is nothing but boilerplate dedups to empty, not a dropped row
+    assert out[4]["n_lines"] == 1 and out[4]["n_kept"] == 0
+    assert out[4]["text_dedup"] == ""
+
+
+def test_line_dedup_within_doc_repeat(spark):
+    from open_source_search_engine_spark.training.lines import line_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "same line\nsame line\nsame line\nother line")],
+        "doc_id long, text string")
+    r = line_dedup(docs).collect()[0]
+    assert r["n_lines"] == 4 and r["n_kept"] == 2
+    assert r["text_dedup"] == "same line\nother line"
+
+
+def test_segment_text_ten_token_lines(spark):
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.training.lines import segment_text
+
+    text = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame([(text,)], "text string")
+    seg = df.select(segment_text("text").alias("s")).collect()[0]["s"]
+    parts = seg.split("\n")
+    assert [len(p.split()) for p in parts] == [10, 10, 5]
+    assert " ".join(parts).split() == text.split()   # lossless
+
+
+def test_c4_line_filter_rules(spark):
+    from open_source_search_engine_spark.training.lines import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [(1, "This is a fine long sentence here.\n"
+             "ok\n"
+             "Please accept our Cookie Policy now\n"
+             "function() { return 1 }\n"
+             "Another genuinely useful content line")],
+        "doc_id long, text string")
+    r = c4_line_filter(docs).collect()[0]
+    assert r["n_lines"] == 5
+    # dropped: "ok" (<3 words), cookie-policy line, curly-brace line
+    assert r["n_kept"] == 2
+    assert r["text_clean"] == ("This is a fine long sentence here.\n"
+                               "Another genuinely useful content line")
+
+
+def _repeated_block_doc():
+    # 40 tokens, all length 5: tokens 0-9 repeated at 10-19, then 20 unique
+    a = [f"aa{i:03d}" for i in range(10)]
+    b = [f"bb{i:03d}" for i in range(20)]
+    return " ".join(a + a + b)
+
+
+def test_gopher_repetition_exact_measures(spark):
+    from open_source_search_engine_spark.training.gopher import (
+        gopher_repetition)
+
+    docs = spark.createDataFrame([(1, _repeated_block_doc())],
+                                 "doc_id long, text string")
+    r = gopher_repetition(docs).collect()[0]
+    # 4 ten-token lines; line 2 repeats line 1
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac_x1000"] == 250          # 1/4
+    assert r["dup_line_chars_x1000"] == 250         # 59/236
+    # 9 bigrams occur twice (c*chars = 2*10); total token chars = 200
+    assert r["top2_chars_x1000"] == 1000 * 20 // 200
+    assert r["top3_chars_x1000"] == 1000 * 30 // 200
+    assert r["top4_chars_x1000"] == 1000 * 40 // 200
+    assert r["rep_pass"] is False                   # top4 200 > 160
+
+
+def test_gopher_repetition_clean_doc_passes(spark):
+    from open_source_search_engine_spark.training.gopher import (
+        gopher_repetition)
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"uni{i:03d}" for i in range(40)))],
+        "doc_id long, text string")
+    r = gopher_repetition(docs).collect()[0]
+    assert r["dup_line_frac_x1000"] == 0
+    assert r["top2_chars_x1000"] == 0
+    assert r["rep_pass"] is True
+
+
+def test_dup_ngram_coverage_exact(spark):
+    from open_source_search_engine_spark.training.gopher import (
+        dup_ngram_coverage)
+
+    docs = spark.createDataFrame(
+        [(1, _repeated_block_doc()),
+         (2, " ".join(f"uni{i:03d}" for i in range(40)))],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_ngram_coverage(docs).collect()}
+    # the 10-token repeated block covers tokens 0..19 for every n in 5..10:
+    # 100 of 200 chars -> 500
+    for n in (5, 6, 7, 8, 9, 10):
+        assert out[1][f"dup{n}_x1000"] == 500
+        assert out[2][f"dup{n}_x1000"] == 0
+    assert out[1]["dupngram_pass"] is False
+    assert out[2]["dupngram_pass"] is True
