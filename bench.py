@@ -180,7 +180,8 @@ def run_bench() -> dict:
     for key in ["f11_winner_window", "f14_wave_caps", "dedup_exact",
                 "q2_posting_intersect_topk", "events_tumbling_window",
                 "embed_topk_bruteforce", "dedup_minhash_sig",
-                "text_quality_catalyst", "linkgraph_pagerank"]:
+                "text_quality_catalyst", "linkgraph_pagerank",
+                "dedup_lines", "text_gopher_repetition"]:
         # best of two, like the frontier headline: run 1 absorbs the
         # remaining per-plan one-time costs (codegen compile, worker-side
         # Arrow state) this sandbox pays unusually slowly

@@ -1297,3 +1297,11 @@ def _dup_ngram_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("text_dup_ngram_coverage", _dup_ngram_cov, "doc_id")
+
+
+def _curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.pipeline import curate
+    return curate(_docs_long(spark, sf_dir)).orderBy("doc_id")
+
+
+_register_golden("training_curation_pipeline", _curation, "doc_id")

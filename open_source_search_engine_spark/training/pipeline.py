@@ -1,0 +1,85 @@
+"""End-to-end training-data curation pipeline over the documents table.
+
+The composition a 100 TB pretraining-data build actually runs, in the
+order the stages are run at scale (cheapest-first so each shuffle sees
+only survivors of the previous gate):
+
+1. document-shape gates — Gopher quality + repetition + dup-ngram
+   coverage (``gopher.py``), all per-doc scans, no cross-doc shuffle;
+2. language gate — trigram language-ID (``textqual.py``);
+3. corpus-wide line dedup (``lines.py``) — boilerplate removal; a doc
+   that loses every line to earlier occurrences is dropped;
+4. near-dup document dedup — MinHash → LSH → exact verify → connected
+   components (``dedup.py``), run only on survivors.
+
+Output is one row per input document with a ``keep`` flag and the FIRST
+failing stage as ``reason`` (null when kept) — per-stage attrition is
+what a curation run reports, and `attrition_summary` aggregates it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# stage order = evaluation priority for the reported reason
+REASONS = ["gopher_shape", "gopher_repetition", "dup_ngram", "lang",
+           "boilerplate_only", "near_dup"]
+
+
+def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
+           neardup_threshold: float = 0.85) -> DataFrame:
+    """docs(doc_id, text) -> (doc_id, keep, reason).
+
+    Every stage is computed as its own DataFrame and joined on doc_id;
+    the dedup stage (the only corpus-quadratic one) is evaluated over
+    quality survivors only, exactly like a staged production run."""
+    from .dedup import dedup_keepers
+    from .gopher import dup_ngram_coverage, gopher_quality, gopher_repetition
+    from .lines import line_dedup, segment_text
+    from .textqual import language_id
+
+    base = docs.select("doc_id", "text")
+    shape = gopher_quality(base).select("doc_id", "gopher_pass")
+    rep = gopher_repetition(base).select("doc_id", "rep_pass")
+    cov = dup_ngram_coverage(base).select("doc_id", "dupngram_pass")
+    lang = language_id(base).select(
+        "doc_id", F.col("pred_lang").isin(*lang_keep).alias("lang_pass"))
+    seg = base.withColumn("text", segment_text("text"))
+    lined = line_dedup(seg).select(
+        "doc_id", (F.col("n_kept") > 0).alias("line_pass"))
+
+    gated = (base.select("doc_id")
+             .join(shape, "doc_id", "left")
+             .join(rep, "doc_id", "left")
+             .join(cov, "doc_id", "left")
+             .join(lang, "doc_id", "left")
+             .join(lined, "doc_id", "left")
+             .fillna(False))
+    quality_ok = (F.col("gopher_pass") & F.col("rep_pass")
+                  & F.col("dupngram_pass") & F.col("lang_pass")
+                  & F.col("line_pass"))
+
+    survivors = base.join(
+        gated.filter(quality_ok).select("doc_id"), "doc_id")
+    kept = dedup_keepers(survivors, threshold=neardup_threshold).select(
+        "doc_id", F.col("keep").alias("dedup_keep"))
+
+    out = gated.join(kept, "doc_id", "left")
+    reason = (F.when(~F.col("gopher_pass"), "gopher_shape")
+              .when(~F.col("rep_pass"), "gopher_repetition")
+              .when(~F.col("dupngram_pass"), "dup_ngram")
+              .when(~F.col("lang_pass"), "lang")
+              .when(~F.col("line_pass"), "boilerplate_only")
+              .when(~F.col("dedup_keep"), "near_dup"))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("dedup_keep"), F.lit(False)).alias("keep"),
+        reason.alias("reason"))
+
+
+def attrition_summary(curated: DataFrame) -> DataFrame:
+    """(stage, n_docs) — kept docs report stage='kept'."""
+    return (curated
+            .withColumn("stage", F.coalesce("reason", F.lit("kept")))
+            .groupBy("stage").agg(F.count("*").alias("n_docs")))

@@ -126,3 +126,57 @@ def test_dup_ngram_coverage_exact(spark):
         assert out[2][f"dup{n}_x1000"] == 0
     assert out[1]["dupngram_pass"] is False
     assert out[2]["dupngram_pass"] is True
+
+
+_EN60 = ("the quick brown fox jumps over a lazy dog while seventeen "
+         "curious students quietly examine several ancient manuscripts "
+         "inside the village library and discuss their findings with "
+         "visiting scholars from distant universities about history "
+         "language science philosophy music painting architecture trade "
+         "farming medicine astronomy navigation poetry drama sculpture "
+         "weaving pottery carpentry fishing hunting cooking brewing")
+
+
+def test_curation_pipeline_reasons(spark):
+    from open_source_search_engine_spark.training.pipeline import (
+        attrition_summary, curate)
+
+    words = _EN60.split()
+    a_block = [f"aa{i:03d}" for i in range(10)]
+    uniq = [f"uu{i:03d}" for i in range(35)]
+    docs = spark.createDataFrame(
+        [
+            (1, _EN60),                                     # kept
+            (2, "far too short"),                           # gopher_shape
+            # duplicate 10-token lines (4x) + 20 unique -> rep fails first
+            (3, " ".join(a_block * 4 + [f"cc{i:03d}" for i in range(20)])),
+            # one 10-gram repeated, not line-aligned -> only dup_ngram fails
+            (4, " ".join(a_block + uniq + a_block)),
+            # 50 words (shape-clean), every line already in doc 1 ->
+            # boilerplate_only
+            (6, " ".join(words[:50])),
+            # doc-level near dup of doc 1 (tail words changed)
+            (7, " ".join(words[:-2] + ["altered", "ending"])),
+        ],
+        "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in curate(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["reason"] is None
+    assert out[2]["reason"] == "gopher_shape"
+    assert out[3]["reason"] == "gopher_repetition"
+    assert out[4]["reason"] == "dup_ngram"
+    assert out[6]["reason"] == "boilerplate_only"
+    assert out[7]["reason"] == "near_dup"
+    assert all(not out[d]["keep"] for d in (2, 3, 4, 6, 7))
+
+    summ = {r["stage"]: r["n_docs"]
+            for r in attrition_summary(curate(docs)).collect()}
+    assert summ["kept"] == 1 and sum(summ.values()) == 6
+
+
+def test_curation_lang_gate(spark):
+    from open_source_search_engine_spark.training.pipeline import curate
+
+    docs = spark.createDataFrame([(1, _EN60)], "doc_id long, text string")
+    r = curate(docs, lang_keep=("fr",)).collect()[0]
+    assert r["keep"] is False and r["reason"] == "lang"
