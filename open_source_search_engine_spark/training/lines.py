@@ -63,21 +63,30 @@ def line_dedup(docs: DataFrame, text_col: str = "text",
     surviving lines re-joined in original order ('' if none survive).
     """
     lines = explode_lines(docs, text_col, id_col, delim)
+    # election: min(struct) is map-side combinable, so a boilerplate line
+    # occurring 10^9 times still reduces to one row per map partition
+    # before the exchange (no single-partition straggler, unlike a
+    # row_number window partitioned by line)
     first = lines.groupBy("line").agg(
         F.min(F.struct("doc_id", "line_no")).alias("first"))
-    kept = (lines.join(first, "line")
-            .filter((F.col("doc_id") == F.col("first.doc_id"))
-                    & (F.col("line_no") == F.col("first.line_no"))))
-    per_doc_kept = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
+    # tag-join instead of filter-join so totals and kept counts come out
+    # of ONE per-doc aggregate (one scan of the exploded lines here plus
+    # one in the election above — collect_list skips the nulls that
+    # when() leaves on dropped lines)
+    tagged = (lines.join(first, "line")
+              .withColumn("keep",
+                          (F.col("doc_id") == F.col("first.doc_id"))
+                          & (F.col("line_no") == F.col("first.line_no"))))
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.array_join(
             F.transform(F.array_sort(F.collect_list(
-                F.struct("line_no", "line"))), lambda s: s["line"]),
+                F.when(F.col("keep"), F.struct("line_no", "line")))),
+                lambda s: s["line"]),
             delim).alias("text_dedup"))
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
     return (docs.select(F.col(id_col).alias("doc_id"))
-            .join(totals, "doc_id", "left")
-            .join(per_doc_kept, "doc_id", "left")
+            .join(per_doc, "doc_id", "left")
             .fillna({"n_lines": 0, "n_kept": 0, "text_dedup": ""})
             .select("doc_id", "n_lines", "n_kept", "text_dedup"))
 
