@@ -1305,3 +1305,30 @@ def _curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("training_curation_pipeline", _curation, "doc_id")
+
+
+def _domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.pipeline import domain_quota_sample
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    return domain_quota_sample(docs).orderBy("doc_id")
+
+
+_register("domain_quota_sample", _domain_quota, r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks),
+tot AS (SELECT SUM(n_tokens) AS total_tokens FROM toks)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens * 1000 <= 200 * total_tokens AS keep
+FROM cum, tot
+ORDER BY doc_id
+""")

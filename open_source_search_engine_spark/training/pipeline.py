@@ -83,3 +83,36 @@ def attrition_summary(curated: DataFrame) -> DataFrame:
     return (curated
             .withColumn("stage", F.coalesce("reason", F.lit("kept")))
             .groupBy("stage").agg(F.count("*").alias("n_docs")))
+
+
+def domain_quota_sample(docs: DataFrame, max_share_x1000: int = 200,
+                        source_col: str = "source") -> DataFrame:
+    """Cap each source's share of the corpus at max_share_x1000/1000 of
+    total whitespace tokens (domain balancing a pretraining mix applies
+    after quality filtering — no one crawl domain may dominate).
+
+    Deterministic greedy keep: within each source, docs are admitted in
+    doc_id order while the source's running token total stays within its
+    budget.  One aggregate for the global total (broadcast back), one
+    running-sum window per source.  At 100 TB the per-source running sum
+    is the sequential step — shard it by doc_id ranges with per-range
+    pre-aggregated offsets (two-pass prefix sum) rather than one window
+    partition per mega-source; semantics identical.
+
+    Returns (doc_id, source, n_tokens, cum_tokens, keep)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.col(source_col).alias("source"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"))
+    total = toks.agg(F.sum("n_tokens").alias("total_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .crossJoin(F.broadcast(total))
+            .withColumn(
+                "keep",
+                F.col("cum_tokens") * 1000
+                <= F.lit(max_share_x1000) * F.col("total_tokens"))
+            .select("doc_id", "source", "n_tokens", "cum_tokens", "keep"))

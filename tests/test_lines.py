@@ -180,3 +180,22 @@ def test_curation_lang_gate(spark):
     docs = spark.createDataFrame([(1, _EN60)], "doc_id long, text string")
     r = curate(docs, lang_keep=("fr",)).collect()[0]
     assert r["keep"] is False and r["reason"] == "lang"
+
+
+def test_domain_quota_caps_mega_source(spark):
+    from open_source_search_engine_spark.training.pipeline import (
+        domain_quota_sample)
+
+    # mega source: 8 docs x 10 tokens; small: 2 docs x 10 -> total 100
+    rows = ([(i, " ".join(f"m{i}w{j}" for j in range(10)), "mega")
+             for i in range(8)]
+            + [(100 + i, " ".join(f"s{i}w{j}" for j in range(10)), "small")
+               for i in range(2)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           domain_quota_sample(docs, max_share_x1000=300).collect()}
+    # budget = 30 tokens per source: mega keeps docs 0-2 (cum 10,20,30)
+    assert [out[i]["keep"] for i in range(8)] == [True] * 3 + [False] * 5
+    assert out[2]["cum_tokens"] == 30 and out[3]["cum_tokens"] == 40
+    # small source fits entirely
+    assert out[100]["keep"] is True and out[101]["keep"] is True
