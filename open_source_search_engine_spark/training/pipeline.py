@@ -116,3 +116,50 @@ def domain_quota_sample(docs: DataFrame, max_share_x1000: int = 200,
                 F.col("cum_tokens") * 1000
                 <= F.lit(max_share_x1000) * F.col("total_tokens"))
             .select("doc_id", "source", "n_tokens", "cum_tokens", "keep"))
+
+
+def domain_quota_sample_sharded(docs: DataFrame,
+                                max_share_x1000: int = 200,
+                                source_col: str = "source",
+                                range_width: int = 1 << 20) -> DataFrame:
+    """The 100 TB form of ``domain_quota_sample``: a two-pass distributed
+    prefix sum instead of one running-sum window partition per source
+    (which serializes a mega-source through a single task).
+
+    Pass 1 aggregates per (source, doc_id-range) partials; pass 2 runs the
+    running sum over that tiny partial table (n_sources x n_ranges rows)
+    to get each range's starting offset; the per-row cumsum then windows
+    only within (source, range) — bounded partitions regardless of source
+    skew.  Output is IDENTICAL to the plain form (proof:
+    test_sharded_quota_equals_plain)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.col(source_col).alias("source"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        (F.col("doc_id") / range_width).cast("long").alias("rng"))
+    partials = toks.groupBy("source", "rng").agg(
+        F.sum("n_tokens").alias("rng_tokens"))
+    off_w = (Window.partitionBy("source").orderBy("rng")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = partials.withColumn(
+        "rng_offset", F.coalesce(F.sum("rng_tokens").over(off_w),
+                                 F.lit(0)))
+    in_rng = (Window.partitionBy("source", "rng").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = toks.agg(F.sum("n_tokens").alias("total_tokens"))
+    # no broadcast hint: the partial table is usually tiny (AQE will
+    # broadcast it) but can exceed the broadcast cap at 10^6 sources
+    return (toks
+            .join(offsets.select("source", "rng", "rng_offset"),
+                  ["source", "rng"])
+            .withColumn("cum_tokens",
+                        F.col("rng_offset")
+                        + F.sum("n_tokens").over(in_rng))
+            .crossJoin(F.broadcast(total))
+            .withColumn(
+                "keep",
+                F.col("cum_tokens") * 1000
+                <= F.lit(max_share_x1000) * F.col("total_tokens"))
+            .select("doc_id", "source", "n_tokens", "cum_tokens", "keep"))

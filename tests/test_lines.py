@@ -199,3 +199,20 @@ def test_domain_quota_caps_mega_source(spark):
     assert out[2]["cum_tokens"] == 30 and out[3]["cum_tokens"] == 40
     # small source fits entirely
     assert out[100]["keep"] is True and out[101]["keep"] is True
+
+
+def test_sharded_quota_equals_plain(spark):
+    from open_source_search_engine_spark.training.pipeline import (
+        domain_quota_sample, domain_quota_sample_sharded)
+
+    # skewed synthetic corpus: one mega source, tiny range width so the
+    # prefix sum genuinely spans many ranges
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(1 + i % 7)),
+             "mega" if i % 5 else f"src{i % 11}") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plain = domain_quota_sample(docs, max_share_x1000=400)
+    sharded = domain_quota_sample_sharded(docs, max_share_x1000=400,
+                                          range_width=16)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, sharded.collect()))
+    assert a == b
