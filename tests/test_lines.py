@@ -216,3 +216,35 @@ def test_sharded_quota_equals_plain(spark):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, sharded.collect()))
     assert a == b
+
+
+def test_coverage_fracs_matches_naive_reference():
+    # property check, no Spark: the vectorized coverage kernel equals a
+    # naive O(n^2) recomputation on random small token streams
+    import random
+
+    from open_source_search_engine_spark.training.gopher import (
+        DUP_NGRAM_NS, _coverage_fracs)
+
+    def naive(text):
+        toks = text.lower().split()
+        total = sum(len(t) for t in toks)
+        out = []
+        for n in DUP_NGRAM_NS:
+            grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            from collections import Counter
+            cnt = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(i, i + n))
+            c = sum(len(toks[i]) for i in covered)
+            out.append(1000 * c // total if total else 0)
+        return out
+
+    rng = random.Random(1234)
+    for trial in range(40):
+        n_toks = rng.randint(0, 60)
+        vocab = [f"t{i}" for i in range(rng.randint(1, 8))]
+        text = " ".join(rng.choice(vocab) for _ in range(n_toks))
+        assert _coverage_fracs(text) == naive(text), text
