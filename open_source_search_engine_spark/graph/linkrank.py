@@ -75,6 +75,7 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
     # shares ride on the edge rows: one join per superstep, on src
     edges_deg = edges.join(deg, "src")
     ranks = nodes.withColumn("rank", F.lit(RANK_SCALE).cast("long"))
+    last_ck = None
     for i in range(n_iter):
         contrib = (
             edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
@@ -89,5 +90,13 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
                      .cast("long").alias("rank")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint()
+            from ..memutil import release_local_checkpoint
+            ranks = ranks.localCheckpoint(eager=True)
+            # the previous superstep's checkpoint is now fully
+            # superseded — drop its blocks instead of waiting on JVM GC
+            # (deep iteration otherwise accumulates one block set per K
+            # supersteps); the LAST checkpoint stays alive because the
+            # returned plan reads from it
+            release_local_checkpoint(last_ck)
+            last_ck = ranks
     return ranks

@@ -663,6 +663,7 @@ class CrawlRunner:
         requests = self._read_all("requests", m)
         replies = self._read_all("replies", m)
         cand = self._candidates(requests, replies, wave_start).cache()
+        wave = None
         try:
             eligible = cand.filter(F.col("eligible_ms") <= wave_start)
             wave = self._assemble_wave(eligible, wave_start, rnd).cache()
@@ -704,6 +705,8 @@ class CrawlRunner:
                     # size the (re)build from the observed frontier so a
                     # rebuild can't be immediately overfull again
                     n_seen = requests.count()
+                    if self._bloom is not None:
+                        self._bloom.release()
                     self._bloom = BloomState(
                         bits_per_bucket=BloomState.size_bits_per_bucket(
                             n_seen))
@@ -728,6 +731,22 @@ class CrawlRunner:
             return RoundStats(rnd, n_wave, n_new, jumped=False)
         finally:
             cand.unpersist()
+            if wave is not None:
+                wave.unpersist()
+
+    def close(self) -> None:
+        """Release every block-manager resource this runner holds: the
+        cached dimension frames (which stay usable — they just recompute
+        if referenced again) and the Bloom URL-seen checkpoints (which do
+        not).  Idempotent.  A long test session that builds many runners
+        against one SparkSession leaks all of these without it."""
+        from ..memutil import safe_unpersist
+        safe_unpersist(self.hosts)
+        safe_unpersist(self.outcomes)
+        safe_unpersist(self.site_list_domains)
+        if self._bloom is not None:
+            self._bloom.release()
+            self._bloom = None
 
     # ----------------------------------------------------------- compaction
     def compact(self) -> None:

@@ -65,5 +65,12 @@ class MultiCrawlRunner:
                 self.launches.append(
                     LaunchRecord(name, stats.round, stats.wave_rows))
             for name in done:
-                active.pop(name)
+                # release the finished collection's dim caches + Bloom
+                # state; the runner's read paths (crawl_order etc.) stay
+                # usable — they read committed parquet
+                active.pop(name).close()
         return self.launches
+
+    def close(self) -> None:
+        for r in self.runners.values():
+            r.close()

@@ -225,12 +225,26 @@ class BloomState:
 
     def add_df(self, df: DataFrame, key_col: str = "uh48",
                bucket_col: str = "first_ip") -> None:
+        from ..memutil import release_local_checkpoint
         delta = self._delta(df, key_col, bucket_col)
-        merged = (delta if self.state is None
-                  else self.state.unionByName(delta)
+        old = self.state
+        merged = (delta if old is None
+                  else old.unionByName(delta)
                   .groupBy("bucket").applyInPandas(
                       BloomState._or_merge, schema=BLOOM_SCHEMA))
+        # eager=True materializes the new state BEFORE the superseded
+        # checkpoint's blocks are dropped — without the explicit release
+        # every round leaks one full bitmap set until the JVM GC happens
+        # to run (the driver heap fills long before that under pytest)
         self.state = merged.localCheckpoint(eager=True)
+        release_local_checkpoint(old)
+
+    def release(self) -> None:
+        """Free the current state's blocks.  The filter is unusable
+        afterwards (call when the crawl is done or before a rebuild)."""
+        from ..memutil import release_local_checkpoint
+        release_local_checkpoint(self.state)
+        self.state = None
 
     def counts(self) -> dict[int, int]:
         if self.state is None:

@@ -61,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
               f"new_requests={st.new_requests:5d} jumped={st.jumped}")
 
     m = runner.run(progress=progress)
+    runner.close()
     n_sched = runner.crawl_order().count()
     n_seen = runner.url_seen().count()
     print(f"done: rounds={m.completed_rounds} finished={m.finished} "

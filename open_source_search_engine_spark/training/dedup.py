@@ -500,6 +500,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     labels = (sym.groupBy("doc_a").agg(F.min("doc_b").alias("nbr_min"))
               .select(F.col("doc_a").alias("doc_id"),
                       F.least("doc_a", "nbr_min").alias("component")))
+    prev_ck = None
     for _ in range(max_iter):
         prop = (sym.join(labels, sym["doc_b"] == labels["doc_id"])
                 .groupBy("doc_a").agg(F.min("component").alias("nbr_comp")))
@@ -514,6 +515,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
                    .join(labels.alias("o"), "doc_id")
                    .filter(F.col("n.component") != F.col("o.component"))
                    .limit(1).count())
+        # the previous round's label checkpoint is superseded once the
+        # convergence probe above has read it — release its blocks now
+        # rather than leaking one set per round until JVM GC
+        from ..memutil import release_local_checkpoint
+        if prev_ck is not None:
+            release_local_checkpoint(prev_ck)
+        prev_ck = new_labels
         labels = new_labels
         if changed == 0:
             break
