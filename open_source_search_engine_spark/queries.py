@@ -1332,3 +1332,52 @@ SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
 FROM cum, tot
 ORDER BY doc_id
 """)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs sharing a word n-gram
+# with the eval split (GPT-3 appendix C / Gopher A.4 pipeline step; n=4
+# here because the fixture docs are ~50 words, 13 in production).  Eval
+# split = doc_id % 23 == 0; output covers every training doc.
+# ---------------------------------------------------------------------------
+def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.decontam import decontaminate
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    evals = docs.filter(F.col("doc_id") % 23 == 0)
+    return (decontaminate(train, evals, n=4)
+            .orderBy("doc_id"))
+
+
+_register("decontaminate_eval_overlap", _decontam, r"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+words AS (
+  SELECT doc_id, ws[i] AS w, i AS ord
+  FROM toks, UNNEST(range(1, len(ws)+1)) AS r(i)),
+grams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win AS gram
+  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(w,3) OVER win IS NOT NULL),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0),
+train_grams AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 23 <> 0),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared_grams
+  FROM train_grams t JOIN eval_grams e USING (gram)
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+      WHERE doc_id % 23 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+""")
