@@ -1381,3 +1381,69 @@ FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
 LEFT JOIN hits h USING (doc_id)
 ORDER BY doc_id
 """)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — per-doc PII class counts + typed-placeholder redaction
+# (C4/RefinedWeb-style curation stage).  PII is planted deterministically
+# in both engines (the fixture corpus has none), patterns stay in the
+# Java-regex ∩ RE2 common subset so the same pattern text runs on both.
+# ---------------------------------------------------------------------------
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.pii import pii_profile, pii_redact
+    register_views(spark, sf_dir)
+    d = F.col("doc_id")
+    aug = spark.table("documents").select(
+        d.cast("long").alias("doc_id"),
+        F.when(d % 7 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        d.cast("string"), F.lit("@example.com now")))
+        .when(d % 7 == 1,
+              F.concat(F.col("text"), F.lit(" call 555-123-4567 or visit "
+                                            "10.0.0."),
+                       (d % 255).cast("string")))
+        .when(d % 7 == 2,
+              F.concat(F.col("text"), F.lit(" ssn 123-45-6789 ip 10.1.2.3")))
+        .otherwise(F.col("text")).alias("text"))
+    prof = pii_profile(aug)
+    red = pii_redact(aug).select("doc_id",
+                                 F.col("text").alias("text_redacted"))
+    return prof.join(red, "doc_id").orderBy("doc_id")
+
+
+_register("pii_scrub", _pii_scrub, r"""
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE
+      WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+           CAST(doc_id AS VARCHAR) || '@example.com now'
+      WHEN doc_id % 7 = 1 THEN text || ' call 555-123-4567 or visit 10.0.0.'
+           || CAST(doc_id % 255 AS VARCHAR)
+      WHEN doc_id % 7 = 2 THEN text || ' ssn 123-45-6789 ip 10.1.2.3'
+      ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT)
+    AS n_ssn,
+  CAST(len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b'))
+    AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+     + len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b'))
+     + len(regexp_extract_all(text,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+     + len(regexp_extract_all(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+    AS n_pii,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+      '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g')
+    AS text_redacted
+FROM aug
+ORDER BY doc_id
+""")
