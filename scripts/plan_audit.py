@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Catalog-wide physical-plan hazard audit.
+
+Builds every catalog query's physical plan (no execution) and scans it
+for the patterns that kill a 100 TB run even when the sf0.01 result is
+correct:
+
+  * ``BatchEvalPython``      — row-at-a-time Python UDF in the plan
+                               (only Arrow-batched evaluation is allowed),
+  * ``CartesianProduct``     — an un-broadcast cross join (all-pairs
+                               materialization),
+  * unpartitioned ``Window`` — a window function whose partition spec is
+                               empty funnels the whole input through ONE
+                               task, the classic single-node bottleneck.
+
+Known-bounded exceptions are whitelisted with a justification; anything
+else is a failure.  tests/test_plan_audit.py runs the same audit in CI.
+
+Usage: python scripts/plan_audit.py [key ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+# keys where a flagged pattern is provably bounded, with why
+WHITELIST: dict[str, dict[str, str]] = {
+    "f14_wave_caps": {
+        "unpartitioned_window":
+            "the catalog entry runs apply_wave_budgets in its n_shards=1 "
+            "single-queue PARITY configuration (byte-identical to the "
+            "reference's one-host doledb, which the DuckDB oracle pins); "
+            "Catalyst folds the constant shard key away, leaving the "
+            "global windows the oracle semantics require.  The scale "
+            "configuration (n_shards>1 — bench.py and the 10^10 plan) "
+            "partitions both budget windows by spider_shard(first_ip), "
+            "and its one remaining global window is bounded at "
+            "global_cap rows by construction (runs after the caps).",
+    },
+}
+
+
+def audit_plan(plan: str) -> list[str]:
+    """Returns hazard names found in one physical-plan string
+    (``queryExecution().executedPlan().toString()``)."""
+    hazards = []
+    if "BatchEvalPython" in plan:
+        hazards.append("row_python_udf")
+    if "CartesianProduct" in plan:
+        hazards.append("cartesian_product")
+    # WindowExec prints   Window [funcs], [partition spec], [order spec]
+    # — a GLOBAL window omits the partition-spec group entirely, leaving
+    # two groups with the second being the ASC/DESC ordering.  (Spark
+    # itself warns "Moving all data to a single partition" for these.)
+    # WindowGroupLimit prints [partition spec], [order spec], fn, k —
+    # there a global window shows as an EMPTY first group.
+    for m in re.finditer(r"\bWindow(GroupLimit)? \[[^\n]*", plan):
+        line, is_limit = m.group(0), bool(m.group(1))
+        groups = re.findall(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]", line)
+        if is_limit:
+            if groups and re.fullmatch(r"\[\s*\]", groups[0]):
+                hazards.append("unpartitioned_window")
+        elif len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+            hazards.append("unpartitioned_window")
+    return sorted(set(hazards))
+
+
+def main(argv: list[str] | None = None) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from open_source_search_engine_spark.queries import QUERIES
+    from open_source_search_engine_spark.session import get_spark
+
+    keys = (argv or sys.argv[1:]) or sorted(QUERIES)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    spark = get_spark(app="plan_audit", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    failed = {}
+    for k in keys:
+        df = QUERIES[k](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hazards = [h for h in audit_plan(plan)
+                   if h not in WHITELIST.get(k, {})]
+        status = "HAZARD" if hazards else "ok"
+        print(f"{status:8s} {k}  {','.join(hazards)}")
+        if hazards:
+            failed[k] = hazards
+    print(f"\n{len(keys) - len(failed)}/{len(keys)} clean")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
