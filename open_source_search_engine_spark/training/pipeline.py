@@ -23,17 +23,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # stage order = evaluation priority for the reported reason
-REASONS = ["gopher_shape", "gopher_repetition", "dup_ngram", "lang",
-           "boilerplate_only", "near_dup"]
+REASONS = ["gopher_shape", "gopher_repetition", "dup_ngram", "pii", "lang",
+           "contaminated", "boilerplate_only", "near_dup"]
 
 
 def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
-           neardup_threshold: float = 0.85) -> DataFrame:
+           neardup_threshold: float = 0.85,
+           max_pii: int | None = None,
+           eval_docs: DataFrame | None = None,
+           decontam_n: int = 13) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, keep, reason).
 
     Every stage is computed as its own DataFrame and joined on doc_id;
     the dedup stage (the only corpus-quadratic one) is evaluated over
-    quality survivors only, exactly like a staged production run."""
+    quality survivors only, exactly like a staged production run.
+
+    Optional gates (both off by default):
+    - ``max_pii``: drop documents with more than this many PII matches
+      (``pii.pii_profile``; a production run redacts the survivors with
+      ``pii_redact`` when it materializes text);
+    - ``eval_docs``: drop documents sharing a word ``decontam_n``-gram
+      with this evaluation set (``decontam.decontaminate``)."""
     from .dedup import dedup_keepers
     from .gopher import dup_ngram_coverage, gopher_quality, gopher_repetition
     from .lines import line_dedup, segment_text
@@ -54,10 +64,25 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
              .join(rep, "doc_id", "left")
              .join(cov, "doc_id", "left")
              .join(lang, "doc_id", "left")
-             .join(lined, "doc_id", "left")
-             .fillna(False))
+             .join(lined, "doc_id", "left"))
+    if max_pii is not None:
+        from .pii import pii_profile
+        pii = pii_profile(base).select(
+            "doc_id", (F.col("n_pii") <= max_pii).alias("pii_pass"))
+        gated = gated.join(pii, "doc_id", "left")
+    else:
+        gated = gated.withColumn("pii_pass", F.lit(True))
+    if eval_docs is not None:
+        from .decontam import decontaminate
+        dec = decontaminate(base, eval_docs, n=decontam_n).select(
+            "doc_id", (~F.col("contaminated")).alias("decontam_pass"))
+        gated = gated.join(dec, "doc_id", "left")
+    else:
+        gated = gated.withColumn("decontam_pass", F.lit(True))
+    gated = gated.fillna(False)
     quality_ok = (F.col("gopher_pass") & F.col("rep_pass")
-                  & F.col("dupngram_pass") & F.col("lang_pass")
+                  & F.col("dupngram_pass") & F.col("pii_pass")
+                  & F.col("lang_pass") & F.col("decontam_pass")
                   & F.col("line_pass"))
 
     survivors = base.join(
@@ -69,7 +94,9 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
     reason = (F.when(~F.col("gopher_pass"), "gopher_shape")
               .when(~F.col("rep_pass"), "gopher_repetition")
               .when(~F.col("dupngram_pass"), "dup_ngram")
+              .when(~F.col("pii_pass"), "pii")
               .when(~F.col("lang_pass"), "lang")
+              .when(~F.col("decontam_pass"), "contaminated")
               .when(~F.col("line_pass"), "boilerplate_only")
               .when(~F.col("dedup_keep"), "near_dup"))
     return out.select(

@@ -248,3 +248,37 @@ def test_coverage_fracs_matches_naive_reference():
         vocab = [f"t{i}" for i in range(rng.randint(1, 8))]
         text = " ".join(rng.choice(vocab) for _ in range(n_toks))
         assert _coverage_fracs(text) == naive(text), text
+
+
+def test_curation_optional_pii_and_decontam_gates(spark):
+    """max_pii / eval_docs are off by default (goldens unchanged); when
+    on, a PII-laden doc reports 'pii' and an eval-overlapping doc reports
+    'contaminated', each as its FIRST failing stage."""
+    from open_source_search_engine_spark.training.pipeline import curate
+
+    words = _EN60.split()
+    qq = [f"qq{i:03d}" for i in range(13)]
+    docs = spark.createDataFrame(
+        [
+            (1, _EN60),                                          # kept
+            # shape/lang-clean but carries an email + phone -> pii
+            (2, _EN60 + " contact admin@example.org or call 555-123-4567"),
+            # 40 English words + the eval 13-gram appended -> contaminated
+            (3, " ".join(words[13:53] + qq)),
+        ],
+        "doc_id long, text string")
+    evals = spark.createDataFrame([(9, " ".join(qq))],
+                                  "doc_id long, text string")
+
+    out = {r["doc_id"]: r for r in
+           curate(docs, max_pii=0, eval_docs=evals,
+                  decontam_n=13).collect()}
+    assert out[1]["keep"] is True and out[1]["reason"] is None
+    assert out[2]["keep"] is False and out[2]["reason"] == "pii"
+    assert out[3]["keep"] is False and out[3]["reason"] == "contaminated"
+
+    # defaults: both gates off -> doc 2 survives to near-dup (it IS a
+    # near-dup of doc 1), doc 3 is kept
+    base = {r["doc_id"]: r for r in curate(docs).collect()}
+    assert base[2]["reason"] == "near_dup"
+    assert base[3]["keep"] is True
