@@ -18,6 +18,7 @@ Shape requirements (FIXTURES.md):
 from __future__ import annotations
 
 import random
+import zlib
 from dataclasses import dataclass, field
 
 from .functions.ghash import hash32_bytes
@@ -230,8 +231,24 @@ def generate_corpus(
             filler = " ".join(rng.choice(["lorem", "ipsum", "data", "web",
                                           "page", "crawl"])
                               for _ in range(rng.randint(3, 12)))
+            # deterministic (rng-stream-free) <base href> coverage:
+            # ~1/12 of pages carry a valid base that retargets their
+            # relative links (XmlDoc::getBaseUrl), another ~1/12 carry
+            # the invalid <base href="/"> real pages emit (fallback path)
+            base_extra = ""
+            if not zero_links and off == 0:
+                c = zlib.crc32(u.encode())
+                pu = normalize_url(u)
+                if c % 12 == 5 and pu:
+                    base_extra = (
+                        f'<base href="http://{pu.host}/basedir/">'
+                        f'<a href="deep{c % 7}.html">b</a> ')
+                elif c % 12 == 7:
+                    base_extra = (f'<base href="/">'
+                                  f'<a href="near{c % 5}.html">b</a> ')
             spans.append({"kind": "text",
-                          "text": filler + " " + " ".join(frags),
+                          "text": base_extra + filler + " "
+                          + " ".join(frags),
                           "media_ref": None, "offset": off})
         docs.append({"doc_id": u, "spans": spans})
 

@@ -10,7 +10,10 @@ Mirrors the reference's link extraction:
 - host must be >2 chars, scheme http(s) (``XmlDoc.cpp:15270-15291``)
 - media / script / style / json extensions are never spidered
   (``XmlDoc.cpp:15293-15303``) — media refs feed thumbnails only
-- relative hrefs resolve against the page URL (``Url::set`` with base)
+- relative hrefs resolve against the page URL (``Url::set`` with base),
+  or against the document's ``<base href>`` when one is present with a
+  valid absolute URL (``XmlDoc::getBaseUrl``, XmlDoc.cpp:16137-16165,
+  including the invalid-``<base href="/">`` fixup)
 
 The extractor is a pure function over one document's span array so it runs
 identically in the Python oracle and inside the Spark ``mapInPandas`` UDF.
@@ -78,6 +81,33 @@ def resolve_href(href: str, base: ParsedUrl) -> str | None:
 
 _CANONICAL = dict(strip_params=True, strip_common_file=True)
 
+_BASE_TAG_RE = re.compile(r"<base\b([^>]*)>", re.IGNORECASE | re.DOTALL)
+
+
+def _document_base(ordered_spans: list, page: ParsedUrl) -> ParsedUrl:
+    """XmlDoc::getBaseUrl (XmlDoc.cpp:16137-16165): the resolve base is
+    the page URL unless the document carries a ``<base href>`` tag — the
+    FIRST base tag with a non-empty href decides; if its value has no
+    valid host/domain (e.g. ``<base href="/">``, which real pages emit)
+    the page URL stands (the reference's explicit invalid-base fixup)."""
+    for span in ordered_spans:
+        if _get(span, "kind") == "media_ref":
+            continue
+        text = _get(span, "text") or ""
+        for m in _BASE_TAG_RE.finditer(text):
+            hm = _HREF_RE.search(m.group(1))
+            if not hm:
+                continue
+            href = html.unescape(
+                hm.group(2) or hm.group(3) or hm.group(4) or "").strip()
+            if not href:
+                continue
+            p = normalize_url(href, **_CANONICAL)
+            if p is not None and p.host and p.domain:
+                return p
+            return page      # first non-empty base decides, even invalid
+    return page
+
 
 def extract_outlinks(
     page_url: str,
@@ -97,9 +127,13 @@ def extract_outlinks(
         return []
     seen: set[str] = set()
     out: list[dict] = []
+    ordered = sorted(spans, key=lambda s: _get(s, "offset"))
+    # hrefs resolve against the DOCUMENT base (<base href>, if any);
+    # self-link detection and parent_domain stay on the page URL
+    link_base = _document_base(ordered, base)
 
     def _emit(raw: str, is_media: bool) -> None:
-        resolved = resolve_href(raw, base)
+        resolved = resolve_href(raw, link_base)
         if resolved is None:
             return
         p = normalize_url(resolved, **_CANONICAL)
@@ -126,7 +160,6 @@ def extract_outlinks(
             "parent_domain": base.domain,   # feeds siteNumInlinks (sniTable)
         })
 
-    ordered = sorted(spans, key=lambda s: _get(s, "offset"))
     for span in ordered:
         kind = _get(span, "kind")
         if kind == "media_ref":

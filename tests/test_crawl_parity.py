@@ -202,7 +202,7 @@ def test_quota_and_inlink_ladder_parity(spark, tmp_path_factory):
     from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
 
     quota_rules = [
-        UrlFilterRule("domainpages>12 && !isroot", 1, force_delete=True),
+        UrlFilterRule("domainpages>10 && !isroot", 1, force_delete=True),
         UrlFilterRule("numinlinks>=2 && hopcount>=2", 42, 40.0, 9, 1000, 7),
         *default_url_filters(),
     ]

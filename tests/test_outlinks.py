@@ -113,3 +113,56 @@ def test_entity_decoded_hrefs():
     assert "http://www.x7.example/p?x=1&y=2" in urls
     assert "http://www.x7.example/q/deep.html" in urls
     assert any('r?a=%22v%22' in u or 'r?a="v"' in u for u in urls), urls
+
+
+class TestBaseHref:
+    """<base href> handling (XmlDoc::getBaseUrl, XmlDoc.cpp:16137-16165)."""
+
+    def _links(self, spans, page="http://www.site.example/dir/page.html"):
+        from open_source_search_engine_spark.functions.outlinks import (
+            extract_outlinks)
+        return [o["url_norm"] for o in extract_outlinks(page, spans)
+                if not o["is_media"]]
+
+    def test_valid_base_redirects_relative_links(self):
+        spans = [{"kind": "text", "offset": 0, "media_ref": None,
+                  "text": '<base href="http://cdn.other.example/b/">'
+                          '<a href="x.html">x</a>'
+                          '<a href="/root.html">r</a>'}]
+        # relative resolves into the base DIR, root-relative onto the
+        # base HOST (both against the base, not the page)
+        assert self._links(spans) == [
+            "http://cdn.other.example/b/x.html",
+            "http://cdn.other.example/root.html"]
+
+    def test_invalid_base_falls_back_to_page(self):
+        spans = [{"kind": "text", "offset": 0, "media_ref": None,
+                  "text": '<base href="/"><a href="x.html">x</a>'}]
+        assert self._links(spans) == ["http://www.site.example/dir/x.html"]
+
+    def test_first_base_wins(self):
+        spans = [
+            {"kind": "text", "offset": 0, "media_ref": None,
+             "text": '<base href="http://one.example/a/">'},
+            {"kind": "text", "offset": 1, "media_ref": None,
+             "text": '<base href="http://two.example/b/">'
+                     '<a href="x.html">x</a>'},
+        ]
+        assert self._links(spans) == ["http://one.example/a/x.html"]
+
+    def test_base_applies_to_links_before_it(self):
+        # the reference resolves ALL links against the doc base, even
+        # ones that appear before the <base> tag in the byte stream
+        spans = [
+            {"kind": "text", "offset": 0, "media_ref": None,
+             "text": '<a href="x.html">x</a>'},
+            {"kind": "text", "offset": 1, "media_ref": None,
+             "text": '<base href="http://late.example/b/">'},
+        ]
+        assert self._links(spans) == ["http://late.example/b/x.html"]
+
+    def test_absolute_links_ignore_base(self):
+        spans = [{"kind": "text", "offset": 0, "media_ref": None,
+                  "text": '<base href="http://cdn.other.example/b/">'
+                          '<a href="http://abs.example/p.html">a</a>'}]
+        assert self._links(spans) == ["http://abs.example/p.html"]
