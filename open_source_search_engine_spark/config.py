@@ -20,6 +20,11 @@ HORIZON_MS = 86_400_000   # empty-wave clock-jump horizon (1 day): beyond it
 FETCH_DURATION_MS = 200           # deterministic simulated fetch time (no
                                   # real network; politeness is asserted on
                                   # the fetch_at schedule, not wall clock)
+AUTO_BACKOFF_DELAY_MS = 5_000     # Msg13.cpp:1995 AUTOCRAWLDELAY: floor put
+                                  # under an IP's crawl-delay once it looks
+                                  # throttled/banning ("twitchy")
+BANNED_HTTP_STATUSES = (403, 503, 999)  # Msg13.cpp:990-1008 ipWasBanned —
+                                  # reply statuses that mark the IP twitchy
 
 # change-rate model (Spider.h:772-910 m_percentChangedPerDay): volatile
 # pages advance their content hash with a version clock so refetches
@@ -101,4 +106,10 @@ class CrawlConfig:
     # the caller asks.  Compaction is semantics-preserving, so any cadence
     # yields byte-identical crawl order.
     compact_every: int = 0
+    # F16 twitchy-IP auto-backoff (Msg13.cpp:2030-2038): when on, fetches
+    # from an IP whose earlier replies looked throttled/banning (http
+    # status in BANNED_HTTP_STATUSES, Msg13.cpp ipWasBanned) are spaced at
+    # least AUTOCRAWLDELAY apart.  Reference default is OFF
+    # (Parms.cpp:8543 m_def="0").
+    auto_backoff: bool = False
     url_filters: list[UrlFilterRule] = field(default_factory=default_url_filters)

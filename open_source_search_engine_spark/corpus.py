@@ -67,6 +67,10 @@ class Corpus:
     seeds: list[dict]                    # {url, added_time}
     existing: set[str] = field(default_factory=set)   # URLs that 200
     tmp_error: set[str] = field(default_factory=set)  # URLs that tmp-fail
+    throttled: set[str] = field(default_factory=set)  # URLs whose server
+                                         # answers 503 (ban indicator,
+                                         # Msg13.cpp ipWasBanned) — marks
+                                         # the IP "twitchy"
     injects: list[dict] = field(default_factory=list) # {url, added_time}:
                                          # pages reachable ONLY by injection
                                          # (PageInject.cpp analogue)
@@ -186,6 +190,12 @@ def generate_corpus(
     ex_sorted = sorted(existing)
     for u in redirect_srcs:
         redirects[u] = rng.choice(ex_sorted)
+    # a deterministic (rng-stream-free) slice of the retryable errors is
+    # "throttled": the server answers 503 — a ban indicator
+    # (Msg13.cpp:990-1008) that marks its IP twitchy.  Carved out of the
+    # already-drawn tmp_error set so every other outcome is unchanged.
+    throttled = {u for u in tmp_error if zlib.crc32(u.encode()) % 3 == 0}
+    tmp_error -= throttled
 
     # --- docs with interleaved spans -------------------------------------
     docs: list[dict] = []
@@ -283,7 +293,7 @@ def generate_corpus(
 
     return Corpus(seed=seed, urls=urls, docs=docs, hosts=hosts, seeds=seeds,
                   existing=existing, tmp_error=tmp_error, injects=injects,
-                  redirects=redirects)
+                  redirects=redirects, throttled=throttled)
 
 
 # ---------------------------------------------------------------------------
@@ -327,6 +337,7 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
             [{"url": u,
               "outcome": ("ok" if u in corpus.existing
                           else "tmp" if u in corpus.tmp_error
+                          else "throttled" if u in corpus.throttled
                           else "redirect" if u in corpus.redirects
                           else "missing"),
               "redirect_to": corpus.redirects.get(u)}

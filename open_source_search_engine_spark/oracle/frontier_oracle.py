@@ -40,7 +40,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..config import (HORIZON_MS, ROBOTS_TTL_S, VERSION_MIX,
+from ..config import (AUTO_BACKOFF_DELAY_MS, BANNED_HTTP_STATUSES,
+                      HORIZON_MS, ROBOTS_TTL_S, VERSION_MIX,
                       VERSION_PERIOD_S, VOLATILE_MOD, CrawlConfig,
                       TMP_ERROR_CODES)
 from ..corpus import Corpus, _domain_ip
@@ -120,6 +121,10 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
     ip_last_end: dict[int, int] = {}   # firstIp -> last download end ms
     ip_delay_used: dict[int, int] = {} # firstIp -> last politeness delay ms
     cd_table: dict[str, int] = {}      # domain -> crawl delay ms (first wins)
+    twitchy_ips: set[int] = set()      # IPs with a ban-indicating reply
+                                       # (Msg13.cpp twitchyTable); consumed
+                                       # at NEXT round's fetch spacing —
+                                       # the batch round is the commit unit
     first_seen: dict[int, tuple[str, int]] = {}
     inlink_cblocks: dict[int, set] = {}  # uh48 -> parent-IP /24 blocks (F29)
     auth_inlink: set[int] = set()        # uh48s linked from authority sites
@@ -315,6 +320,11 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
                 rb_delay = min(max(rb_delay, 0), cfg.crawl_delay_cap_ms)
                 per_ip_delay[ip] = max(
                     max(x["ip_wait_ms"] for x in sel_ip), rb_delay)
+                # twitchy auto-backoff (Msg13.cpp:2030-2038): fetch-time
+                # floor of AUTOCRAWLDELAY for IPs flagged in prior rounds
+                if cfg.auto_backoff and ip in twitchy_ips:
+                    per_ip_delay[ip] = max(per_ip_delay[ip],
+                                           AUTO_BACKOFF_DELAY_MS)
             delay = per_ip_delay[ip]
             rank = per_ip_rank.get(ip, 0)
             per_ip_rank[ip] = rank + 1
@@ -389,6 +399,14 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
                          "spidered_time": sp_s, "download_end_ms": end_ms,
                          "content_hash32": 0, "percent_changed_per_day": 0,
                          "crawl_delay_ms": rb.crawl_delay_ms()}
+            elif url in corpus.throttled:
+                # 503 = ban indicator (Msg13.cpp ipWasBanned): retryable
+                # tmp error AND the IP joins the twitchy table below
+                reply = {"err_code": ERR_TMP, "err_count": prev_errs + 1,
+                         "http_status": 503, "is_indexed": False,
+                         "spidered_time": sp_s, "download_end_ms": end_ms,
+                         "content_hash32": 0, "percent_changed_per_day": 0,
+                         "crawl_delay_ms": rb.crawl_delay_ms()}
             else:
                 reply = {"err_code": ERR_NOT_FOUND,
                          "err_count": prev_errs + 1, "http_status": 404,
@@ -398,6 +416,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
                          "crawl_delay_ms": rb.crawl_delay_ms()}
             replies[c["uh48"]] = reply
             ip = c["first_ip"]
+            if reply["http_status"] in BANNED_HTTP_STATUSES:
+                twitchy_ips.add(ip)
             ip_last_end[ip] = max(ip_last_end.get(ip, 0),
                                   reply["download_end_ms"])
             ip_delay_used[ip] = per_ip_delay[ip]

@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import (HORIZON_MS, VERSION_MIX, VERSION_PERIOD_S,
+from ..config import (AUTO_BACKOFF_DELAY_MS, BANNED_HTTP_STATUSES,
+                      HORIZON_MS, VERSION_MIX, VERSION_PERIOD_S,
                       VOLATILE_MOD, CrawlConfig)
 from . import snapshots as snap
 from .filters import compile_rule_match, rule_arrays
@@ -84,7 +85,7 @@ class RoundStats:
 _WAVE_SCHED_COLS = [
     "first_ip", "uh48", "priority", "hop_count", "eligible_ms",
     "ip_max", "ufn", "max_per_rule", "ip_wait_ms", "robots_delay_ms",
-    "ip_last_end", "harvest",
+    "ip_last_end", "ip_twitchy", "harvest",
 ]
 
 
@@ -134,14 +135,22 @@ def assemble_wave_from_candidates(cand: DataFrame, cfg: CrawlConfig,
     # politeness delay per IP over SELECTED rows (hammer-queue analogue):
     # max(sameIpWait, clamp(robots crawl-delay, 0, 60 s))
     w_ip_all = Window.partitionBy("first_ip")
+    delay_terms = [
+        F.max("ip_wait_ms").over(w_ip_all),
+        F.least(F.greatest(F.max("robots_delay_ms").over(w_ip_all),
+                           F.lit(0)),
+                F.lit(cfg.crawl_delay_cap_ms)),
+    ]
+    if cfg.auto_backoff and "ip_twitchy" in wave.columns:
+        # Msg13.cpp:2030-2038: downloads from a twitchy IP are spaced at
+        # least AUTOCRAWLDELAY apart (fetch-time raise only — the
+        # scheduler's cdTable value is NOT rewritten, so eligible_ms is
+        # untouched, exactly like the reference's hammer-queue-only raise)
+        delay_terms.append(
+            F.when(F.max("ip_twitchy").over(w_ip_all),
+                   F.lit(AUTO_BACKOFF_DELAY_MS)).otherwise(F.lit(0)))
     wave = wave.withColumn(
-        "delay_ms",
-        F.greatest(
-            F.max("ip_wait_ms").over(w_ip_all),
-            F.least(F.greatest(F.max("robots_delay_ms").over(w_ip_all),
-                               F.lit(0)),
-                    F.lit(cfg.crawl_delay_cap_ms)),
-        ).cast("long"))
+        "delay_ms", F.greatest(*delay_terms).cast("long"))
     w_ip_seq = Window.partitionBy("first_ip").orderBy("seq_in_round")
     wave = (
         wave.withColumn("ip_rank", F.row_number().over(w_ip_seq) - 1)
@@ -387,7 +396,11 @@ class CrawlRunner:
                 "percent_changed_per_day",
                 F.col("spidered_time").alias("last_spider_time_s"))
             host_state = replies.groupBy("first_ip").agg(
-                F.max("download_end_ms").alias("ip_last_end"))
+                F.max("download_end_ms").alias("ip_last_end"),
+                # twitchy table (Msg13.cpp:416-427): an IP any of whose
+                # replies carried a ban-indicating status stays twitchy
+                F.max(F.col("http_status")
+                      .isin(*BANNED_HTTP_STATUSES)).alias("ip_twitchy"))
             # F20: first write per domain wins (SpiderColl.cpp:699-732) —
             # the delay of the EARLIEST reply (download-end time order,
             # uh48 tie-break), not a max over all replies; a domain whose
@@ -405,7 +418,7 @@ class CrawlRunner:
                          "percent_changed_per_day": 0})
                 .join(F.broadcast(host_state), "first_ip", "left")
                 .join(F.broadcast(cd), "domain", "left")
-                .fillna({"ip_last_end": 0})
+                .fillna({"ip_last_end": 0, "ip_twitchy": False})
             )
         else:
             cand = (req.withColumn("has_reply", F.lit(False))
@@ -416,6 +429,7 @@ class CrawlRunner:
                     .withColumn("percent_changed_per_day", F.lit(0))
                     .withColumn("last_spider_time_s", F.lit(0).cast("long"))
                     .withColumn("ip_last_end", F.lit(0).cast("long"))
+                    .withColumn("ip_twitchy", F.lit(False))
                     .withColumn("cd_ms", F.lit(None).cast("int")))
         # F29: page_num_inlinks = distinct /24 C-blocks of linking parents
         # per uh48, cap 20 (SpiderColl.cpp:2701-2742) — counted over ALL
@@ -514,9 +528,12 @@ class CrawlRunner:
                         (F.col("download_end_ms") / 1000).cast("long"))
             .withColumn("ok", F.col("outcome") == "ok")
             .withColumn("is_redirect", F.col("outcome") == "redirect")
+            # "throttled" answers 503 — a retryable tmp error that also
+            # flags the IP twitchy (Msg13.cpp ipWasBanned -> twitchyTable)
             .withColumn("err_code",
                         F.when(F.col("ok") | F.col("is_redirect"), 0)
-                        .when(F.col("outcome") == "tmp", ERR_TMP)
+                        .when(F.col("outcome").isin("tmp", "throttled"),
+                              ERR_TMP)
                         .otherwise(ERR_NOT_FOUND))
             .withColumn("err_count",
                         F.when(F.col("ok") | F.col("is_redirect"), 0)
@@ -524,6 +541,7 @@ class CrawlRunner:
             .withColumn("http_status",
                         F.when(F.col("ok"), 200)
                         .when(F.col("is_redirect"), 301)
+                        .when(F.col("outcome") == "throttled", 503)
                         .when(F.col("outcome") == "tmp", 0).otherwise(404))
             .withColumn("is_indexed", F.col("ok"))
             # volatile pages: content hash advances with the version clock

@@ -264,6 +264,59 @@ def test_authority_inlink_ladder_parity(spark, tmp_path_factory):
     assert any("mega.example" not in r["url_norm"] for r in fired)
 
 
+def test_twitchy_backoff_parity(spark, tmp_path_factory):
+    """F16 twitchy auto-backoff (Msg13.cpp:416-427, 1995-2038): an IP that
+    answers a ban-indicating status (503) joins the twitchy table; with
+    auto_backoff on, later fetches from it are spaced >= AUTOCRAWLDELAY
+    (5 s) apart — and the Spark pipeline matches the oracle byte-for-byte
+    under that behavior."""
+    from open_source_search_engine_spark.config import (
+        AUTO_BACKOFF_DELAY_MS, CrawlConfig)
+    from open_source_search_engine_spark.corpus import (generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.oracle import run_oracle
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+
+    cfg = CrawlConfig(max_rounds=12, auto_backoff=True)
+    c = generate_corpus(seed=17, n_domains=6, n_urls=120)
+    assert c.throttled, "fixture must exercise the throttled outcome"
+    want = run_oracle(c, cfg)
+    cd = str(tmp_path_factory.mktemp("twcorpus"))
+    sd = str(tmp_path_factory.mktemp("twstate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, cfg)
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order().collect())
+    want_rows = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in want.crawl_order)
+    assert got == want_rows
+    # the backoff visibly changes the schedule vs the default (off) run
+    base = run_oracle(c, CrawlConfig(max_rounds=12))
+    key = lambda o: [(r["round"], r["seq_in_round"], r["uh48"],
+                      r["fetch_at_ms"]) for r in o.crawl_order]
+    assert key(want) != key(base)
+    # and on the twitchy IP, post-throttle multi-fetch rounds are spaced
+    # at the raised delay
+    ip_of_host = {h["host"]: h["first_ip"] for h in c.hosts}
+    from urllib.parse import urlparse
+    throttle_round = min(r["round"] for r in want.crawl_order
+                         if r["url_norm"] in c.throttled)
+    tips = {ip_of_host[urlparse(u).netloc] for u in c.throttled
+            if urlparse(u).netloc in ip_of_host}
+    gaps = []
+    for ip in tips:
+        by_round: dict[int, list[int]] = {}
+        for r in want.crawl_order:
+            if r["first_ip"] == ip and r["round"] > throttle_round:
+                by_round.setdefault(r["round"], []).append(r["fetch_at_ms"])
+        for ts in by_round.values():
+            ts.sort()
+            gaps += [b - a for a, b in zip(ts, ts[1:])]
+    assert gaps and all(g >= AUTO_BACKOFF_DELAY_MS for g in gaps)
+
+
 def test_insitelist_ladder_parity(spark, tmp_path_factory):
     """insitelist reads the real seed site list (Spider.cpp:2418-2441 via
     the site-list dom table): the classic 'only spider my sites' ladder
