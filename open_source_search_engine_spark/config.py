@@ -25,6 +25,19 @@ AUTO_BACKOFF_DELAY_MS = 5_000     # Msg13.cpp:1995 AUTOCRAWLDELAY: floor put
                                   # throttled/banning ("twitchy")
 BANNED_HTTP_STATUSES = (403, 503, 999)  # Msg13.cpp:990-1008 ipWasBanned —
                                   # reply statuses that mark the IP twitchy
+ERR_DOC_DUP = 32825               # Errno.h EDOCDUP (enum position counted
+                                  # from the 32778/32790/32810 anchors)
+
+_SITE_RANK_STEPS = (0, 1, 2, 3, 4, 5, 9, 19, 39, 79, 199, 499, 1999,
+                    4999, 9999)   # Linkdb.cpp:5163-5181 getSiteRank ladder
+
+
+def site_rank_of(sni: int) -> int:
+    """siteRank from siteNumInlinks (Linkdb.cpp:5163 getSiteRank)."""
+    for rank, cap in enumerate(_SITE_RANK_STEPS):
+        if sni <= cap:
+            return rank
+    return 15
 
 # change-rate model (Spider.h:772-910 m_percentChangedPerDay): volatile
 # pages advance their content hash with a version clock so refetches
@@ -112,4 +125,11 @@ class CrawlConfig:
     # least AUTOCRAWLDELAY apart.  Reference default is OFF
     # (Parms.cpp:8543 m_def="0").
     auto_backoff: bool = False
+    # index-time exact-content dedup (XmlDoc::getIsDup, XmlDoc.cpp:5042-
+    # 5136): a fetched non-root page whose exact content identity is
+    # already indexed under another docid of site rank >= ours gets
+    # indexCode EDOCDUP — not indexed, links not harvested.  Reference
+    # default OFF (Parms.cpp:8650 m_def="0").  The committed index a
+    # round checks against is the PRIOR rounds' (batch commit unit).
+    deduping_enabled: bool = False
     url_filters: list[UrlFilterRule] = field(default_factory=default_url_filters)

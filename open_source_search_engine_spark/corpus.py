@@ -77,6 +77,10 @@ class Corpus:
     redirects: dict[str, str] = field(default_factory=dict)  # url -> target
                                          # (301 followed with hopCount
                                          # unchanged, XmlDoc.cpp:15371-15385)
+    content_key: dict[str, str] = field(default_factory=dict)  # url ->
+                                         # canonical url whose spans it
+                                         # mirrors (exact-content identity
+                                         # for EDOCDUP); absent = unique
 
 
 def generate_corpus(
@@ -296,6 +300,26 @@ def generate_corpus(
                   redirects=redirects, throttled=throttled)
 
 
+def add_mirror(corpus: Corpus, canonical: str, mirror: str) -> None:
+    """EDOCDUP fixture surgery: make ``mirror`` an exact-content copy of
+    ``canonical`` — identical spans AND a shared content identity
+    (``content_key``), so the dup check (XmlDoc::getIsDup) keys on a
+    declared identity that genuinely corresponds to identical bytes.
+    Both must be existing pages; volatile URLs are refused because their
+    content hash versions with the clock and could never stay a
+    byte-identical mirror."""
+    from .config import VOLATILE_MOD
+    from .functions.ghash import uh48 as _uh48_of
+    docs_by_id = {d["doc_id"]: d for d in corpus.docs}
+    if canonical not in corpus.existing or mirror not in corpus.existing:
+        raise ValueError("mirror pair must both be existing pages")
+    if any(_uh48_of(u) % VOLATILE_MOD == 0 for u in (canonical, mirror)):
+        raise ValueError("volatile pages cannot be mirrored")
+    docs_by_id[mirror]["spans"] = [
+        dict(sp) for sp in docs_by_id[canonical]["spans"]]
+    corpus.content_key[mirror] = canonical
+
+
 # ---------------------------------------------------------------------------
 # parquet writers (pyarrow — usable without a SparkSession)
 # ---------------------------------------------------------------------------
@@ -340,8 +364,10 @@ def write_parquet(corpus: Corpus, out_dir: str) -> None:
                           else "throttled" if u in corpus.throttled
                           else "redirect" if u in corpus.redirects
                           else "missing"),
-              "redirect_to": corpus.redirects.get(u)}
+              "redirect_to": corpus.redirects.get(u),
+              "content_key": corpus.content_key.get(u, u)}
              for u in corpus.urls],
             schema=pa.schema([("url", pa.string()), ("outcome", pa.string()),
-                              ("redirect_to", pa.string())])),
+                              ("redirect_to", pa.string()),
+                              ("content_key", pa.string())])),
         os.path.join(out_dir, "outcomes.parquet"))

@@ -38,12 +38,13 @@ Semantics summary (each rule mirrored in ``pipeline/crawl.py`` /
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from ..config import (AUTO_BACKOFF_DELAY_MS, BANNED_HTTP_STATUSES,
-                      HORIZON_MS, ROBOTS_TTL_S, VERSION_MIX,
+                      ERR_DOC_DUP, HORIZON_MS, ROBOTS_TTL_S, VERSION_MIX,
                       VERSION_PERIOD_S, VOLATILE_MOD, CrawlConfig,
-                      TMP_ERROR_CODES)
+                      TMP_ERROR_CODES, site_rank_of)
 from ..corpus import Corpus, _domain_ip
 from ..functions.ghash import hash32_bytes, uh48 as uh48_of
 from ..functions.outlinks import extract_outlinks
@@ -61,6 +62,8 @@ class OracleResult:
     url_seen: list[dict] = field(default_factory=list)
     host_final: list[dict] = field(default_factory=list)
     rounds: int = 0
+    replies: dict[int, dict] = field(default_factory=dict)  # final latest
+                                    # reply per uh48 (spiderdb state)
 
 
 def _h32(s: str) -> int:
@@ -273,7 +276,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
                         ip_wait_ms=rule.spider_ip_wait_ms,
                         ip_max=rule.spider_ip_max_spiders,
                         max_per_rule=rule.max_spiders_per_rule,
-                        harvest=rule.harvest_links)
+                        harvest=rule.harvest_links,
+                        site_rank=site_rank_of(ctx["site_num_inlinks"]))
             eligible.append(cand)
 
         if not eligible:
@@ -340,6 +344,15 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             })
 
         # --- simulated fetch → replies + outlinks (F22-F25) ---------------
+        # index snapshot for the EDOCDUP check (XmlDoc::getIsDup): the
+        # committed index is the PRIOR rounds' — same-round fetches don't
+        # see each other (the batch commit unit, like pipeline/crawl.py)
+        dup_index: dict[int, list[tuple[int, int]]] = {}
+        if cfg.deduping_enabled:
+            for u_, rep_ in replies.items():
+                if rep_.get("is_indexed"):
+                    dup_index.setdefault(rep_["content_hash32"], []) \
+                        .append((u_, rep_["site_rank"]))
         max_end = wave_start
         round_cd: dict[str, tuple[tuple[int, int], int]] = {}
         for c in wave:
@@ -353,23 +366,46 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             if url in docs_by_url:
                 doc = docs_by_url[url]
                 # volatile pages advance their content hash with the
-                # version clock (change-rate model, pipeline/crawl.py)
-                h32 = _h32(url)
+                # version clock (change-rate model, pipeline/crawl.py);
+                # mirror pages hash to their canonical's content_key
+                # (exact-content identity; pools exclude volatile URLs)
                 if c["uh48"] % VOLATILE_MOD == 0:
-                    h32 = (h32 ^ ((sp_s // VERSION_PERIOD_S)
-                                  * VERSION_MIX)) & 0xFFFFFFFF
+                    h32 = (_h32(url) ^ ((sp_s // VERSION_PERIOD_S)
+                                        * VERSION_MIX)) & 0xFFFFFFFF
+                else:
+                    h32 = _h32(corpus.content_key.get(url, url))
+                # EDOCDUP (XmlDoc.cpp:5042-5136): another indexed docid
+                # with the same exact-content hash and site rank >= ours
+                # was here first; root URLs never discarded
+                is_dup = (
+                    cfg.deduping_enabled
+                    and not re.match(r"^https?://[^/]+/$", url)
+                    and any(u_ != c["uh48"] and sr >= c["site_rank"]
+                            for u_, sr in dup_index.get(h32, ())))
+                if is_dup:
+                    reply = {"err_code": ERR_DOC_DUP,
+                             "err_count": prev_errs + 1,
+                             "http_status": 200, "is_indexed": False,
+                             "spidered_time": sp_s,
+                             "download_end_ms": end_ms,
+                             "content_hash32": h32,
+                             "percent_changed_per_day": 0,
+                             "crawl_delay_ms": rb.crawl_delay_ms()}
+                    doc = None   # links of a dup are not harvested
                 changed = (prev is not None and prev["content_hash32"] != 0
                            and h32 != prev["content_hash32"])
                 ppcd = (min(100, (100 * 86400)
                             // max(sp_s - prev["spidered_time"], 1))
                         if changed else 0)
-                reply = {"err_code": 0, "err_count": 0, "http_status": 200,
-                         "is_indexed": True, "spidered_time": sp_s,
-                         "download_end_ms": end_ms,
-                         "content_hash32": h32,
-                         "percent_changed_per_day": ppcd,
-                         "crawl_delay_ms": rb.crawl_delay_ms()}
-                if c["harvest"]:
+                if not is_dup:
+                    reply = {"err_code": 0, "err_count": 0,
+                             "http_status": 200,
+                             "is_indexed": True, "spidered_time": sp_s,
+                             "download_end_ms": end_ms,
+                             "content_hash32": h32,
+                             "percent_changed_per_day": ppcd,
+                             "crawl_delay_ms": rb.crawl_delay_ms()}
+                if c["harvest"] and doc is not None:
                     for link in extract_outlinks(url, doc["spans"]):
                         if link["is_media"]:
                             continue
@@ -414,6 +450,7 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
                          "download_end_ms": end_ms, "content_hash32": 0,
                          "percent_changed_per_day": 0,
                          "crawl_delay_ms": rb.crawl_delay_ms()}
+            reply["site_rank"] = c["site_rank"]
             replies[c["uh48"]] = reply
             ip = c["first_ip"]
             if reply["http_status"] in BANNED_HTTP_STATUSES:
@@ -446,4 +483,5 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
          "crawl_delay_ms": ip_delay_used.get(ip, -1)}
         for ip, end in sorted(ip_last_end.items())
     ]
+    out.replies = replies
     return out

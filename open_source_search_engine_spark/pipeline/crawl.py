@@ -39,8 +39,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import (AUTO_BACKOFF_DELAY_MS, BANNED_HTTP_STATUSES,
-                      HORIZON_MS, VERSION_MIX, VERSION_PERIOD_S,
-                      VOLATILE_MOD, CrawlConfig)
+                      ERR_DOC_DUP, HORIZON_MS, VERSION_MIX,
+                      VERSION_PERIOD_S, VOLATILE_MOD, CrawlConfig,
+                      _SITE_RANK_STEPS)
 from . import snapshots as snap
 from .filters import compile_rule_match, rule_arrays
 from .udfs import (domain_ip_udf, domain_of_host_udf, hash32_udf,
@@ -58,9 +59,19 @@ REQUEST_COLS = [
 ]
 REPLY_COLS = [
     "first_ip", "uh48", "domain", "spidered_time", "err_code", "err_count",
-    "http_status", "is_indexed", "content_hash32", "crawl_delay_ms",
-    "download_end_ms", "percent_changed_per_day", "round",
+    "http_status", "is_indexed", "content_hash32", "site_rank",
+    "crawl_delay_ms", "download_end_ms", "percent_changed_per_day", "round",
 ]
+
+
+def _site_rank_col(sni):
+    """siteRank from siteNumInlinks as a Catalyst when-chain
+    (Linkdb.cpp:5163-5181 getSiteRank)."""
+    expr = F.lit(15)
+    for rank in range(len(_SITE_RANK_STEPS) - 1, -1, -1):
+        expr = F.when(sni <= _SITE_RANK_STEPS[rank],
+                      F.lit(rank)).otherwise(expr)
+    return expr.cast("int")
 
 
 WAVE_COLS = [
@@ -85,7 +96,7 @@ class RoundStats:
 _WAVE_SCHED_COLS = [
     "first_ip", "uh48", "priority", "hop_count", "eligible_ms",
     "ip_max", "ufn", "max_per_rule", "ip_wait_ms", "robots_delay_ms",
-    "ip_last_end", "ip_twitchy", "harvest",
+    "ip_last_end", "ip_twitchy", "site_num_inlinks", "harvest",
 ]
 
 
@@ -522,6 +533,13 @@ class CrawlRunner:
                  .withColumn("prev_spidered_s", F.lit(None).cast("long")))
         f = (
             f.fillna({"prev_err_count": 0})
+            # exact-content identity: mirror pages share their canonical's
+            # content_key (corpus guarantees identical spans); unique
+            # pages key on their own URL
+            .withColumn("content_key",
+                        F.coalesce(F.col("content_key"), F.col("url")))
+            .withColumn("site_rank",
+                        _site_rank_col(F.col("site_num_inlinks")))
             .withColumn("download_end_ms",
                         F.col("fetch_at_ms") + cfg.fetch_duration_ms)
             .withColumn("spidered_time",
@@ -557,7 +575,10 @@ class CrawlRunner:
                                      / VERSION_PERIOD_S) * VERSION_MIX)
                             .cast("long"))
                         .bitwiseAND(F.lit(0xFFFFFFFF)))
-                    .otherwise(hash32_udf("url")))
+                    # getExactContentHash64 analogue: mirror pages hash to
+                    # their canonical's value (the corpus keeps mirror
+                    # pools off volatile URLs, so the branches never mix)
+                    .otherwise(hash32_udf("content_key")))
                 .otherwise(F.lit(0).cast("long")))
             # m_percentChangedPerDay: 100/days between DIFFERING indexed
             # fetches, capped 100; 0 on first fetch or unchanged content
@@ -577,10 +598,68 @@ class CrawlRunner:
             .withColumn("crawl_delay_ms", F.col("robots_delay_ms"))
             .withColumn("round", F.lit(rnd))
         )
+        # F-dup: index-time exact-content dedup (XmlDoc::getIsDup,
+        # XmlDoc.cpp:5042-5136).  A fetched non-root page is EDOCDUP when
+        # the committed index (PRIOR rounds — the batch commit unit; the
+        # reference checks posdb at its index instant) holds the same
+        # content hash under another uh48 whose at-index-time site rank
+        # >= this page's current rank ("he was here first").  Root URLs
+        # are never discarded (Parms.cpp:8644).
+        if cfg.deduping_enabled and replies is not None:
+            idx = (self._latest_reply(replies)
+                   .filter(F.col("is_indexed"))
+                   .select(F.col("uh48").alias("idx_uh48"),
+                           F.col("content_hash32").alias("content_hash32"),
+                           F.col("site_rank").alias("idx_sr")))
+            # exists-other-with-rank>=mine, computed scale-safely as two
+            # bounded aggregates (never a per-hash collect): the global
+            # (rank, uh48) max per hash + the max over the remainder
+            best = idx.groupBy("content_hash32").agg(
+                F.max_by(F.struct(F.col("idx_sr").alias("sr1"),
+                                  F.col("idx_uh48").alias("uh1")),
+                         F.struct("idx_sr", "idx_uh48")).alias("m1"))
+            second = (idx.join(best, "content_hash32")
+                      .filter(F.col("idx_uh48") != F.col("m1.uh1"))
+                      .groupBy("content_hash32")
+                      .agg(F.max("idx_sr").alias("sr2")))
+            dup = (best.join(second, "content_hash32", "left")
+                   .select("content_hash32", F.col("m1.sr1").alias("sr1"),
+                           F.col("m1.uh1").alias("uh1"), "sr2"))
+            # the wave is <= the global launch cap: semi-reduce the dup
+            # table to the wave's hashes first so the final enrich join
+            # broadcasts a bounded frame, not the whole index aggregate
+            wave_hashes = f.select("content_hash32").distinct()
+            dup = dup.join(F.broadcast(wave_hashes), "content_hash32",
+                           "left_semi")
+            f = f.join(F.broadcast(dup), "content_hash32", "left")
+            other_sr = F.when(F.col("uh1") != F.col("uh48"),
+                              F.col("sr1")).otherwise(F.col("sr2"))
+            f = f.withColumn(
+                "is_dup",
+                F.coalesce(
+                    F.col("ok")
+                    & ~F.col("url").rlike("^https?://[^/]+/$")
+                    & (other_sr >= F.col("site_rank")),
+                    F.lit(False)))
+        else:
+            f = f.withColumn("is_dup", F.lit(False))
+        f = (
+            f.withColumn("err_code",
+                         F.when(F.col("is_dup"), ERR_DOC_DUP)
+                         .otherwise(F.col("err_code")))
+            .withColumn("err_count",
+                        F.when(F.col("is_dup"),
+                               F.col("prev_err_count") + 1)
+                        .otherwise(F.col("err_count")))
+            .withColumn("is_indexed", F.col("is_indexed") & ~F.col("is_dup"))
+            .withColumn("percent_changed_per_day",
+                        F.when(F.col("is_dup"), F.lit(0))
+                        .otherwise(F.col("percent_changed_per_day")))
+        )
         new_replies = f.select(*REPLY_COLS)
 
         parents = (
-            f.filter(F.col("ok") & F.col("harvest"))
+            f.filter(F.col("ok") & F.col("harvest") & ~F.col("is_dup"))
             .join(self.docs, f["url"] == self.docs["doc_id"], "inner")
             .select("url", "spans", "hop_count", "spidered_time", "uh48")
         )

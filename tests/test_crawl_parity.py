@@ -317,6 +317,70 @@ def test_twitchy_backoff_parity(spark, tmp_path_factory):
     assert gaps and all(g >= AUTO_BACKOFF_DELAY_MS for g in gaps)
 
 
+def test_content_dedup_parity(spark, tmp_path_factory):
+    """EDOCDUP (XmlDoc::getIsDup, XmlDoc.cpp:5042-5136): with deduping
+    enabled, a page whose exact content is already indexed under another
+    docid of site rank >= its own gets indexCode EDOCDUP — not indexed,
+    links not harvested — and the Spark pipeline matches the oracle
+    byte-for-byte under that behavior."""
+    from open_source_search_engine_spark.config import (ERR_DOC_DUP,
+                                                        VOLATILE_MOD,
+                                                        CrawlConfig)
+    from open_source_search_engine_spark.corpus import (add_mirror,
+                                                        generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.functions.ghash import uh48
+    from open_source_search_engine_spark.oracle import run_oracle
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+
+    # deterministic pair discovery on the un-mirrored corpus: canonical
+    # indexed in an earlier round with stored site rank >= the mirror's
+    # at-fetch rank (the reference's "he was here first" condition)
+    mk = lambda: generate_corpus(seed=11, n_domains=6, n_urls=120)
+    base = run_oracle(mk(), CrawlConfig(max_rounds=8))
+    c0 = mk()
+    rounds = {r["url_norm"]: r["round"] for r in base.crawl_order}
+    sr = {u: base.replies[uh48(u)]["site_rank"] for u in rounds}
+    ok = lambda u: (u in c0.existing and uh48(u) % VOLATILE_MOD != 0
+                    and u.count("/") > 3
+                    and base.replies[uh48(u)]["is_indexed"])
+    pairs = sorted(
+        ((a, b) for a in rounds if ok(a) for b in rounds
+         if ok(b) and rounds[a] < rounds[b] and sr[a] >= sr[b]),
+        key=lambda p: (rounds[p[0]], rounds[p[1]], p))
+    cfg = CrawlConfig(max_rounds=8, deduping_enabled=True)
+    want = c = mirror = None
+    for canon, mirror in pairs[:8]:
+        c = mk()
+        add_mirror(c, canon, mirror)
+        want = run_oracle(c, cfg)
+        if any(r["err_code"] == ERR_DOC_DUP for r in want.replies.values()):
+            break
+    else:
+        raise AssertionError("no firing mirror pair found")
+    assert want.replies[uh48(mirror)]["err_code"] == ERR_DOC_DUP
+    assert not want.replies[uh48(mirror)]["is_indexed"]
+    # deduping off: the same corpus indexes BOTH copies
+    off = run_oracle(c, CrawlConfig(max_rounds=8))
+    assert off.replies[uh48(mirror)]["is_indexed"]
+    # Spark parity under deduping
+    cd = str(tmp_path_factory.mktemp("ddcorpus"))
+    sd = str(tmp_path_factory.mktemp("ddstate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, cfg)
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order().collect())
+    want_rows = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in want.crawl_order)
+    assert got == want_rows
+    indexed_urls = {r["url"] for r in runner.indexed_docs()
+                    .select("url").collect()}
+    assert mirror not in indexed_urls
+    assert canon in indexed_urls
+
+
 def test_insitelist_ladder_parity(spark, tmp_path_factory):
     """insitelist reads the real seed site list (Spider.cpp:2418-2441 via
     the site-list dom table): the classic 'only spider my sites' ladder
