@@ -1447,3 +1447,131 @@ SELECT doc_id,
 FROM aug
 ORDER BY doc_id
 """)
+
+
+# ---------------------------------------------------------------------------
+# Query-time result post-filtering (Msg51 setClusterLevels + Msg40 loop):
+# family/lang filters, hostname clustering, dup-URL removal — the PRODUCTION
+# search.results.filter_results over a deterministic ranked "result page"
+# derived from documents (rank = n_chars DESC; host = source; every 7th doc
+# carries a www. prefix and every doc collides its path modulo 120 so the
+# normalize-first-wins dup-URL stage genuinely fires).
+# ---------------------------------------------------------------------------
+
+def _result_cluster_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search.results import filter_results
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    w = Window.orderBy(F.desc("n_chars"), "doc_id")  # one ranked result
+    # page (bounded by docsWanted in production — global window is the
+    # fixture form, not a scale path)
+    res = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("rank"),
+        F.concat(F.lit("http://"),
+                 F.when(F.col("doc_id") % 7 == 0, F.lit("www."))
+                 .otherwise(F.lit("")),
+                 F.col("source"), F.lit(".example/doc/"),
+                 (F.col("doc_id") % 120).cast("string")).alias("url"),
+        F.col("lang"),
+        (F.col("doc_id") % 37 == 0).alias("is_adult"),
+        F.lit("t").alias("title"), F.lit("s").alias("summary"))
+    out = filter_results(res, family_filter=True, lang_filter="en",
+                         max_per_site=2, dedup_url=True)
+    return (out.select("rank", "doc_id",
+                       F.col("cluster_level").cast("int")
+                       .alias("cluster_level"))
+            .orderBy("rank"))
+
+
+_register("q_result_cluster_filter", _result_cluster_filter, """
+WITH r AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+              AS BIGINT) AS rnk,
+         CASE WHEN doc_id % 7 = 0 THEN 'www.' || source || '.example'
+              ELSE source || '.example' END AS host,
+         source || '.example/doc/' || CAST(doc_id % 120 AS VARCHAR)
+           AS norm_key,
+         lang, (doc_id % 37 = 0) AS is_adult
+  FROM documents),
+s1 AS (  -- Msg51: family filter then language filter
+  SELECT *, CASE WHEN is_adult THEN 3
+                 WHEN lang <> 'en' THEN 4 ELSE 16 END AS l1 FROM r),
+s2 AS (  -- Msg51: 3rd+ still-visible result per hostname is clustered
+  SELECT *, CASE WHEN l1 = 16 AND row_number()
+                   OVER (PARTITION BY host, l1 ORDER BY rnk) > 2
+                 THEN 5 ELSE l1 END AS l2 FROM s1),
+s3 AS (  -- Msg40: first visible per normalized url wins
+  SELECT *, CASE WHEN l2 = 16 AND row_number()
+                   OVER (PARTITION BY norm_key, l2 ORDER BY rnk) > 1
+                 THEN 14 ELSE l2 END AS l3 FROM s2)
+SELECT rnk AS rank, doc_id, CAST(l3 AS INT) AS cluster_level
+FROM s3 ORDER BY rank
+""")
+
+
+def _result_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy dup-summary removal (Msg40.cpp:1465-1520) over a ranked
+    result page whose titles/summaries are the documents' own leading
+    tokens — the corpus's planted near-duplicates make CR_DUP_SUMMARY
+    fire at the reference's default threshold (percentSimilarSummary=90,
+    Parms.cpp:7606); sequential-greedy is not SQL-expressible, hence
+    golden."""
+    from .search.results import filter_results
+    register_views(spark, sf_dir)
+    docs = (spark.table("documents")
+            .orderBy(F.desc("n_chars"), "doc_id").limit(256))
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    w = Window.orderBy(F.desc("n_chars"), "doc_id")
+    res = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("rank"),
+        F.concat(F.lit("http://"), F.col("source"),
+                 F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("lang"),
+        F.lit(False).alias("is_adult"),
+        F.concat_ws(" ", F.slice(toks, 1, 6)).alias("title"),
+        F.concat_ws(" ", F.slice(toks, 7, 20)).alias("summary"))
+    out = filter_results(res, do_site_clustering=False, dedup_percent=90)
+    return (out.select("rank", "doc_id",
+                       F.col("cluster_level").cast("int")
+                       .alias("cluster_level"))
+            .orderBy("rank"))
+
+
+_register_golden("q_result_dedup_summary", _result_dedup_summary, "rank")
+
+
+def _q1_sortby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 numeric operators: 'data gbmin:n_chars:500 gbsortby:n_chars' —
+    the gbmin: range constraint plus gbsortby: re-ranking (Query.cpp
+    FIELD_GBNUMBERMIN/FIELD_GBSORTBY*, PosdbTable m_sortByTermNum)
+    through the PRODUCTION parser and executor."""
+    from .search.postings import build_postings
+    from .search.queryparse import search_query
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    postings = build_postings(docs)
+    meta = docs.select("doc_id", "n_chars")
+    return search_query(postings, "data gbmin:n_chars:500 gbsortby:n_chars",
+                        k=10, doc_meta=meta)
+
+
+_register("q1_sortby_range", _q1_sortby, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE length(term) > 0 GROUP BY term, doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(p.tf * 10 AS BIGINT) AS score,
+       CAST(d.n_chars AS DOUBLE) AS sort_key
+FROM postings p JOIN documents d ON p.doc_id = d.doc_id
+WHERE p.term = 'data' AND d.n_chars >= 500
+ORDER BY sort_key ASC, doc_id
+LIMIT 10
+""")

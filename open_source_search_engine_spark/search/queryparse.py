@@ -39,6 +39,15 @@ from pyspark.sql import functions as F
 
 FIELDS = frozenset({"site", "lang", "title", "url"})  # Query.cpp field table
 
+# numeric-field operators (Query.cpp:1667-1782): gbsortby:/gbrevsortby:
+# re-rank by a numeric doc field low-to-high / high-to-low; gbmin:/gbmax:/
+# gbequal: are range constraints on the same termlist.  The *int variants
+# are the integer-keyed forms (FIELD_GBSORTBYINT etc.).
+_SORT_OPS = {"gbsortby": False, "gbrevsortby": True,
+             "gbsortbyint": False, "gbrevsortbyint": True}
+_RANGE_OPS = {"gbmin": ">=", "gbmax": "<=", "gbequal": "==",
+              "gbminint": ">=", "gbmaxint": "<=", "gbequalint": "=="}
+
 
 # --------------------------------------------------------------------- AST
 
@@ -56,6 +65,21 @@ class Phrase:
 class FieldTerm:
     field: str
     value: str
+
+
+@dataclass(frozen=True)
+class SortBy:
+    field: str
+    reverse: bool
+    is_int: bool
+
+
+@dataclass(frozen=True)
+class NumberFilter:
+    field: str
+    op: str          # ">=", "<=", "=="
+    value: float
+    is_int: bool
 
 
 @dataclass(frozen=True)
@@ -156,8 +180,25 @@ def _atom_from_token(t: str):
         return Phrase(words) if len(words) > 1 else Term(words[0])
     if ":" in t:
         f, _, v = t.partition(":")
-        if f.lower() in FIELDS and v:
-            return FieldTerm(f.lower(), v.lower())
+        fl = f.lower()
+        if fl in _SORT_OPS and v:
+            # gbsortby:price (Query.cpp FIELD_GBSORTBY*; value = field
+            # name, lowercased like hash64Lower_utf8)
+            return SortBy(v.lower(), _SORT_OPS[fl], fl.endswith("int"))
+        if fl in _RANGE_OPS and v:
+            # gbmin:price:1.23 — the LAST colon splits field from number
+            # (Query.cpp:1736-1745 lastColonLen)
+            fld, sep, num = v.rpartition(":")
+            if not sep:
+                raise QueryParseError(f"{fl}: needs field:value")
+            try:
+                val = float(num)
+            except ValueError:
+                raise QueryParseError(f"bad number in {t!r}") from None
+            return NumberFilter(fld.lower(), _RANGE_OPS[fl], val,
+                                fl.endswith("int"))
+        if fl in FIELDS and v:
+            return FieldTerm(fl, v.lower())
     return Term(t.lower())
 
 
@@ -219,6 +260,43 @@ def _phrase_docs(ctx: ExecContext, words: tuple) -> DataFrame:
                     .alias("score_part")))
 
 
+def _strip_sorts(node):
+    """Pull SortBy operators out of the boolean tree (the reference marks
+    them m_ignoreWordInBoolQuery, Query.cpp:1771-1781, so '(A OR B)
+    gbsortby:price' evaluates the boolean over A/B only).  Returns
+    (tree-without-sorts | None, [SortBy...])."""
+    if isinstance(node, SortBy):
+        return None, [node]
+    if isinstance(node, Not):
+        child, sorts = _strip_sorts(node.child)
+        return (Not(child) if child is not None else None), sorts
+    if isinstance(node, (And, Or)):
+        kids, sorts = [], []
+        for c in node.children:
+            k, s = _strip_sorts(c)
+            sorts.extend(s)
+            if k is not None:
+                kids.append(k)
+        cls = type(node)
+        if not kids:
+            return None, sorts
+        return (kids[0] if len(kids) == 1 else cls(tuple(kids))), sorts
+    return node, []
+
+
+def _number_docs(ctx: ExecContext, node: NumberFilter) -> DataFrame:
+    """gbmin/gbmax/gbequal range constraint: docs whose numeric metadata
+    field satisfies the bound (the gbsortby termlist range scan)."""
+    if ctx.doc_meta is None or node.field not in ctx.doc_meta.columns:
+        return (ctx.postings.select("doc_id").limit(0)
+                .withColumn("score_part", F.lit(0).cast("long")))
+    c = F.col(node.field).cast("long" if node.is_int else "double")
+    v = int(node.value) if node.is_int else node.value
+    cond = {">=": c >= v, "<=": c <= v, "==": c == v}[node.op]
+    return (ctx.doc_meta.filter(c.isNotNull()).filter(cond)
+            .select("doc_id", F.lit(0).cast("long").alias("score_part")))
+
+
 def _field_docs(ctx: ExecContext, node: FieldTerm) -> DataFrame:
     if ctx.doc_meta is None or node.field not in ctx.doc_meta.columns:
         # unknown field dimension: matches nothing (reference logs+skips)
@@ -243,6 +321,8 @@ def _exec(ctx: ExecContext, node) -> DataFrame:
         return _phrase_docs(ctx, node.words)
     if isinstance(node, FieldTerm):
         return _field_docs(ctx, node)
+    if isinstance(node, NumberFilter):
+        return _number_docs(ctx, node)
     if isinstance(node, Or):
         parts = [_exec(ctx, c) for c in node.children]
         u = parts[0]
@@ -280,10 +360,38 @@ def search_query(postings: DataFrame, query: str, k: int = 10,
                  doc_meta: DataFrame | None = None) -> DataFrame:
     """Full Q1→Q2→Q3 path: parse → DataFrame algebra → top-K.
 
-    Returns (doc_id, score) ordered by (score desc, doc_id)."""
+    Returns (doc_id, score) ordered by (score desc, doc_id).  With a
+    gbsortby:/gbrevsortby: operator in the query the ranking key becomes
+    the named numeric metadata field instead of the relevance score
+    (PosdbTable m_sortByTermNum: docs lacking the field's termlist are
+    not candidates) and the output gains a ``sort_key`` column."""
     ast = parse_query(query)
+    ast, sorts = _strip_sorts(ast)
     ctx = ExecContext(postings=postings, doc_meta=doc_meta)
-    out = _exec(ctx, ast)
+    if ast is None:
+        out = _all_docs(ctx)          # pure gbsortby:... query
+    else:
+        out = _exec(ctx, ast)
+    if sorts:
+        sb = sorts[0]                 # reference keeps one sort term
+        if ctx.doc_meta is None or sb.field not in ctx.doc_meta.columns:
+            out = out.limit(0)
+            return (out.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("score_part").cast("long").alias("score"),
+                F.lit(None).cast("double").alias("sort_key")))
+        key = (F.col(sb.field).cast("long" if sb.is_int else "double")
+               .alias("sort_key"))
+        out = (out.join(ctx.doc_meta.select("doc_id", key), "doc_id")
+               .filter(F.col("sort_key").isNotNull()))
+        order = (F.desc("sort_key") if sb.reverse
+                 else F.asc("sort_key"))
+        return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                           F.col("score_part").cast("long").alias("score"),
+                           F.col("sort_key").cast("double")
+                           .alias("sort_key"))
+                .orderBy(order, "doc_id")
+                .limit(k))
     return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
                        F.col("score_part").cast("long").alias("score"))
             .orderBy(F.desc("score"), "doc_id")

@@ -57,8 +57,9 @@ def idx(spark):
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     meta = spark.createDataFrame(
-        [(1, "en"), (2, "en"), (3, "de"), (4, "en"), (5, "de")],
-        ["doc_id", "lang"])
+        [(1, "en", 9.5, 100), (2, "en", 3.25, 40), (3, "de", 7.0, 900),
+         (4, "en", 1.5, 250), (5, "de", 5.0, 10)],
+        ["doc_id", "lang", "price", "views"])
     return build_postings(docs), meta
 
 
@@ -102,3 +103,62 @@ def test_exec_scoring_order(spark, idx):
     assert rows[0]["doc_id"] == 1
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_parse_sort_and_range_ops():
+    from open_source_search_engine_spark.search.queryparse import (
+        NumberFilter, SortBy)
+    assert parse_query("gbsortby:price") == SortBy("price", False, False)
+    assert parse_query("gbrevsortbyint:views") == SortBy("views", True, True)
+    got = parse_query("web gbmin:price:1.23")
+    assert got == And((Term("web"),
+                       NumberFilter("price", ">=", 1.23, False)))
+    assert parse_query("gbmaxint:views:100") == \
+        NumberFilter("views", "<=", 100.0, True)
+    with pytest.raises(QueryParseError):
+        parse_query("gbmin:price")          # no value
+    with pytest.raises(QueryParseError):
+        parse_query("gbmin:price:abc")      # bad number
+
+
+def test_exec_gbsortby_reranks(spark, idx):
+    from open_source_search_engine_spark.search.queryparse import search_query
+    postings, meta = idx
+    # low-to-high by price (Query.cpp:1668 'sorts numbers in a field
+    # from low to high'); relevance no longer orders
+    rows = search_query(postings, "web gbsortby:price",
+                        doc_meta=meta).collect()
+    assert [r["doc_id"] for r in rows] == [4, 2, 5, 1]
+    assert [r["sort_key"] for r in rows] == [1.5, 3.25, 5.0, 9.5]
+    # high-to-low integer variant
+    rows = search_query(postings, "web gbrevsortbyint:views",
+                        doc_meta=meta).collect()
+    assert [r["doc_id"] for r in rows] == [4, 1, 2, 5]
+
+
+def test_exec_gbmin_gbmax_constrain(spark, idx):
+    from open_source_search_engine_spark.search.queryparse import search_query
+    postings, meta = idx
+    got = set(_ids(search_query(postings, "web gbmin:price:3.0",
+                                doc_meta=meta)))
+    assert got == {1, 2, 5}
+    got = set(_ids(search_query(postings, "web gbmax:price:3.0",
+                                doc_meta=meta)))
+    assert got == {4}
+    got = set(_ids(search_query(postings, "gbequalint:views:900",
+                                doc_meta=meta)))
+    assert got == {3}
+    # range + sort compose: cheap-to-expensive among price >= 3
+    rows = search_query(postings, "web gbmin:price:3.0 gbsortby:price",
+                        doc_meta=meta).collect()
+    assert [r["doc_id"] for r in rows] == [2, 5, 1]
+
+
+def test_exec_sort_ignored_in_bool_truth(spark, idx):
+    from open_source_search_engine_spark.search.queryparse import search_query
+    postings, meta = idx
+    # '(A OR B) gbsortby:f' must evaluate the boolean over A/B only
+    # (Query.cpp:1771-1781 m_ignoreWordInBoolQuery)
+    rows = search_query(postings, "(spam OR stable) gbsortby:price",
+                        doc_meta=meta).collect()
+    assert [r["doc_id"] for r in rows] == [4, 3, 1]   # by price asc
