@@ -1575,3 +1575,52 @@ WHERE p.term = 'data' AND d.n_chars >= 500
 ORDER BY sort_key ASC, doc_id
 LIMIT 10
 """)
+
+
+def _q2_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text indexing (XmlDoc.cpp:4150-4172: incoming link text is
+    hashed into the linked-to doc's term table via Msg25 LinkInfo).  A
+    deterministic synthetic link graph — doc s links to doc
+    (s*13+7) mod N with s's five leading tokens as anchor — feeds the
+    PRODUCTION build_postings_with_anchors; the query returns every
+    doc's combined tf for the term 'data'."""
+    from .search.postings import build_postings_with_anchors
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    n = docs.count()
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    links = docs.select(
+        ((F.col("doc_id") * 13 + 7) % n).alias("dst_doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("anchor_text"))
+    p = build_postings_with_anchors(docs, links)
+    return (p.filter(F.col("term") == "data")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("tf").cast("long").alias("tf"))
+            .orderBy("doc_id"))
+
+
+_register("q2_anchor_text_index", _q2_anchor_index, """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+body AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), body_tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM body
+  WHERE length(term) > 0 GROUP BY term, doc_id
+), links AS (
+  SELECT (doc_id * 13 + 7) % (SELECT c FROM n) AS doc_id,
+         unnest(list_slice(string_split(lower(text), ' '), 1, 5)) AS term
+  FROM documents
+), anchor_tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM links
+  WHERE length(term) > 0 GROUP BY term, doc_id
+), merged AS (
+  SELECT COALESCE(b.term, a.term) AS term,
+         COALESCE(b.doc_id, a.doc_id) AS doc_id,
+         COALESCE(b.tf, 0) + COALESCE(a.tf, 0) AS tf
+  FROM body_tf b FULL OUTER JOIN anchor_tf a
+    ON b.term = a.term AND b.doc_id = a.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(tf AS BIGINT) AS tf
+FROM merged WHERE term = 'data' ORDER BY doc_id
+""")

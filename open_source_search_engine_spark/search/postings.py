@@ -40,6 +40,38 @@ def build_postings(docs: DataFrame, text_col: str = "text",
                  F.sort_array(F.collect_list("pos")).alias("positions")))
 
 
+def build_postings_with_anchors(docs: DataFrame, links: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Postings that also index INCOMING link text, like the reference's
+    term table: XmlDoc::getCountTable hashes each inlink's anchor text
+    into the linked-to document's term counts (``XmlDoc.cpp:4150-4172``
+    "add each incoming link text", via Msg25's LinkInfo).
+
+    ``links(dst_doc_id, anchor_text)`` — one row per inlink.  Anchor
+    terms contribute tf to the DESTINATION doc but carry no body
+    positions (the reference hashes them without body offsets; proximity
+    scoring only sees body hits).  One extra shuffle: the anchor-side
+    groupBy co-keys with the body aggregate on (term, doc_id), and at
+    scale both sides bucket by term exactly like ``build_postings``."""
+    body = build_postings(docs, text_col=text_col, id_col=id_col)
+    anchor_toks = links.select(
+        F.col("dst_doc_id").alias("doc_id"),
+        F.explode(F.split(F.lower(F.col("anchor_text")), r"\s+"))
+        .alias("term"))
+    anchors = (anchor_toks.filter(F.length("term") > 0)
+               .groupBy("term", "doc_id")
+               .agg(F.count("*").alias("anchor_tf")))
+    return (body.join(anchors, ["term", "doc_id"], "full_outer")
+            .select("term", "doc_id",
+                    (F.coalesce(F.col("tf"), F.lit(0))
+                     + F.coalesce(F.col("anchor_tf"), F.lit(0)))
+                    .cast("long").alias("tf"),
+                    F.coalesce(F.col("positions"),
+                               F.array().cast("array<int>"))
+                    .alias("positions")))
+
+
 def _min_gap(a, b):
     """Minimum absolute distance between two sorted position arrays — the
     proximity kernel, as a LINEAR sorted-merge like the reference's zipper

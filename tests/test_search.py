@@ -125,3 +125,35 @@ def test_title_extraction_candidate_ladder(spark):
            df.select("i", title_expr("text").alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i])
+
+
+def test_anchor_text_indexing(spark):
+    """Incoming link text contributes tf to the DESTINATION doc
+    (XmlDoc.cpp:4150-4172 'add each incoming link text'): a doc never
+    containing a term becomes findable by it through its inlinks, body
+    positions stay body-only, and docs with both sources sum their tf."""
+    from open_source_search_engine_spark.search.postings import (
+        build_postings, build_postings_with_anchors, search)
+    docs = spark.createDataFrame([
+        (1, "spark engine internals"),
+        (2, "totally unrelated page"),
+        (3, "spark joins explained"),
+    ], ["doc_id", "text"])
+    links = spark.createDataFrame([
+        (2, "spark tutorial"),          # doc 2 gains 'spark' via anchor
+        (2, "best spark guide"),
+        (3, "spark"),                   # doc 3: body tf 1 + anchor tf 1
+    ], ["dst_doc_id", "anchor_text"])
+    p = build_postings_with_anchors(docs, links)
+    rows = {(r["term"], r["doc_id"]): r for r in p.collect()}
+    assert rows[("spark", 2)]["tf"] == 2
+    assert rows[("spark", 2)]["positions"] == []     # no body hit
+    assert rows[("spark", 3)]["tf"] == 2             # 1 body + 1 anchor
+    assert rows[("spark", 3)]["positions"] == [0]    # body position kept
+    assert rows[("spark", 1)]["tf"] == 1
+    # anchor-only docs are searchable; body-only index can't see doc 2
+    got = {r["doc_id"] for r in search(p, ["spark"], k=10).collect()}
+    assert got == {1, 2, 3}
+    base = {r["doc_id"]
+            for r in search(build_postings(docs), ["spark"], k=10).collect()}
+    assert base == {1, 3}
