@@ -1624,3 +1624,43 @@ body AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(tf AS BIGINT) AS tf
 FROM merged WHERE term = 'data' ORDER BY doc_id
 """)
+
+
+def _exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (Lee et al. 2021 ExactSubstr;
+    training/substring.py): every occurrence of every corpus-duplicated
+    8-token window is cut; the oracle recomputes over window STRINGS, so
+    it also cross-checks the 64-bit rolling hash for collisions."""
+    from .training.substring import exact_substring_dedup
+    register_views(spark, sf_dir)
+    return (exact_substring_dedup(spark.table("documents"), min_len=8)
+            .orderBy("doc_id"))
+
+
+_register("dedup_exact_substring", _exact_substr, """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), wins AS (
+  SELECT doc_id, i - 1 AS start,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS w
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8
+), dups AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2
+), marked AS (
+  SELECT DISTINCT m.doc_id, p.pos
+  FROM wins m JOIN dups USING (w),
+       unnest(generate_series(m.start, m.start + 7)) AS p(pos)
+), tk AS (
+  SELECT doc_id, unnest(t) AS tok,
+         generate_subscripts(t, 1) - 1 AS pos FROM toks
+)
+SELECT CAST(tk.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(mk.pos) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN mk.pos IS NULL THEN tk.tok END,
+                           ' ' ORDER BY tk.pos), '') AS text_dedup
+FROM tk LEFT JOIN marked mk ON mk.doc_id = tk.doc_id AND mk.pos = tk.pos
+GROUP BY tk.doc_id
+ORDER BY doc_id
+""")
