@@ -1664,3 +1664,66 @@ FROM tk LEFT JOIN marked mk ON mk.doc_id = tk.doc_id AND mk.pos = tk.pos
 GROUP BY tk.doc_id
 ORDER BY doc_id
 """)
+
+
+def _adult_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adult-content scoring (AdultCheck.cpp:498 getAdultPoints /
+    XmlDoc.cpp:3142 threshold): once-per-needle weighted substring sum
+    over text augmented with deterministic planted needles so every
+    weight class and the clean-word offset fire."""
+    from .training.adult import adult_points_col, is_adult_col
+    register_views(spark, sf_dir)
+    aug = (spark.table("documents")
+           .withColumn("text2", F.concat(
+               F.col("text"),
+               F.when(F.col("doc_id") % 11 == 0, F.lit(" porn xxx"))
+               .when(F.col("doc_id") % 11 == 1, F.lit(" nude escort"))
+               .when(F.col("doc_id") % 11 == 2, F.lit(" sussex news"))
+               .when(F.col("doc_id") % 11 == 3, F.lit(" adult smut"))
+               .otherwise(F.lit("")))))
+    return (aug.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       adult_points_col("text2").alias("points"),
+                       is_adult_col("text2").alias("is_adult"))
+            .orderBy("doc_id"))
+
+
+_register("text_adult_score", _adult_score, """
+WITH aug AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         lower(text || CASE
+           WHEN doc_id % 11 = 0 THEN ' porn xxx'
+           WHEN doc_id % 11 = 1 THEN ' nude escort'
+           WHEN doc_id % 11 = 2 THEN ' sussex news'
+           WHEN doc_id % 11 = 3 THEN ' adult smut'
+           ELSE '' END) AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(
+    CASE WHEN position('porn' IN t) > 0 THEN 2 ELSE 0 END +
+    CASE WHEN position('xxx' IN t) > 0 THEN 2 ELSE 0 END +
+    CASE WHEN position('smut' IN t) > 0 THEN 2 ELSE 0 END +
+    CASE WHEN position('erotic' IN t) > 0 THEN 2 ELSE 0 END +
+    CASE WHEN position('escort' IN t) > 0 THEN 1 ELSE 0 END +
+    CASE WHEN position('nude' IN t) > 0 THEN 1 ELSE 0 END +
+    CASE WHEN position('adult' IN t) > 0 THEN 1 ELSE 0 END +
+    CASE WHEN position('sex' IN t) > 0 THEN 1 ELSE 0 END +
+    CASE WHEN position('adultery' IN t) > 0 THEN -1 ELSE 0 END +
+    CASE WHEN position('sussex' IN t) > 0 THEN -1 ELSE 0 END +
+    CASE WHEN position('essex' IN t) > 0 THEN -1 ELSE 0 END +
+    CASE WHEN position('middlesex' IN t) > 0 THEN -1 ELSE 0 END
+  AS INT) AS points,
+  (CASE WHEN position('porn' IN t) > 0 THEN 2 ELSE 0 END +
+   CASE WHEN position('xxx' IN t) > 0 THEN 2 ELSE 0 END +
+   CASE WHEN position('smut' IN t) > 0 THEN 2 ELSE 0 END +
+   CASE WHEN position('erotic' IN t) > 0 THEN 2 ELSE 0 END +
+   CASE WHEN position('escort' IN t) > 0 THEN 1 ELSE 0 END +
+   CASE WHEN position('nude' IN t) > 0 THEN 1 ELSE 0 END +
+   CASE WHEN position('adult' IN t) > 0 THEN 1 ELSE 0 END +
+   CASE WHEN position('sex' IN t) > 0 THEN 1 ELSE 0 END +
+   CASE WHEN position('adultery' IN t) > 0 THEN -1 ELSE 0 END +
+   CASE WHEN position('sussex' IN t) > 0 THEN -1 ELSE 0 END +
+   CASE WHEN position('essex' IN t) > 0 THEN -1 ELSE 0 END +
+   CASE WHEN position('middlesex' IN t) > 0 THEN -1 ELSE 0 END) >= 2
+  AS is_adult
+FROM aug ORDER BY doc_id
+""")
