@@ -1727,3 +1727,44 @@ SELECT doc_id,
   AS is_adult
 FROM aug ORDER BY doc_id
 """)
+
+
+def _q3_score_boosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-score boosts (PosdbTable.cpp:4413-4426): tf base score for
+    'data' through the PRODUCTION score_with_boosts — integer-exact
+    siteRank multiplier (floats x9) + x20 sameLangWeight for same or
+    unknown language vs qlang=en; deterministic site ranks derived from
+    doc_id."""
+    from .search.postings import build_postings, score_with_boosts
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    postings = build_postings(docs)
+    base = (postings.filter(F.col("term") == "data")
+            .select("doc_id", (F.col("tf") * 10).alias("score")))
+    meta = docs.select(
+        "doc_id", (F.col("doc_id") % 16).alias("site_rank"),
+        ((F.col("doc_id") * 7) % 16).alias("highest_inlink_site_rank"),
+        "lang")
+    return (score_with_boosts(base, meta, qlang="en", k=50)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("score").cast("long").alias("score")))
+
+
+_register("q3_score_boosts", _q3_score_boosts, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), base AS (
+  SELECT doc_id, COUNT(*) * 10 AS score FROM tok
+  WHERE term = 'data' GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.score
+            * (3 * (d.doc_id % 16)
+               + GREATEST((d.doc_id * 7) % 16 - d.doc_id % 16, 0) + 9)
+            * (CASE WHEN d.lang = 'en' THEN 20 ELSE 1 END)
+         AS BIGINT) AS score
+FROM base b JOIN documents d ON b.doc_id = d.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 50
+""")

@@ -101,6 +101,52 @@ def _min_gap(a, b):
     return F.aggregate(merged, init, step, lambda acc: acc["best"])
 
 
+SAME_LANG_WEIGHT = 20       # Parms.cpp:4134 'same lang weight' default
+SITE_RANK_SCALE = 9         # our integer scores = reference floats * 9
+
+
+def score_with_boosts(results: DataFrame, doc_meta: DataFrame,
+                      qlang: str | None = None,
+                      same_lang_weight: int = SAME_LANG_WEIGHT,
+                      k: int | None = None) -> DataFrame:
+    """Final-score boosts from PosdbTable.cpp:4413-4426, in exact integer
+    arithmetic so the result value-hashes identically across engines:
+
+    - effectiveSiteRank = siteRank + (highestInlinkSiteRank-siteRank)/3
+      when a higher-ranked site links in ("don't adjust it too much");
+    - score *= effectiveSiteRank * 1/3 + 1   (SITERANKMULTIPLIER);
+    - score *= sameLangWeight when the query language matches the doc's
+      or either is unknown ("not foreign language? give a huge boost").
+
+    The two float multipliers combine to (3*sr + max(hisr-sr,0) + 9)/9,
+    so our integer score is the reference's float score scaled by 9
+    (``SITE_RANK_SCALE``) — ordering identical, values exact.
+
+    ``doc_meta``: (doc_id, site_rank, highest_inlink_site_rank, lang);
+    missing columns default to rank 0 / unknown lang."""
+    m = doc_meta
+    sr = (F.col("site_rank") if "site_rank" in m.columns
+          else F.lit(0)).cast("long")
+    hisr = (F.col("highest_inlink_site_rank")
+            if "highest_inlink_site_rank" in m.columns
+            else F.lit(0)).cast("long")
+    lang = F.col("lang") if "lang" in m.columns else F.lit(None)
+    meta = m.select("doc_id", sr.alias("_sr"), hisr.alias("_hisr"),
+                    lang.alias("_lang"))
+    out = results.join(meta, "doc_id", "left").fillna(
+        {"_sr": 0, "_hisr": 0})
+    mult = F.lit(3) * F.col("_sr") + F.greatest(
+        F.col("_hisr") - F.col("_sr"), F.lit(0)) + F.lit(9)
+    same = (F.lit(qlang is None) | F.col("_lang").isNull()
+            | (F.col("_lang") == F.lit(qlang or "")))
+    boosted = (F.col("score") * mult
+               * F.when(same, F.lit(int(same_lang_weight)))
+               .otherwise(F.lit(1)))
+    out = (out.select("doc_id", boosted.cast("long").alias("score"))
+           .orderBy(F.desc("score"), "doc_id"))
+    return out.limit(k) if k else out
+
+
 def search(postings: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
     """AND-intersect termlists, score tf-sum + proximity bonus, top-K.
 

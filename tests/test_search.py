@@ -157,3 +157,34 @@ def test_anchor_text_indexing(spark):
     base = {r["doc_id"]
             for r in search(build_postings(docs), ["spark"], k=10).collect()}
     assert base == {1, 3}
+
+
+def test_score_with_boosts_siterank_and_lang(spark):
+    """PosdbTable.cpp:4413-4426 in integer form: the siteRank multiplier
+    is (3*sr + max(hisr-sr,0) + 9) (reference floats x9), and same/
+    unknown-language docs get the x20 sameLangWeight boost."""
+    from open_source_search_engine_spark.search.postings import (
+        score_with_boosts)
+    results = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100)], ["doc_id", "score"])
+    meta = spark.createDataFrame(
+        [(1, 0, 0, "en"),     # no rank, matching lang
+         (2, 6, 0, "en"),     # siteRank 6
+         (3, 0, 9, "en"),     # inlink from a rank-9 site
+         (4, 6, 0, "fr")],    # foreign language: no x20
+        ["doc_id", "site_rank", "highest_inlink_site_rank", "lang"])
+    got = {r["doc_id"]: r["score"] for r in
+           score_with_boosts(results, meta, qlang="en").collect()}
+    assert got[1] == 100 * 9 * 20            # (0+0+9) x langweight
+    assert got[2] == 100 * 27 * 20           # (18+0+9)
+    assert got[3] == 100 * 18 * 20           # (0+9+9): hisr pulls up 1/3
+    assert got[4] == 100 * 27                # foreign: no lang boost
+    # no qlang => every doc counts as same-language (ref: m_language==0)
+    got0 = {r["doc_id"]: r["score"] for r in
+            score_with_boosts(results, meta).collect()}
+    assert got0[4] == 100 * 27 * 20
+    # docs missing from the meta dim keep multiplier 9 x langweight
+    got_miss = {r["doc_id"]: r["score"] for r in score_with_boosts(
+        spark.createDataFrame([(99, 10)], ["doc_id", "score"]),
+        meta, qlang="en").collect()}
+    assert got_miss[99] == 10 * 9 * 20
