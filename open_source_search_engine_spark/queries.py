@@ -1768,3 +1768,50 @@ FROM base b JOIN documents d ON b.doc_id = d.doc_id
 ORDER BY score DESC, doc_id
 LIMIT 50
 """)
+
+
+def _q1_link_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """link:/sitelink: query fields (Query.cpp FIELD_LINK/FIELD_SITELINK
+    over the Linkdb dimension): 'data sitelink:src3.example' — docs
+    containing 'data' that link anywhere on host src3.example, over the
+    same deterministic synthetic link graph as q2_anchor_text_index."""
+    from .search.postings import build_postings
+    from .search.queryparse import search_query
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    n = docs.count()
+    dst = docs.select(F.col("doc_id").alias("dst_id"),
+                      F.col("source").alias("dst_source"))
+    links = (docs.select("doc_id",
+                         ((F.col("doc_id") * 13 + 7) % n).alias("dst_id"))
+             .join(dst, "dst_id")
+             .select(F.col("doc_id").alias("src_doc_id"),
+                     F.concat(F.lit("http://"), F.col("dst_source"),
+                              F.lit(".example/doc/"),
+                              F.col("dst_id").cast("string"))
+                     .alias("dst_url")))
+    postings = build_postings(docs)
+    return search_query(postings, "data sitelink:src3.example", k=50,
+                        links=links)
+
+
+_register("q1_link_fields", _q1_link_fields, """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, COUNT(*) AS tf FROM tok WHERE term = 'data'
+  GROUP BY doc_id
+), linkers AS (
+  SELECT DISTINCT s.doc_id
+  FROM documents s
+  JOIN documents d ON d.doc_id = (s.doc_id * 13 + 7) % (SELECT c FROM n)
+  WHERE d.source = 'src3'
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.tf * 10 AS BIGINT) AS score
+FROM tf t JOIN linkers l ON l.doc_id = t.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 50
+""")

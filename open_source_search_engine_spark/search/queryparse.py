@@ -37,7 +37,11 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FIELDS = frozenset({"site", "lang", "title", "url"})  # Query.cpp field table
+FIELDS = frozenset({"site", "lang", "title", "url", "gbdocid",
+                    "link", "sitelink"})  # Query.cpp field table (subset:
+#   link:X    = docs that link to page X        (FIELD_LINK, Linkdb)
+#   sitelink:X = docs that link to any page on site X (FIELD_SITELINK)
+#   gbdocid:N = the doc with docid N            (FIELD_DOCID)
 
 # numeric-field operators (Query.cpp:1667-1782): gbsortby:/gbrevsortby:
 # re-rank by a numeric doc field low-to-high / high-to-low; gbmin:/gbmax:/
@@ -218,6 +222,8 @@ def parse_query(q: str):
 class ExecContext:
     postings: DataFrame                    # (term, doc_id, tf, positions)
     doc_meta: DataFrame | None = None      # (doc_id, field columns) dim
+    links: DataFrame | None = None         # (src_doc_id, dst_url) — the
+                                           # Linkdb dim behind link:/sitelink:
     next_id: int = dc_field(default=0)
 
     def tag(self) -> int:
@@ -297,11 +303,40 @@ def _number_docs(ctx: ExecContext, node: NumberFilter) -> DataFrame:
             .select("doc_id", F.lit(0).cast("long").alias("score_part")))
 
 
+def _nothing(ctx: ExecContext) -> DataFrame:
+    return (ctx.postings.select("doc_id").limit(0)
+            .withColumn("score_part", F.lit(0).cast("long")))
+
+
 def _field_docs(ctx: ExecContext, node: FieldTerm) -> DataFrame:
+    zero = F.lit(0).cast("long").alias("score_part")
+    if node.field in ("link", "sitelink"):
+        # docs that link to page X / to any page on site X, from the
+        # Linkdb dimension (Query.cpp FIELD_LINK/FIELD_SITELINK; the
+        # reference reads the link: termlist Linkdb built at index time)
+        if ctx.links is None:
+            return _nothing(ctx)
+        dst = F.lower(F.col("dst_url"))
+        if node.field == "sitelink":
+            from .results import host_of
+            cond = host_of(dst) == node.value
+        else:
+            cond = (F.regexp_replace(dst, r"^[a-z][a-z0-9+.-]*://", "")
+                    == re.sub(r"^[a-z][a-z0-9+.-]*://", "", node.value))
+        return (ctx.links.filter(cond)
+                .select(F.col("src_doc_id").alias("doc_id"), zero)
+                .distinct())
+    if node.field == "gbdocid":
+        # direct docid lookup (FIELD_DOCID)
+        try:
+            did = int(node.value)
+        except ValueError:
+            return _nothing(ctx)
+        return (ctx.postings.select("doc_id").distinct()
+                .filter(F.col("doc_id") == did).select("doc_id", zero))
     if ctx.doc_meta is None or node.field not in ctx.doc_meta.columns:
         # unknown field dimension: matches nothing (reference logs+skips)
-        return (ctx.postings.select("doc_id").limit(0)
-                .withColumn("score_part", F.lit(0).cast("long")))
+        return _nothing(ctx)
     return (ctx.doc_meta
             .filter(F.lower(F.col(node.field)) == node.value)
             .select("doc_id", F.lit(0).cast("long").alias("score_part")))
@@ -357,7 +392,8 @@ def _exec(ctx: ExecContext, node) -> DataFrame:
 
 
 def search_query(postings: DataFrame, query: str, k: int = 10,
-                 doc_meta: DataFrame | None = None) -> DataFrame:
+                 doc_meta: DataFrame | None = None,
+                 links: DataFrame | None = None) -> DataFrame:
     """Full Q1→Q2→Q3 path: parse → DataFrame algebra → top-K.
 
     Returns (doc_id, score) ordered by (score desc, doc_id).  With a
@@ -367,7 +403,8 @@ def search_query(postings: DataFrame, query: str, k: int = 10,
     not candidates) and the output gains a ``sort_key`` column."""
     ast = parse_query(query)
     ast, sorts = _strip_sorts(ast)
-    ctx = ExecContext(postings=postings, doc_meta=doc_meta)
+    ctx = ExecContext(postings=postings, doc_meta=doc_meta,
+                      links=links)
     if ast is None:
         out = _all_docs(ctx)          # pure gbsortby:... query
     else:

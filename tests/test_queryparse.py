@@ -162,3 +162,34 @@ def test_exec_sort_ignored_in_bool_truth(spark, idx):
     rows = search_query(postings, "(spam OR stable) gbsortby:price",
                         doc_meta=meta).collect()
     assert [r["doc_id"] for r in rows] == [4, 3, 1]   # by price asc
+
+
+def test_exec_link_fields_and_docid(spark, idx):
+    from open_source_search_engine_spark.search.queryparse import search_query
+    postings, meta = idx
+    links = spark.createDataFrame([
+        (1, "http://target.com/page"),
+        (2, "http://target.com/page"),
+        (3, "http://target.com/other"),
+        (4, "http://elsewhere.org/x"),
+    ], ["src_doc_id", "dst_url"])
+    # link:X = docs linking to page X (scheme-insensitive compare)
+    got = set(_ids(search_query(postings, "link:target.com/page",
+                                links=links)))
+    assert got == {1, 2}
+    got = set(_ids(search_query(postings, "link:http://target.com/page",
+                                links=links)))
+    assert got == {1, 2}
+    # sitelink:X = docs linking anywhere on host X
+    got = set(_ids(search_query(postings, "sitelink:target.com",
+                                links=links)))
+    assert got == {1, 2, 3}
+    # composes with terms: spam docs linking to target.com
+    got = set(_ids(search_query(postings, "spam sitelink:target.com",
+                                links=links)))
+    assert got == {3}
+    # gbdocid: direct lookup; bad docid matches nothing
+    assert _ids(search_query(postings, "gbdocid:4")) == [4]
+    assert _ids(search_query(postings, "gbdocid:abc")) == []
+    # no links dim provided -> link: matches nothing
+    assert _ids(search_query(postings, "link:target.com/page")) == []
