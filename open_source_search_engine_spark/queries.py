@@ -1815,3 +1815,187 @@ FROM tf t JOIN linkers l ON l.doc_id = t.doc_id
 ORDER BY score DESC, doc_id
 LIMIT 50
 """)
+
+
+def _q1_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym expansion (Synonyms.cpp synsets; Conf::m_synonymWeight 0.9,
+    Parms.cpp:4369-4374): 'fast sort' with synset sort->{order} — a doc
+    scores the BEST form per term group, base tf*10 vs synonym tf*9."""
+    from .search.postings import build_postings
+    from .search.queryparse import search_query
+    register_views(spark, sf_dir)
+    postings = build_postings(spark.table("documents"))
+    return search_query(postings, "fast sort", k=20,
+                        synonyms={"sort": ("order",)})
+
+
+_register("q1_synonym_search", _q1_synonyms, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE length(term) > 0 GROUP BY term, doc_id
+), grp AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = 'sort' THEN tf * 10 ELSE tf * 9 END) AS sp
+  FROM postings WHERE term IN ('sort', 'order') GROUP BY doc_id
+)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+       CAST(f.tf * 10 + g.sp AS BIGINT) AS score
+FROM postings f JOIN grp g ON f.doc_id = g.doc_id
+WHERE f.term = 'fast'
+ORDER BY score DESC, doc_id
+LIMIT 20
+""")
+
+
+def _q1_fieldmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gbfieldmatch:field:value (Query.cpp:1760-1825 FIELD_GBFIELDMATCH):
+    exact case-SENSITIVE field-value equality intersected with a term."""
+    from .search.postings import build_postings
+    from .search.queryparse import search_query
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    postings = build_postings(docs)
+    return search_query(postings, "data gbfieldmatch:source:src3", k=50,
+                        doc_meta=docs.select("doc_id", "source"))
+
+
+_register("q1_fieldmatch", _q1_fieldmatch, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, COUNT(*) AS tf FROM tok WHERE term = 'data'
+  GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.tf * 10 AS BIGINT) AS score
+FROM tf t JOIN documents d ON d.doc_id = t.doc_id
+WHERE d.source = 'src3'
+ORDER BY score DESC, doc_id
+LIMIT 50
+""")
+
+
+def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet tables (gbfacetstr family; XmlDoc_Indexing.cpp:844 facet
+    hashing): value->count histograms of source and lang over every doc
+    matching 'data' — tallied across the FULL match set, not the page."""
+    from .search.facets import search_with_facets
+    from .search.postings import build_postings
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    postings = build_postings(docs)
+    _page, facets = search_with_facets(
+        postings, "data", docs.select("doc_id", "source", "lang"),
+        ["source", "lang"], k=10)
+    return facets
+
+
+_register("q_facet_counts", _q_facets, """
+WITH hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents) WHERE term = 'data'
+), u AS (
+  SELECT 'source' AS field, d.source AS value
+  FROM documents d JOIN hits h ON h.doc_id = d.doc_id
+  UNION ALL
+  SELECT 'lang' AS field, d.lang AS value
+  FROM documents d JOIN hits h ON h.doc_id = d.doc_id
+)
+SELECT field, value, CAST(COUNT(*) AS BIGINT) AS count
+FROM u GROUP BY field, value
+ORDER BY field, count DESC, value
+""")
+
+
+def _q_facet_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed numeric facet (gbfacetint:field:a-b,... form) over
+    n_chars for docs matching 'join'."""
+    from .search.facets import facet_int_ranges
+    from .search.postings import build_postings
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    postings = build_postings(docs)
+    hits = postings.filter(F.col("term") == "join").select("doc_id")
+    return facet_int_ranges(hits, docs.select("doc_id", "n_chars"),
+                            "n_chars", [0, 200, 400, 800, 1600, 3200])
+
+
+_register("q_facet_int_ranges", _q_facet_ranges, """
+WITH hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents) WHERE term = 'join'
+), b AS (
+  SELECT CASE WHEN d.n_chars >= 0    AND d.n_chars < 200  THEN 0
+              WHEN d.n_chars >= 200  AND d.n_chars < 400  THEN 200
+              WHEN d.n_chars >= 400  AND d.n_chars < 800  THEN 400
+              WHEN d.n_chars >= 800  AND d.n_chars < 1600 THEN 800
+              WHEN d.n_chars >= 1600 AND d.n_chars < 3200 THEN 1600
+         END AS range_lo,
+         CASE WHEN d.n_chars >= 0    AND d.n_chars < 200  THEN 200
+              WHEN d.n_chars >= 200  AND d.n_chars < 400  THEN 400
+              WHEN d.n_chars >= 400  AND d.n_chars < 800  THEN 800
+              WHEN d.n_chars >= 800  AND d.n_chars < 1600 THEN 1600
+              WHEN d.n_chars >= 1600 AND d.n_chars < 3200 THEN 3200
+         END AS range_hi
+  FROM documents d JOIN hits h ON h.doc_id = d.doc_id
+)
+SELECT CAST(range_lo AS BIGINT) AS range_lo,
+       CAST(range_hi AS BIGINT) AS range_hi,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM b WHERE range_lo IS NOT NULL
+GROUP BY range_lo, range_hi
+ORDER BY range_lo
+""")
+
+
+def _speller_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified popularity dictionary (Speller.cpp:66 generateDicts /
+    Speller.cpp:469 getPhrasePopularity): distributed word-frequency
+    count over the corpus."""
+    from .search.speller import build_unified_dict
+    register_views(spark, sf_dir)
+    return (build_unified_dict(spark.table("documents"))
+            .orderBy(F.desc("pop"), "word"))
+
+
+_register("speller_unified_dict", _speller_dict, """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS pop FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents)
+WHERE length(word) > 0
+GROUP BY word
+ORDER BY pop DESC, word
+""")
+
+
+def _speller_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-word splitting (Speller.cpp:553-770 canSplitWords /
+    findNext): run-together strings built from each doc's first two
+    tokens, split back against the corpus unified dict — the
+    did-you-mean / adult-domain surface.  The backtracking kernel is not
+    SQL-expressible; the oracle is the pytest-pinned golden."""
+    from .search.speller import build_unified_dict, split_compounds
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    # bounded driver collect: top-N like the reference's numWordsToDump
+    # (Speller.cpp:66) — the unified dict is a capped artifact by design
+    dict_words = frozenset(
+        r["word"] for r in build_unified_dict(docs,
+                                              top_n=100_000).collect())
+    compounds = docs.select(
+        "doc_id",
+        F.concat_ws("", F.slice(F.split(F.lower("text"), r"\s+"), 1, 2))
+        .alias("compound"))
+    return (split_compounds(compounds, "compound", dict_words)
+            .select("doc_id", "compound", "can_split", "is_porn",
+                    "split_words")
+            .orderBy("doc_id"))
+
+
+_register_golden("speller_split_compounds", _speller_split, "doc_id")

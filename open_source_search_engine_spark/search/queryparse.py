@@ -87,6 +87,16 @@ class NumberFilter:
 
 
 @dataclass(frozen=True)
+class FieldMatch:
+    """gbfieldmatch:field:value — exact field-value equality
+    (Query.cpp:1760-1825 FIELD_GBFIELDMATCH: the value is hashed
+    "CASE SENSITIVE!!!!" to match XmlDoc.cpp::hashFieldMatch, so unlike
+    FieldTerm the comparison does NOT lowercase)."""
+    field: str
+    value: str
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -165,6 +175,12 @@ class _Parser:
 
     def atom(self):
         t = self.next()
+        # gbfieldmatch:tag.uri:"http://x" — the quoted value tokenizes
+        # separately; glue it back (Query.cpp:1797-1813 inQuotes scan)
+        if (t.lower().startswith("gbfieldmatch:") and t.endswith(":")
+                and self.peek() is not None
+                and self.peek().startswith('"')):
+            t = t + self.next()
         if t == "(":
             node = self.or_expr()
             if self.peek() != ")":
@@ -201,6 +217,18 @@ def _atom_from_token(t: str):
                 raise QueryParseError(f"bad number in {t!r}") from None
             return NumberFilter(fld.lower(), _RANGE_OPS[fl], val,
                                 fl.endswith("int"))
+        if fl == "gbfieldmatch" and v:
+            # gbfieldmatch:field:value — first colon ends the keyword,
+            # second ends the (lowercased) field name; the value keeps
+            # its case and may be quoted (Query.cpp:1760-1825)
+            fld, sep, val = v.partition(":")
+            if not sep or not fld:
+                raise QueryParseError("gbfieldmatch needs field:value")
+            if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+                val = val[1:-1]
+            if not val:
+                raise QueryParseError("gbfieldmatch needs a value")
+            return FieldMatch(fld.lower(), val)
         if fl in FIELDS and v:
             return FieldTerm(fl, v.lower())
     return Term(t.lower())
@@ -224,6 +252,8 @@ class ExecContext:
     doc_meta: DataFrame | None = None      # (doc_id, field columns) dim
     links: DataFrame | None = None         # (src_doc_id, dst_url) — the
                                            # Linkdb dim behind link:/sitelink:
+    synonyms: dict | None = None           # term -> (syn, ...) synsets;
+                                           # None disables expansion
     next_id: int = dc_field(default=0)
 
     def tag(self) -> int:
@@ -232,7 +262,12 @@ class ExecContext:
 
 
 def _term_docs(ctx: ExecContext, term: str) -> DataFrame:
-    """One termlist: (doc_id, score_part) — tf*10 like postings.search."""
+    """One termlist: (doc_id, score_part) — tf*10 like postings.search.
+    With synonyms enabled the term group is the expanded form set and a
+    synonym hit scores tf*9 (synonyms.py; Conf::m_synonymWeight 0.9)."""
+    if ctx.synonyms is not None:
+        from .synonyms import synonym_term_docs
+        return synonym_term_docs(ctx.postings, term, ctx.synonyms)
     return (ctx.postings.filter(F.col("term") == term)
             .select("doc_id", (F.col("tf") * 10).alias("score_part")))
 
@@ -342,6 +377,17 @@ def _field_docs(ctx: ExecContext, node: FieldTerm) -> DataFrame:
             .select("doc_id", F.lit(0).cast("long").alias("score_part")))
 
 
+def _field_match_docs(ctx: ExecContext, node: FieldMatch) -> DataFrame:
+    """gbfieldmatch: exact, case-SENSITIVE field-value equality — the
+    reference composes hash64(value) with hash64(field) case-sensitively
+    (Query.cpp:1785-1820, XmlDoc.cpp::hashFieldMatch)."""
+    if ctx.doc_meta is None or node.field not in ctx.doc_meta.columns:
+        return _nothing(ctx)
+    return (ctx.doc_meta
+            .filter(F.col(node.field).cast("string") == node.value)
+            .select("doc_id", F.lit(0).cast("long").alias("score_part")))
+
+
 def _all_docs(ctx: ExecContext) -> DataFrame:
     return ctx.postings.select("doc_id").distinct().withColumn(
         "score_part", F.lit(0).cast("long"))
@@ -356,6 +402,8 @@ def _exec(ctx: ExecContext, node) -> DataFrame:
         return _phrase_docs(ctx, node.words)
     if isinstance(node, FieldTerm):
         return _field_docs(ctx, node)
+    if isinstance(node, FieldMatch):
+        return _field_match_docs(ctx, node)
     if isinstance(node, NumberFilter):
         return _number_docs(ctx, node)
     if isinstance(node, Or):
@@ -393,7 +441,8 @@ def _exec(ctx: ExecContext, node) -> DataFrame:
 
 def search_query(postings: DataFrame, query: str, k: int = 10,
                  doc_meta: DataFrame | None = None,
-                 links: DataFrame | None = None) -> DataFrame:
+                 links: DataFrame | None = None,
+                 synonyms: dict | None = None) -> DataFrame:
     """Full Q1→Q2→Q3 path: parse → DataFrame algebra → top-K.
 
     Returns (doc_id, score) ordered by (score desc, doc_id).  With a
@@ -404,7 +453,7 @@ def search_query(postings: DataFrame, query: str, k: int = 10,
     ast = parse_query(query)
     ast, sorts = _strip_sorts(ast)
     ctx = ExecContext(postings=postings, doc_meta=doc_meta,
-                      links=links)
+                      links=links, synonyms=synonyms)
     if ast is None:
         out = _all_docs(ctx)          # pure gbsortby:... query
     else:

@@ -1,0 +1,214 @@
+"""Synonyms (Synonyms.cpp), facets/gbfieldmatch (Query.cpp:1760-1825),
+and Speller (Speller.cpp) — behavior vectors from the reference plus
+Spark-path checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.search.facets import (
+    facet_counts, facet_int_ranges, search_with_facets)
+from open_source_search_engine_spark.search.queryparse import (
+    FieldMatch, QueryParseError, parse_query, search_query)
+from open_source_search_engine_spark.search.speller import (
+    build_unified_dict, can_split_words, did_you_mean, phrase_popularity,
+    split_compounds)
+from open_source_search_engine_spark.search.synonyms import (
+    expand_term, generated_forms, strip_accents, strip_apostrophe_s,
+    synonym_term_docs)
+
+
+# ------------------------------------------------------------- synonyms
+
+class TestSynonymForms:
+    def test_accent_strip_requires_non_ascii(self):
+        # addStripped's hadUtf8 gate (Synonyms.cpp:509-517)
+        assert strip_accents("plain") is None
+        assert strip_accents("café") == "cafe"
+        assert strip_accents("naïve") == "naive"
+
+    def test_apostrophe_s(self):
+        # Synonyms.cpp:398-403 (wlen >= 3)
+        assert strip_apostrophe_s("bob's") == "bob"
+        assert strip_apostrophe_s("'s") is None
+        assert strip_apostrophe_s("cats") is None
+
+    def test_expand_weights(self):
+        # base 10, synonyms 9 (Conf::m_synonymWeight 0.9,
+        # Parms.cpp:4369-4374)
+        forms = expand_term("grey", {"grey": ("gray",)})
+        assert forms == [("grey", 10), ("gray", 9)]
+
+    def test_synset_retry_without_apostrophe_s(self):
+        # Synonyms.cpp:187-194: 's-stripped synset lookup fallback
+        forms = expand_term("bob's", {"bob": ("robert",)})
+        assert ("robert", 9) in forms and ("bob", 9) in forms
+
+    def test_generated_only(self):
+        assert generated_forms("café") == ["cafe"]
+        assert generated_forms("word") == []
+
+
+def test_synonym_term_docs_scores_best_form(spark):
+    # doc 1 has the base term twice (tf2*10=20) and the synonym thrice
+    # (tf3*9=27): the doc scores max(20, 27)=27, never the sum
+    postings = spark.createDataFrame(
+        [("grey", 1, 2), ("gray", 1, 3), ("gray", 2, 1), ("grey", 3, 1)],
+        "term string, doc_id long, tf long")
+    got = {r["doc_id"]: r["score_part"]
+           for r in synonym_term_docs(
+               postings, "grey", {"grey": ("gray",)}).collect()}
+    assert got == {1: 27, 2: 9, 3: 10}
+
+
+def test_search_query_with_synonyms(spark):
+    docs = spark.createDataFrame(
+        [(1, "fast sort sort"), (2, "fast order order order"),
+         (3, "fast scan")],
+        "doc_id long, text string")
+    from open_source_search_engine_spark.search.postings import (
+        build_postings)
+    p = build_postings(docs)
+    got = {r["doc_id"]: r["score"]
+           for r in search_query(p, "fast sort", k=10,
+                                 synonyms={"sort": ("order",)}).collect()}
+    # doc1: fast 10 + sort 2*10; doc2: fast 10 + order 3*9=27
+    assert got == {1: 30, 2: 37}
+
+
+# -------------------------------------------------------- gbfieldmatch
+
+class TestFieldMatch:
+    def test_parse(self):
+        ast = parse_query("gbfieldmatch:source:Src1")
+        assert ast == FieldMatch("source", "Src1")
+
+    def test_parse_quoted_value(self):
+        # Query.cpp:1797-1813 inQuotes scan
+        ast = parse_query('gbfieldmatch:tag.uri:"http://xyz.com/poo"')
+        assert ast == FieldMatch("tag.uri", "http://xyz.com/poo")
+
+    def test_parse_errors(self):
+        with pytest.raises(QueryParseError):
+            parse_query("gbfieldmatch:novalue")
+
+    def test_case_sensitive_match(self, spark):
+        # "CASE SENSITIVE!!!!" (Query.cpp:1785)
+        docs = spark.createDataFrame(
+            [(1, "x", "Src1"), (2, "x", "src1")],
+            "doc_id long, text string, source string")
+        from open_source_search_engine_spark.search.postings import (
+            build_postings)
+        p = build_postings(docs.select("doc_id", "text"))
+        got = [r["doc_id"] for r in
+               search_query(p, "gbfieldmatch:source:Src1", k=10,
+                            doc_meta=docs.select("doc_id", "source")
+                            ).collect()]
+        assert got == [1]
+
+
+# --------------------------------------------------------------- facets
+
+def test_facet_counts(spark):
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,)], "doc_id long")
+    meta = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "de", "a"), (4, "fr", "c")],
+        "doc_id long, lang string, source string")
+    got = [(r["field"], r["value"], r["count"])
+           for r in facet_counts(docs, meta, ["lang", "source"]).collect()]
+    assert got == [("lang", "en", 2), ("lang", "de", 1),
+                   ("source", "a", 2), ("source", "b", 1)]
+
+
+def test_facet_int_ranges(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)],
+                                 "doc_id long")
+    meta = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 15), (4, 25), (5, 99), (6, 150)],
+        "doc_id long, n long")
+    got = [(r["range_lo"], r["range_hi"], r["count"]) for r in
+           facet_int_ranges(docs, meta, "n", [0, 10, 20, 100]).collect()]
+    # 150 falls outside every bucket; empty buckets omitted
+    assert got == [(0, 10, 1), (10, 20, 2), (20, 100, 2)]
+
+
+def test_search_with_facets(spark):
+    docs = spark.createDataFrame(
+        [(1, "data join", "en"), (2, "data scan", "en"),
+         (3, "data join join", "de"), (4, "other", "fr")],
+        "doc_id long, text string, lang string")
+    from open_source_search_engine_spark.search.postings import (
+        build_postings)
+    p = build_postings(docs.select("doc_id", "text"))
+    page, facets = search_with_facets(
+        p, "data", docs.select("doc_id", "lang"), ["lang"], k=2)
+    assert [r["doc_id"] for r in page.collect()] == [1, 2]
+    got = [(r["value"], r["count"]) for r in facets.collect()]
+    # facets tally the FULL match set (3 docs), not just the k=2 page
+    assert got == [("en", 2), ("de", 1)]
+
+
+# -------------------------------------------------------------- speller
+
+WORDS = frozenset({"home", "depot", "book", "books", "free", "data",
+                   "base", "air", "ports", "adult", "adults", "swim",
+                   "a", "i", "law", "firm"})
+
+
+class TestCanSplitWords:
+    def test_simple_split(self):
+        assert can_split_words("homedepot", WORDS) == (
+            True, False, "home depot")
+
+    def test_porn_short_circuit(self):
+        # 'sex' needle at a segment start -> isPorn (Speller.cpp:602-611)
+        ok, porn, split = can_split_words("freesex", WORDS)
+        assert (ok, porn, split) == (True, True, "free sex")
+
+    def test_blocked_fragment(self):
+        # 'wim' is in the exception table ("adultswim = adults wim",
+        # Speller.cpp:691-693): the split backtracks to adult+swim
+        assert can_split_words("adultswim", WORDS) == (
+            True, False, "adult swim")
+
+    def test_last_word_length_gate(self):
+        # end word can't be <=2 chars ("freesex ... 'frees ex'",
+        # Speller.cpp:619-621): lawfirma can't end in 'a'
+        ok, _, _ = can_split_words("lawfirma", WORDS)
+        assert not ok
+
+    def test_one_letter_words(self):
+        # only 'a' and 'i' can stand alone (Speller.cpp:614-616)
+        assert can_split_words("alaw", WORDS) == (True, False, "a law")
+
+    def test_no_split(self):
+        assert can_split_words("xyzzy", WORDS) == (False, False, "")
+
+
+def test_unified_dict_and_popularity(spark):
+    docs = spark.createDataFrame(
+        [(1, "data base data"), (2, "home depot")],
+        "doc_id long, text string")
+    d = build_unified_dict(docs)
+    pops = {r["word"]: r["pop"] for r in d.collect()}
+    assert pops == {"data": 2, "base": 1, "home": 1, "depot": 1}
+    terms = spark.createDataFrame([("data",), ("missing",)],
+                                  "word string")
+    got = {r["word"]: r["pop"]
+           for r in phrase_popularity(terms, d).collect()}
+    assert got == {"data": 2, "missing": 0}   # absent -> 0 popularity
+
+
+def test_split_compounds_batch(spark):
+    df = spark.createDataFrame(
+        [("homedepot",), ("freesex",), ("xyzzy",)], "domain string")
+    got = {r["domain"]: (r["can_split"], r["is_porn"], r["split_words"])
+           for r in split_compounds(df, "domain", WORDS).collect()}
+    assert got["homedepot"] == (True, False, "home depot")
+    assert got["freesex"] == (True, True, "free sex")
+    assert got["xyzzy"] == (False, False, "")
+
+
+def test_did_you_mean():
+    assert did_you_mean("homedepot data", WORDS) == "home depot data"
+    assert did_you_mean("data base", WORDS) is None   # nothing to fix
