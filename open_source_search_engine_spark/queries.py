@@ -1999,3 +1999,58 @@ def _speller_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("speller_split_compounds", _speller_split, "doc_id")
+
+
+def _q2_hashgroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashgroup-weighted ranking (Posdb.h:70-86; PosdbTable.cpp:564-575
+    s_hashGroupWeights; Parms.cpp:4234-4364 defaults — title 8x, heading
+    1.5x, body 1x, integer-exact at x10): deterministic regions carved
+    from each doc (title = tokens 1-4, heading = 5-7, body = rest), then
+    the PRODUCTION region-postings build + weighted AND search."""
+    from .search.hashgroups import (build_postings_by_region,
+                                    search_weighted)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    regions = (docs.select(
+        "doc_id", F.lit("title").alias("hashgroup"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("text"))
+        .unionByName(docs.select(
+            "doc_id", F.lit("heading").alias("hashgroup"),
+            F.array_join(F.slice(toks, 5, 3), " ").alias("text")))
+        .unionByName(docs.select(
+            "doc_id", F.lit("body").alias("hashgroup"),
+            F.array_join(F.slice(toks, 8, F.size(toks)), " ")
+            .alias("text"))))
+    hg = build_postings_by_region(regions)
+    return search_weighted(hg, ["data", "join"], k=25)
+
+
+_register("q2_hashgroup_weights", _q2_hashgroups, """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), regions AS (
+  SELECT doc_id, 'title' AS hashgroup,
+         unnest(list_slice(t, 1, 4)) AS term FROM toks
+  UNION ALL
+  SELECT doc_id, 'heading', unnest(list_slice(t, 5, 7)) FROM toks
+  UNION ALL
+  SELECT doc_id, 'body', unnest(list_slice(t, 8, len(t))) FROM toks
+), hg AS (
+  SELECT term, doc_id, hashgroup, COUNT(*) AS tf
+  FROM regions WHERE length(term) > 0
+  GROUP BY term, doc_id, hashgroup
+), scored AS (
+  SELECT term, doc_id,
+         SUM(tf * CASE hashgroup WHEN 'title' THEN 80
+                                 WHEN 'heading' THEN 15
+                                 ELSE 10 END) AS sp
+  FROM hg WHERE term IN ('data', 'join') GROUP BY term, doc_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(a.sp + b.sp AS BIGINT) AS score
+FROM scored a JOIN scored b ON a.doc_id = b.doc_id
+WHERE a.term = 'data' AND b.term = 'join'
+ORDER BY score DESC, doc_id
+LIMIT 25
+""")
