@@ -2054,3 +2054,43 @@ WHERE a.term = 'data' AND b.term = 'join'
 ORDER BY score DESC, doc_id
 LIMIT 25
 """)
+
+
+def _q2_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-termfreq weighting (getTermFreqWeight,
+    PosdbTable.cpp:613-628; scale_linear defaults Parms.cpp:4138-4186:
+    df-ratio [0,0.5] -> weight [0.5,1.0], integer-exact x1000): 'data'
+    (in ~all docs, weight 1.0) AND 'dup' (rare, weight ~0.55) — the rare
+    term's hits are deliberately DAMPED like the reference."""
+    from .search.postings import build_postings, search_tfw
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    postings = build_postings(docs)
+    return search_tfw(postings, ["data", "dup"], docs.count(), k=25)
+
+
+_register("q2_termfreq_weight", _q2_termfreq, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE length(term) > 0 GROUP BY term, doc_id
+), n AS (SELECT COUNT(*) AS c FROM documents),
+w AS (
+  SELECT term,
+         500 + LEAST(500, (1000 * COUNT(DISTINCT doc_id))
+                          // (SELECT c FROM n)) AS w1000
+  FROM postings WHERE term IN ('data', 'dup') GROUP BY term
+), scored AS (
+  SELECT p.term, p.doc_id, p.tf * 10 * w.w1000 AS s
+  FROM postings p JOIN w ON w.term = p.term
+  WHERE p.term IN ('data', 'dup')
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(a.s + b.s AS BIGINT) AS score
+FROM scored a JOIN scored b ON a.doc_id = b.doc_id
+WHERE a.term = 'data' AND b.term = 'dup'
+ORDER BY score DESC, doc_id
+LIMIT 25
+""")

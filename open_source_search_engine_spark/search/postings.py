@@ -183,3 +183,59 @@ def search(postings: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
                     gap.cast("long").alias("min_gap"))
             .orderBy(F.desc("score"), "doc_id")
             .limit(k))
+
+
+# termfreq weight (the reference's collection-frequency scoring knob):
+# getTermFreqWeight (PosdbTable.cpp:613-628, applied per term pair at
+# PosdbTable.cpp:766,1006,1063) maps the term's document-frequency RATIO
+# through scale_linear(ratio, freqMin, freqMax, wMin, wMax)
+# (ScalingFunctions.cpp:3-12) with the Parms.cpp:4138-4186 defaults
+# freq [0.0, 0.5] -> weight [0.5, 1.0]: a term in half the collection or
+# more weighs 1.0, a vanishing term 0.5 (frequent terms weigh MORE — the
+# reference trusts intersection to handle selectivity).  Integer-exact at
+# x1000: w1000 = 500 + least(500, (1000 * df) DIV numDocs).
+TFW_SCALE = 1000
+
+
+def term_freq_weights(postings: DataFrame, num_docs: int) -> DataFrame:
+    """(term, w1000): integer-exact getTermFreqWeight per distinct term.
+    df = documents containing the term (the termlist length the reference
+    estimates from list size, PosdbTable.cpp:617-620); one aggregate,
+    map-side combinable."""
+    assert num_docs > 0
+    df = postings.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"))
+    return df.select(
+        "term",
+        (F.lit(500) + F.least(
+            F.lit(500),
+            F.expr(f"(1000 * df) DIV {int(num_docs)}")))
+        .cast("long").alias("w1000"))
+
+
+def search_tfw(postings: DataFrame, terms: list[str], num_docs: int,
+               k: int = 10) -> DataFrame:
+    """AND search with termfreq weighting: each term's contribution is
+    tf * 10 * w1000 (score scale x1000 vs plain search).  The weight
+    join is per-TERM (a handful of rows) — broadcast, no extra shuffle
+    on the doc axis."""
+    assert terms, "empty query"
+    terms = [t.lower() for t in terms]
+    tls = postings.filter(F.col("term").isin(terms))
+    w = term_freq_weights(tls, num_docs)
+    scored = (tls.join(F.broadcast(w), "term")
+              .select("term", "doc_id",
+                      (F.col("tf") * 10 * F.col("w1000")).alias("_s")))
+    parts = [scored.filter(F.col("term") == t)
+             .select("doc_id", F.col("_s").alias(f"_s{i}"))
+             for i, t in enumerate(terms)]
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.join(p, "doc_id")
+    total = F.col("_s0")
+    for i in range(1, len(parts)):
+        total = total + F.col(f"_s{i}")
+    return (base.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        total.cast("long").alias("score"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(k))

@@ -212,3 +212,36 @@ def test_split_compounds_batch(spark):
 def test_did_you_mean():
     assert did_you_mean("homedepot data", WORDS) == "home depot data"
     assert did_you_mean("data base", WORDS) is None   # nothing to fix
+
+
+# ------------------------------------------------- termfreq weighting
+
+def test_term_freq_weights_scale_linear(spark):
+    # getTermFreqWeight (PosdbTable.cpp:613-628): df-ratio [0, 0.5] ->
+    # weight [0.5, 1.0], clamped; integer-exact x1000
+    from open_source_search_engine_spark.search.postings import (
+        term_freq_weights)
+    p = spark.createDataFrame(
+        # rare: 1/10 docs -> 500+100; half: 5/10 -> 1000 (at the knee);
+        # ubiquitous: 10/10 -> clamped 1000
+        [("rare", 1, 1)] +
+        [("half", d, 1) for d in range(5)] +
+        [("ubiq", d, 1) for d in range(10)],
+        "term string, doc_id long, tf long")
+    got = {r["term"]: r["w1000"]
+           for r in term_freq_weights(p, 10).collect()}
+    assert got == {"rare": 600, "half": 1000, "ubiq": 1000}
+
+
+def test_search_tfw_damps_rare_term(spark):
+    from open_source_search_engine_spark.search.postings import (
+        build_postings, search_tfw)
+    docs = spark.createDataFrame(
+        [(d, "common filler") for d in range(8)] +
+        [(8, "common rare"), (9, "common rare rare")],
+        "doc_id long, text string")
+    p = build_postings(docs)
+    got = {r["doc_id"]: r["score"]
+           for r in search_tfw(p, ["common", "rare"], 10, k=10).collect()}
+    # common: df 10/10 -> w 1000; rare: df 2/10 -> w 700
+    assert got == {8: 10 * 1000 + 10 * 700, 9: 10 * 1000 + 20 * 700}
