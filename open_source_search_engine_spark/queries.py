@@ -2094,3 +2094,36 @@ WHERE a.term = 'data' AND b.term = 'dup'
 ORDER BY score DESC, doc_id
 LIMIT 25
 """)
+
+
+def _q1_phrase_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed-bigram phrase path (Phrases.h:3-6: the reference hashes
+    every 2-word phrase into the term table, so a quoted pair is ONE
+    termlist): same query as q1_phrase_search, answered from the bigram
+    index instead of the positions join — results must be identical."""
+    from .search.postings import build_bigram_postings, build_postings
+    from .search.queryparse import search_query
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return search_query(build_postings(docs), '"hash join"', k=10,
+                        bigrams=build_bigram_postings(docs))
+
+
+_register("q1_phrase_bigram", _q1_phrase_bigram, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS pos
+  FROM documents
+), a AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+b AS (SELECT doc_id, pos FROM tok WHERE term = 'join'),
+p AS (
+  SELECT a.doc_id, COUNT(*) AS ptf
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ptf * 10 * 2 + 50 AS BIGINT) AS score
+FROM p
+ORDER BY score DESC, doc_id
+LIMIT 10
+""")

@@ -239,3 +239,37 @@ def search_tfw(postings: DataFrame, terms: list[str], num_docs: int,
                         total.cast("long").alias("score"))
             .orderBy(F.desc("score"), "doc_id")
             .limit(k))
+
+
+def build_bigram_postings(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Bigram termlists: postings(term, doc_id, tf, positions) where term
+    = 'w1_w2' for each ADJACENT word pair, positions = first word's slot.
+
+    The reference indexes every two-word phrase alongside the single
+    words (Phrases.h:3-6 "generate phrases ... it only hashes 2+ word
+    phrases"; XmlDoc hashes m_phraseIds2 into the term table) so a
+    quoted 2-word phrase is answered from ONE termlist instead of a
+    position-verify join — the same trade here: index once, turn the
+    phrase query's positions join into a single bucket-prunable scan.
+    Adjacency matches the position-chain rule exactly (pair slots differ
+    by 1, both tokens non-empty), so the bigram path is result-identical
+    to the position verify."""
+    t = F.split(F.lower(F.col(text_col)), r"\s+")
+    pairs = F.expr("""
+        filter(
+          transform(slice(_t, 1, greatest(size(_t) - 1, 0)),
+                    (w, i) -> struct(w AS w1,
+                                     element_at(_t, i + 2) AS w2,
+                                     i AS pos)),
+          p -> length(p.w1) > 0 AND length(p.w2) > 0)
+    """)
+    ex = (docs.withColumn("_t", t)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(pairs).alias("p"))
+          .select("doc_id",
+                  F.concat("p.w1", F.lit("_"), "p.w2").alias("term"),
+                  F.col("p.pos").alias("pos")))
+    return (ex.groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions")))

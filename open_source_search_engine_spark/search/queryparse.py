@@ -254,6 +254,9 @@ class ExecContext:
                                            # Linkdb dim behind link:/sitelink:
     synonyms: dict | None = None           # term -> (syn, ...) synsets;
                                            # None disables expansion
+    bigrams: DataFrame | None = None       # build_bigram_postings output:
+                                           # 2-word phrases become ONE
+                                           # termlist scan (Phrases.h:3-6)
     next_id: int = dc_field(default=0)
 
     def tag(self) -> int:
@@ -277,6 +280,15 @@ def _phrase_docs(ctx: ExecContext, words: tuple) -> DataFrame:
     order.  Uses the merged-zipper idea pairwise: for adjacent word pairs,
     count positions p with p+1 present in the next list via array_intersect
     of (positions_i + 1) with positions_{i+1} — linear, JVM-side."""
+    if len(words) == 2 and ctx.bigrams is not None:
+        # indexed-bigram fast path: the adjacency the position chain
+        # would verify is precomputed at index time (bigram tf == number
+        # of consecutive starts), so the phrase is one termlist scan —
+        # same score formula, result-identical
+        return (ctx.bigrams
+                .filter(F.col("term") == f"{words[0]}_{words[1]}")
+                .select("doc_id",
+                        (F.col("tf") * 10 * 2 + 50).alias("score_part")))
     lists = [
         ctx.postings.filter(F.col("term") == w).select(
             "doc_id", F.col("positions").alias(f"_pos_{i}"))
@@ -442,7 +454,8 @@ def _exec(ctx: ExecContext, node) -> DataFrame:
 def search_query(postings: DataFrame, query: str, k: int = 10,
                  doc_meta: DataFrame | None = None,
                  links: DataFrame | None = None,
-                 synonyms: dict | None = None) -> DataFrame:
+                 synonyms: dict | None = None,
+                 bigrams: DataFrame | None = None) -> DataFrame:
     """Full Q1→Q2→Q3 path: parse → DataFrame algebra → top-K.
 
     Returns (doc_id, score) ordered by (score desc, doc_id).  With a
@@ -453,7 +466,7 @@ def search_query(postings: DataFrame, query: str, k: int = 10,
     ast = parse_query(query)
     ast, sorts = _strip_sorts(ast)
     ctx = ExecContext(postings=postings, doc_meta=doc_meta,
-                      links=links, synonyms=synonyms)
+                      links=links, synonyms=synonyms, bigrams=bigrams)
     if ast is None:
         out = _all_docs(ctx)          # pure gbsortby:... query
     else:

@@ -245,3 +245,44 @@ def test_search_tfw_damps_rare_term(spark):
            for r in search_tfw(p, ["common", "rare"], 10, k=10).collect()}
     # common: df 10/10 -> w 1000; rare: df 2/10 -> w 700
     assert got == {8: 10 * 1000 + 10 * 700, 9: 10 * 1000 + 20 * 700}
+
+
+# ------------------------------------------------------ bigram postings
+
+def test_bigram_postings_adjacency(spark):
+    from open_source_search_engine_spark.search.postings import (
+        build_bigram_postings)
+    docs = spark.createDataFrame(
+        [(1, "hash join hash join join"), (2, "hash  join"),
+         (3, "a a a")],
+        "doc_id long, text string")
+    p = build_bigram_postings(docs)
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["positions"])
+           for r in p.collect()}
+    assert got[("hash_join", 1)] == (2, [0, 2])
+    assert got[("join_join", 1)] == (1, [3])
+    # \s+ split collapses runs, so a double space is still adjacent —
+    # exactly like the position chain (both see pos 0 and 1)
+    assert got[("hash_join", 2)] == (1, [0])
+    assert got[("a_a", 3)] == (2, [0, 1])   # overlapping pairs both count
+
+
+def test_phrase_via_bigrams_equals_position_chain(spark):
+    import random
+    from open_source_search_engine_spark.search.postings import (
+        build_bigram_postings, build_postings)
+    rng = random.Random(7)
+    vocab = ["hash", "join", "scan", "sort", "data"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(30)))
+         for i in range(40)],
+        "doc_id long, text string")
+    p = build_postings(docs)
+    bg = build_bigram_postings(docs)
+    for q in ['"hash join"', '"data scan" sort', '"join join"']:
+        plain = sorted((r["doc_id"], r["score"])
+                       for r in search_query(p, q, k=50).collect())
+        fast = sorted((r["doc_id"], r["score"])
+                      for r in search_query(p, q, k=50,
+                                            bigrams=bg).collect())
+        assert plain == fast, q
