@@ -39,6 +39,20 @@ WHITELIST: dict[str, dict[str, str]] = {
             "and its one remaining global window is bounded at "
             "global_cap rows by construction (runs after the caps).",
     },
+    "q_result_cluster_filter": {
+        "unpartitioned_window":
+            "result post-filtering (Msg51/Msg40 post-query loop) runs "
+            "over ONE ranked result page — the input is limit(256) by "
+            "construction, so the rank/cluster windows see <=256 rows; "
+            "the reference's equivalent is a serial loop over the same "
+            "bounded page.",
+    },
+    "q_result_dedup_summary": {
+        "unpartitioned_window":
+            "same bounded result page (limit(256)) — greedy dup-summary "
+            "removal is sequential over the page by definition "
+            "(Msg40.cpp:1465-1520).",
+    },
 }
 
 
