@@ -2127,3 +2127,75 @@ FROM p
 ORDER BY score DESC, doc_id
 LIMIT 10
 """)
+
+
+def _reindex_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-based reindex (PageReindex.cpp:224-426 Msg1c::reindexQuery):
+    'data join' through the production Q1 executor -> one spider request
+    per matching docid with the reference's synthetic firstIp
+    ((docId>>6)&0xff domain-hash bits, 0->1) and flag set."""
+    from .pipeline.reindex import reindex_query
+    from .search.postings import build_postings
+    register_views(spark, sf_dir)
+    postings = build_postings(spark.table("documents"))
+    return (reindex_query(postings, "data join", now=1700000000)
+            .orderBy("uh48"))
+
+
+_register("reindex_query_requests", _reindex_query, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+  WHERE a.term = 'data' AND b.term = 'join'
+)
+SELECT CAST(doc_id AS BIGINT) AS uh48,
+       CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN (doc_id // 64) % 256 = 0 THEN 1
+                 ELSE (doc_id // 64) % 256 END AS BIGINT) AS first_ip,
+       -1 AS hop_count,
+       1700000000 AS added_time,
+       TRUE AS is_page_reindex,
+       TRUE AS url_is_doc_id,
+       TRUE AS fake_first_ip,
+       FALSE AS force_delete
+FROM hits
+ORDER BY uh48
+""")
+
+
+def _q_cached_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached-page serving with highlight (PageGet.cpp titleRec get +
+    Highlight.cpp gbcnstNN term spans): every doc matching 'data join'
+    served from the titledb analogue with both terms highlighted."""
+    from .search.cached import cached_page, highlight, is_no_archive
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    hits = (docs.filter(F.col("text").rlike(r"(?i)\bdata\b"))
+            .filter(F.col("text").rlike(r"(?i)\bjoin\b"))
+            .select("doc_id", "text"))
+    na = is_no_archive(F.col("text"))
+    return (hits.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(na, F.lit(None))
+        .otherwise(highlight(F.col("text"), ["data", "join"]))
+        .alias("content"),
+        na.alias("no_archive"))
+        .orderBy("doc_id"))
+
+
+_register("q_cached_pages_highlight", _q_cached_pages, r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(
+         regexp_replace(text, '(?i)\b(data)\b',
+                        '<span class=''gbcnst00''>\1</span>', 'g'),
+         '(?i)\b(join)\b',
+         '<span class=''gbcnst01''>\1</span>', 'g') AS content,
+       FALSE AS no_archive
+FROM documents
+WHERE regexp_matches(text, '(?i)\bdata\b')
+  AND regexp_matches(text, '(?i)\bjoin\b')
+ORDER BY doc_id
+""")
