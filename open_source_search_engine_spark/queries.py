@@ -2199,3 +2199,39 @@ WHERE regexp_matches(text, '(?i)\bdata\b')
   AND regexp_matches(text, '(?i)\bjoin\b')
 ORDER BY doc_id
 """)
+
+
+def _q2_posdb_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Posdb ranking pipeline (PosdbTable.cpp): rank-carrying
+    index build (wordpos/density/diversity/wordspam, XmlDoc.cpp:21133,
+    21226, 21305, 20674) + the min-term-pair sliding-window scorer with
+    title sub-outs, siterank and same-language multipliers
+    (PosdbTable.cpp:4096-4430).  Documents are wrapped into
+    deterministic HTML (title = tokens 1-4, h1 = 5-7, body = rest) so
+    hashgroups, sentences and word positions are all exercised."""
+    from .search.posdbrank import build_posdb_index, posdb_rank_search
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.array_join(F.slice(toks, 1, 4), " "),
+        F.lit("</title></head><body><h1>"),
+        F.array_join(F.slice(toks, 5, 3), " "),
+        F.lit("</h1><p>"),
+        F.array_join(F.slice(toks, 8, F.size(toks)), " "),
+        F.lit(".</p></body></html>"))
+    hdocs = docs.select(
+        "doc_id", html.alias("content"),
+        (F.col("doc_id") % 10).cast("int").alias("site_rank"),
+        "lang")
+    idx = build_posdb_index(hdocs)
+    n_docs = docs.count()
+    out = posdb_rank_search(idx, hdocs, ["data", "join"],
+                            num_docs=n_docs, k=25, qlang="en")
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.round("score", 6).alias("score"))
+            .orderBy("doc_id"))
+
+
+_register_golden("q2_posdb_rank_topk", _q2_posdb_rank, "doc_id")
