@@ -320,6 +320,27 @@ def add_mirror(corpus: Corpus, canonical: str, mirror: str) -> None:
     corpus.content_key[mirror] = canonical
 
 
+# the exact tag hasNoIndexMetaTag looks for (XmlDoc.cpp:11067-11084:
+# getMetaContent("noindex") first char '1')
+NOINDEX_META = "<meta name=noindex content=1>"
+
+
+def add_noindex(corpus: Corpus, url: str) -> None:
+    """Meta-noindex fixture surgery (XmlDoc.cpp:13240-13267): plant
+    ``<meta name=noindex content=1>`` into the page — the reference then
+    turns off posdb/titledb/linkdb for the doc but STILL adds the
+    spider requests for its outlinks."""
+    docs_by_id = {d["doc_id"]: d for d in corpus.docs}
+    if url not in corpus.existing:
+        raise ValueError("noindex page must be an existing page")
+    spans = docs_by_id[url]["spans"]
+    for sp in spans:
+        if sp["kind"] == "text":
+            sp["text"] = NOINDEX_META + " " + (sp["text"] or "")
+            return
+    raise ValueError("page has no text span")   # off=0 is always text
+
+
 # ---------------------------------------------------------------------------
 # parquet writers (pyarrow — usable without a SparkSession)
 # ---------------------------------------------------------------------------

@@ -398,9 +398,16 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
                             // max(sp_s - prev["spidered_time"], 1))
                         if changed else 0)
                 if not is_dup:
+                    # meta noindex (XmlDoc.cpp:13240-13267): fetched and
+                    # links harvested, but never indexed
+                    has_noindex = any(
+                        sp["kind"] == "text" and sp["text"]
+                        and "<meta name=noindex content=1>" in sp["text"]
+                        for sp in docs_by_url[url]["spans"])
                     reply = {"err_code": 0, "err_count": 0,
                              "http_status": 200,
-                             "is_indexed": True, "spidered_time": sp_s,
+                             "is_indexed": not has_noindex,
+                             "spidered_time": sp_s,
                              "download_end_ms": end_ms,
                              "content_hash32": h32,
                              "percent_changed_per_day": ppcd,

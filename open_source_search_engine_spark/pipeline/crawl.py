@@ -200,6 +200,20 @@ class CrawlRunner:
         self.hosts = self._compile_hosts(self.cfg.wave_start_ms // 1000)
         self.docs = spark.read.parquet(
             os.path.join(corpus_dir, "docs.parquet"))
+        # meta-noindex dim (XmlDoc::hasNoIndexMetaTag, XmlDoc.cpp:
+        # 11067-11084 + 13240-13267): pages carrying
+        # <meta name=noindex content=1> are fetched and their outlinks
+        # harvested, but the doc itself is never indexed
+        self._noindex = (
+            self.docs.select(
+                F.col("doc_id").alias("ni_url"),
+                F.exists(
+                    "spans",
+                    lambda s: F.coalesce(
+                        s["text"].contains("<meta name=noindex content=1>"),
+                        F.lit(False)))
+                .alias("has_noindex"))
+            .filter(F.col("has_noindex")))
         self.outcomes = spark.read.parquet(
             os.path.join(corpus_dir, "outcomes.parquet")).cache()
         self._robots_compiled_at_ms: int | None = None
@@ -562,6 +576,15 @@ class CrawlRunner:
                         .when(F.col("outcome") == "throttled", 503)
                         .when(F.col("outcome") == "tmp", 0).otherwise(404))
             .withColumn("is_indexed", F.col("ok"))
+            # meta noindex: fetched + links harvested, never indexed
+            # (XmlDoc.cpp:13257-13265 m_usePosdb=false etc.)
+            .join(F.broadcast(self._noindex),
+                  F.col("url") == F.col("ni_url"), "left")
+            .drop("ni_url")
+            .withColumn("is_indexed",
+                        F.col("is_indexed")
+                        & ~F.coalesce(F.col("has_noindex"), F.lit(False)))
+            .drop("has_noindex")
             # volatile pages: content hash advances with the version clock
             # so refetches observe change (drives percentchangedperday)
             .withColumn(

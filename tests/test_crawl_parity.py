@@ -575,3 +575,60 @@ def test_change_rate_ladder_parity(spark, tmp_path_factory):
          r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
         for r in want.crawl_order)
     assert got == want_rows
+
+
+def test_meta_noindex_parity(spark, tmp_path_factory):
+    """Meta noindex (XmlDoc::hasNoIndexMetaTag, XmlDoc.cpp:11067 +
+    13240-13267): a page carrying <meta name=noindex content=1> is
+    fetched and its outlinks ARE harvested, but the doc itself is never
+    indexed — and the Spark pipeline matches the oracle byte-for-byte."""
+    from open_source_search_engine_spark.config import CrawlConfig
+    from open_source_search_engine_spark.corpus import (add_noindex,
+                                                        generate_corpus,
+                                                        write_parquet)
+    from open_source_search_engine_spark.functions.ghash import uh48
+    from open_source_search_engine_spark.oracle import run_oracle
+    from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+    from open_source_search_engine_spark.functions.outlinks import (
+        extract_outlinks)
+
+    cfg = CrawlConfig(max_rounds=8)
+    mk = lambda: generate_corpus(seed=17, n_domains=6, n_urls=120)
+    base = run_oracle(mk(), cfg)
+    docs_by_url = {d["doc_id"]: d for d in mk().docs}
+    # pick a crawled page that actually contributes outlinks
+    target = None
+    for r in base.crawl_order:
+        u = r["url_norm"]
+        d = docs_by_url.get(u)
+        if not d or not base.replies[uh48(u)]["is_indexed"]:
+            continue
+        links = [l for l in extract_outlinks(u, d["spans"])
+                 if not l["is_media"]]
+        if links:
+            target = u
+            break
+    assert target is not None
+    c = mk()
+    add_noindex(c, target)
+    want = run_oracle(c, cfg)
+    assert not want.replies[uh48(target)]["is_indexed"]
+    assert want.replies[uh48(target)]["err_code"] == 0
+    # links still harvested: crawl order unchanged vs the base run
+    assert ([r["url_norm"] for r in want.crawl_order]
+            == [r["url_norm"] for r in base.crawl_order])
+
+    cd = str(tmp_path_factory.mktemp("nicorpus"))
+    sd = str(tmp_path_factory.mktemp("nistate"))
+    write_parquet(c, cd)
+    runner = CrawlRunner(spark, cd, sd, cfg)
+    runner.run()
+    got = sorted(tuple(r) for r in runner.crawl_order().collect())
+    want_rows = sorted(
+        (r["round"], r["seq_in_round"], r["uh48"], r["url_norm"],
+         r["first_ip"], r["priority"], r["hop_count"], r["fetch_at_ms"])
+        for r in want.crawl_order)
+    assert got == want_rows
+    indexed_urls = {r["url"] for r in runner.indexed_docs()
+                    .select("url").collect()}
+    assert target not in indexed_urls
