@@ -208,14 +208,16 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             pd_ = req.get("parent_domain")
             if pd_ and pd_ != req["domain"]:
                 site_inlinks.setdefault(req["host"], set()).add(pd_)
-        # F28 quota counts: distinct indexed uh48 per host / domain
-        # (SpiderColl.cpp:2754-2798)
+        # F28 quota counts: distinct indexed uh48 per SITE (SiteGetter
+        # definition) / domain (SpiderColl.cpp:2754-2798 m_siteHash32)
+        from ..functions.sitegetter import get_site
         site_pages: dict[str, int] = {}
         domain_pages: dict[str, int] = {}
         for u, rep in replies.items():
             req = requests.get(u)
             if rep["is_indexed"] and req is not None:
-                site_pages[req["host"]] = site_pages.get(req["host"], 0) + 1
+                sk = get_site(req["url"], req["domain"])
+                site_pages[sk] = site_pages.get(sk, 0) + 1
                 domain_pages[req["domain"]] = \
                     domain_pages.get(req["domain"], 0) + 1
         # --- candidate evaluation (F8/F9/F10) -----------------------------
@@ -229,7 +231,8 @@ def run_oracle(corpus: Corpus, cfg: CrawlConfig | None = None) -> OracleResult:
             ctx["site_num_inlinks"] = min(
                 len(site_inlinks.get(req["host"], ())), 255)
             ctx["page_num_inlinks"] = min(len(inlink_cblocks.get(u, ())), 20)
-            ctx["site_pages"] = site_pages.get(req["host"], 0)
+            ctx["site_pages"] = site_pages.get(
+                get_site(req["url"], req["domain"]), 0)
             ctx["domain_pages"] = domain_pages.get(req["domain"], 0)
             ctx["site_tags"] = host_tags.get(req["host"], ())
             ctx["has_authority_inlink"] = u in auth_inlink

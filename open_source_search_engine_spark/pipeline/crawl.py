@@ -483,10 +483,17 @@ class CrawlRunner:
         cand = (cand.join(F.broadcast(pni), "uh48", "left")
                 .fillna({"page_num_inlinks": 0,
                          "has_authority_inlink": False}))
-        # F28: site/domain page quotas = distinct indexed uh48 per host /
-        # domain (SpiderColl.cpp:2754-2798), feeding the sitepages /
-        # domainpages rule atoms (Spider.cpp:2949-2961)
-        sitep = (cand.groupBy("host")
+        # F28: site/domain page quotas = distinct indexed uh48 per SITE /
+        # domain (SpiderColl.cpp:2754-2798 m_siteHash32), feeding the
+        # sitepages / domainpages rule atoms (Spider.cpp:2949-2961).
+        # The site is the SiteGetter definition (hostname, or the
+        # host + user-area prefix for /~user-style URLs) so a hosted
+        # user area carries its own quota.
+        from ..functions.sitegetter import site_expr
+        cand = cand.withColumn(
+            "site", site_expr(F.col("url"), F.col("host"),
+                              F.col("domain")))
+        sitep = (cand.groupBy("site")
                  .agg(F.count_distinct(
                      F.when(F.col("is_indexed"), F.col("uh48")))
                      .alias("site_pages")))
@@ -494,7 +501,7 @@ class CrawlRunner:
                 .agg(F.count_distinct(
                     F.when(F.col("is_indexed"), F.col("uh48")))
                     .alias("domain_pages")))
-        cand = (cand.join(F.broadcast(sitep), "host", "left")
+        cand = (cand.join(F.broadcast(sitep), "site", "left")
                 .join(F.broadcast(domp), "domain", "left")
                 .fillna({"site_pages": 0, "domain_pages": 0}))
         now_s = wave_start // 1000
