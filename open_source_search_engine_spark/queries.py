@@ -2235,3 +2235,35 @@ def _q2_posdb_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("q2_posdb_rank_topk", _q2_posdb_rank, "doc_id")
+
+
+def _text_site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-templated boilerplate removal (Sections.cpp tag-path hashing
+    + sectiondb SectionVote, Sections.h:282-298): docs of one source
+    share a nav section; the vote flags it and the strip removes it
+    while unique body text survives.  The training-pipeline use of the
+    reference's SEC_DUP machinery."""
+    from .functions.sections import (build_sections, site_dup_sections,
+                                     strip_site_boilerplate)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    html = F.concat(
+        F.lit('<html><body><div class="nav">site menu '),
+        F.col("source"),
+        F.lit(' home products</div><div class="main"><p>'),
+        F.col("text"),
+        F.lit("</p></div></body></html>"))
+    hdocs = docs.select("doc_id", html.alias("content"),
+                        F.col("source").alias("site"))
+    secs = build_sections(hdocs)
+    dup = site_dup_sections(secs, min_docs=2)
+    out = strip_site_boilerplate(hdocs, dup)
+    return (out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring("text", 1, 48).alias("text_head"),
+        F.col("n_sections").cast("int").alias("n_sections"),
+        F.col("n_boilerplate").cast("int").alias("n_boilerplate"))
+        .orderBy("doc_id"))
+
+
+_register_golden("text_site_boilerplate", _text_site_boilerplate, "doc_id")
