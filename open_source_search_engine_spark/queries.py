@@ -2267,3 +2267,43 @@ def _text_site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("text_site_boilerplate", _text_site_boilerplate, "doc_id")
+
+
+def _q_json_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON document field indexing (Json.cpp + hashJSONFields2,
+    XmlDoc_Indexing.cpp:2805-2918): docs wrapped into deterministic
+    JSON (title = first 4 tokens, meta.source, body, plus the skipped
+    diffbot html field), flattened to compound-name field postings, and
+    searched as title:data AND title:row with hashgroup-weighted tf
+    (title = x80).  The oracle recomputes the same result from the raw
+    columns — a true cross-engine check."""
+    from .search.jsonfields import build_json_postings, search_json_field
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    js = F.concat(
+        F.lit('{"title": "'), F.array_join(F.slice(toks, 1, 4), " "),
+        F.lit('", "meta": {"source": "'), F.col("source"),
+        F.lit('"}, "body": "'), F.lower("text"),
+        F.lit('", "html": "ignored"}'))
+    jdocs = docs.select("doc_id", js.alias("json"))
+    p = build_json_postings(jdocs)
+    return search_json_field(p, "title", ["data", "row"], k=10)
+
+
+_register("q_json_field_search", _q_json_field_search, """
+WITH toks AS (
+  SELECT doc_id, list_slice(string_split(lower(text), ' '), 1, 4) AS t
+  FROM documents
+), cnt AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> x = 'data')) AS c1,
+         len(list_filter(t, x -> x = 'row'))  AS c2
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(80 * (c1 + c2) AS BIGINT) AS score
+FROM cnt WHERE c1 > 0 AND c2 > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+""")
