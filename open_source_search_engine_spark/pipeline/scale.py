@@ -139,3 +139,60 @@ def repartition_by_ip_salted(df: DataFrame, n_partitions: int,
     (append-only, later window'd with salted_topk_per_key) this is free."""
     return df.repartition(n_partitions, F.col("first_ip"),
                           (F.col("uh48") % 16).cast("int"))
+
+
+def rebalance_sharded(spark, table_dir: str, n_shards_new: int,
+                      ip_col: str = "first_ip") -> dict:
+    """Shard-count migration (Rebalance.cpp): after the cluster grows
+    from N to M shards, scan a `shard=K/` partitioned table, find the
+    FOREIGN rows (stored shard != ``spider_shard(ip, M)``), and move
+    only those — correctly-placed rows are rewritten in place per
+    affected partition, never shuffled.
+
+    The reference scans every rdb record, compares the record's
+    key-derived shard with the host's (Rebalance.cpp scan loop), and
+    forwards foreign records via Msg4 before deleting them locally;
+    the Spark shape is the same two phases: a shuffle-free foreign
+    scan/count (the 'needsRebalance' verdict, Rebalance.cpp:
+    m_needsRebalance), then one exchange of ONLY the foreign rows.
+
+    Returns {"scanned": n, "foreign": n, "shards_touched": n}."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_dir)   # shard=K partition column
+    want = spider_shard_col(ip_col, n_shards_new)
+    tagged = df.withColumn("_want", want)
+    stats = tagged.select(
+        F.count("*").alias("scanned"),
+        F.sum((F.col("shard") != F.col("_want")).cast("long"))
+        .alias("foreign")).collect()[0]
+    if stats["foreign"] == 0:
+        return {"scanned": stats["scanned"], "foreign": 0,
+                "shards_touched": 0}
+    # shards that lose or gain rows must be rewritten; others untouched
+    touched = sorted(
+        {r["shard"] for r in tagged
+         .filter(F.col("shard") != F.col("_want"))
+         .select("shard").distinct().collect()}
+        | {r["_want"] for r in tagged
+           .filter(F.col("shard") != F.col("_want"))
+           .select("_want").distinct().collect()})
+    out = (tagged.filter(F.col("shard").isin(touched)
+                         | F.col("_want").isin(touched))
+           .withColumn("shard", F.col("_want")).drop("_want"))
+    tmp = table_dir.rstrip("/") + ".rebalance.tmp"
+    (out.repartition(max(len(touched), 1), "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp))
+    for s in touched:
+        old = os.path.join(table_dir, f"shard={s}")
+        new = os.path.join(tmp, f"shard={s}")
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(new):
+            shutil.move(new, old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"scanned": stats["scanned"], "foreign": int(stats["foreign"]),
+            "shards_touched": len(touched)}

@@ -92,3 +92,38 @@ def test_salted_topk_feeds_budgets(spark):
     wave = apply_wave_budgets(topk, _order(), global_cap=40, n_shards=2)
     rows = wave.collect()
     assert rows and all(r["ip_rn"] <= 5 for r in rows)
+
+
+def test_rebalance_sharded(spark, tmp_path):
+    """Rebalance.cpp analogue: growing the shard count moves only
+    foreign rows; re-running is a no-op; every row lands on its
+    spider_shard under the new count."""
+    from pyspark.sql import functions as F
+    from open_source_search_engine_spark.pipeline.scale import (
+        rebalance_sharded, spider_shard_col)
+
+    d = str(tmp_path / "tbl")
+    base = spark.range(2000).select(
+        (F.col("id") * 2654435761 % 4294967291).cast("long")
+        .alias("first_ip"),
+        F.col("id").alias("payload"))
+    (base.withColumn("shard", spider_shard_col("first_ip", 8))
+     .write.mode("overwrite").partitionBy("shard").parquet(d))
+
+    # no-op at the same count
+    r0 = rebalance_sharded(spark, d, 8)
+    assert r0["foreign"] == 0 and r0["shards_touched"] == 0
+
+    r1 = rebalance_sharded(spark, d, 32)
+    assert r1["scanned"] == 2000 and r1["foreign"] > 0
+
+    after = spark.read.parquet(d)
+    assert after.count() == 2000
+    bad = after.filter(
+        F.col("shard") != spider_shard_col("first_ip", 32)).count()
+    assert bad == 0
+    assert after.select("payload").distinct().count() == 2000
+
+    # idempotent
+    r2 = rebalance_sharded(spark, d, 32)
+    assert r2["foreign"] == 0
