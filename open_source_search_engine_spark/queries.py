@@ -2307,3 +2307,32 @@ FROM cnt WHERE c1 > 0 AND c2 > 0
 ORDER BY score DESC, doc_id
 LIMIT 10
 """)
+
+
+def _q1_phrase_posdb_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed quoted-phrase query through the FULL Posdb ranker: the
+    quoted pair must appear at query spacing (m_quotedStartIds gate,
+    PosdbTable.cpp:787-838 + 1505-1521) and survivors carry the
+    min-term-pair score."""
+    from .search.posdbrank import build_posdb_index, parsed_rank_search
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.array_join(F.slice(toks, 1, 4), " "),
+        F.lit("</title></head><body><p>"),
+        F.array_join(F.slice(toks, 5, F.size(toks)), " "),
+        F.lit(".</p></body></html>"))
+    hdocs = docs.select(
+        "doc_id", html.alias("content"),
+        (F.col("doc_id") % 10).cast("int").alias("site_rank"), "lang")
+    idx = build_posdb_index(hdocs)
+    out = parsed_rank_search(idx, hdocs, '"data join"',
+                             num_docs=docs.count(), k=25, qlang="en")
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.round("score", 6).alias("score"))
+            .orderBy("doc_id"))
+
+
+_register_golden("q1_phrase_posdb_rank", _q1_phrase_posdb_rank, "doc_id")

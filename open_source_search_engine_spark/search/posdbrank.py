@@ -805,6 +805,7 @@ def _first_body_idx(L: TermList, start: int = 0):
 def score_doc(lists: list[TermList], freq_ws: list[float],
               qpos: list[int] | None = None,
               quoted: bool = False,
+              quoted_ids: list[int] | None = None,
               wiki_phrase: bool = False,
               site_rank: int = 0,
               doc_lang: str | None = None,
@@ -812,10 +813,19 @@ def score_doc(lists: list[TermList], freq_ws: list[float],
               max_top: int = MAX_TOP) -> float:
     """The full PosdbTable per-docid score (intersectLists tail,
     PosdbTable.cpp:4096-4430).  Returns <= 0.0 when the doc is
-    filtered (minScore <= 0)."""
+    filtered (minScore <= 0).
+
+    ``quoted_ids`` assigns each term its quoted-phrase group
+    (m_quotedStartIds, -1 = unquoted); ``quoted=True`` is the
+    single-phrase shorthand."""
     nt = len(lists)
     if qpos is None:
         qpos = [2 * i for i in range(nt)]
+    if quoted_ids is None:
+        quoted_ids = [0] * nt if quoted else [-1] * nt
+
+    def pair_quoted(i: int, j: int) -> bool:
+        return quoted_ids[i] >= 0 and quoted_ids[i] == quoted_ids[j]
 
     def pair_qdist_wts(i: int, j: int) -> tuple[int, float]:
         if wiki_phrase:
@@ -877,7 +887,7 @@ def score_doc(lists: list[TermList], freq_ws: list[float],
                     mx *= freq_ws[i] * freq_ws[j]
                     if matrix[(i, j)] > mx:
                         mx = matrix[(i, j)]
-                    if quoted:
+                    if pair_quoted(i, j):
                         # exact query spacing required
                         # (PosdbTable.cpp:787-838)
                         ki, kj = xpos[i], xpos[j]
@@ -924,9 +934,10 @@ def score_doc(lists: list[TermList], freq_ws: list[float],
         for i in range(nt):
             for j in range(i + 1, nt):
                 qd, wts = pair_qdist_wts(i, j)
-                if quoted:
+                inq = pair_quoted(i, j)
+                if inq:
                     qd = qpos[j] - qpos[i]
-                sc = _pair_score_for_any(lists[i], lists[j], qd, quoted,
+                sc = _pair_score_for_any(lists[i], lists[j], qd, inq,
                                          window[i], window[j], max_top)
                 sc *= wts * freq_ws[i] * freq_ws[j]
                 if min_pair >= 0.0 and sc >= min_pair:
@@ -957,6 +968,8 @@ def score_doc(lists: list[TermList], freq_ws: list[float],
 def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
                       terms: list[str], num_docs: int, k: int = 10,
                       quoted: bool = False,
+                      quoted_ids: list[int] | None = None,
+                      qpos: list[int] | None = None,
                       qlang: str | None = None) -> DataFrame:
     """AND the termlists, score each candidate doc with the full
     PosdbTable kernel, return top-k (doc_id, score).
@@ -1002,7 +1015,8 @@ def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
         sr = int(pdf["_sr"].iloc[0]) if pd.notna(pdf["_sr"].iloc[0]) else 0
         dl = pdf["_lang"].iloc[0]
         dl = dl if isinstance(dl, str) else None
-        s = score_doc(lists, freq_ws, quoted=quoted, site_rank=sr,
+        s = score_doc(lists, freq_ws, qpos=qpos, quoted=quoted,
+                      quoted_ids=quoted_ids, site_rank=sr,
                       doc_lang=dl, qlang=qlang)
         if s <= 0.0:
             return pd.DataFrame({"doc_id": [], "score": []})
@@ -1011,3 +1025,43 @@ def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
     scored = matched.groupBy("doc_id").applyInPandas(
         score_group, "doc_id long, score double")
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def parsed_rank_search(index: DataFrame, doc_meta: DataFrame | None,
+                       query: str, num_docs: int, k: int = 10,
+                       qlang: str | None = None) -> DataFrame:
+    """Q1 → full Posdb ranking: parse the query (boolean grammar,
+    Query.cpp) and, for the AND/phrase shapes PosdbTable scores
+    natively, run the min-term-pair ranker with per-term query
+    positions and quoted groups (m_qpos / m_quotedStartIds).  Query
+    shapes outside that family (OR / NOT / field operators) raise —
+    callers route those through queryparse.search_query, which is the
+    reference's behavior boundary too: boolean queries skip the
+    sliding-window scorer (PosdbTable.cpp:4009 boolJump2)."""
+    from .queryparse import And, Phrase, Term, parse_query
+
+    ast = parse_query(query)
+    flat = list(ast.children) if isinstance(ast, And) else [ast]
+    terms: list[str] = []
+    qpos: list[int] = []
+    quoted_ids: list[int] = []
+    pos = 0
+    for gid, node in enumerate(flat):
+        if isinstance(node, Term):
+            terms.append(node.text)
+            qpos.append(pos)
+            quoted_ids.append(-1)
+            pos += 2
+        elif isinstance(node, Phrase):
+            for w in node.words:
+                terms.append(w)
+                qpos.append(pos)
+                quoted_ids.append(gid)
+                pos += 2
+        else:
+            raise ValueError(
+                "parsed_rank_search handles AND/phrase queries; use "
+                "queryparse.search_query for boolean/field operators")
+    return posdb_rank_search(index, doc_meta, terms, num_docs, k=k,
+                             quoted_ids=quoted_ids, qpos=qpos,
+                             qlang=qlang)

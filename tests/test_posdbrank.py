@@ -300,3 +300,47 @@ class TestSparkPlumbing:
         out = posdb_rank_search(idx, docs, ["spark", "query", "engine"],
                                 num_docs=3, k=10).collect()
         assert [r["doc_id"] for r in out] == [1]
+
+
+@pytest.mark.usefixtures("spark")
+class TestParsedRank:
+    DOCS = [
+        # doc 1: exact phrase "fast spark" plus "query"
+        (1, "<html><title>intro</title><body><p>the fast spark query "
+            "engine.</p></body></html>", "en", 0),
+        # doc 2: words present but phrase broken
+        (2, "<html><title>intro</title><body><p>spark is fast and the "
+            "query works.</p></body></html>", "en", 0),
+    ]
+
+    def _index(self, spark):
+        from open_source_search_engine_spark.search.posdbrank import (
+            build_posdb_index)
+        docs = spark.createDataFrame(
+            self.DOCS, "doc_id long, content string, lang string, "
+                       "site_rank int")
+        return docs, build_posdb_index(docs)
+
+    def test_phrase_query_gates(self, spark):
+        from open_source_search_engine_spark.search.posdbrank import (
+            parsed_rank_search)
+        docs, idx = self._index(spark)
+        out = parsed_rank_search(idx, docs, '"fast spark" query',
+                                 num_docs=2).collect()
+        # doc 2 has 'fast' and 'spark' out of phrase order -> filtered
+        assert [r["doc_id"] for r in out] == [1]
+
+    def test_plain_and_query(self, spark):
+        from open_source_search_engine_spark.search.posdbrank import (
+            parsed_rank_search)
+        docs, idx = self._index(spark)
+        out = parsed_rank_search(idx, docs, "spark query",
+                                 num_docs=2).collect()
+        assert {r["doc_id"] for r in out} == {1, 2}
+
+    def test_boolean_rejected(self, spark):
+        from open_source_search_engine_spark.search.posdbrank import (
+            parsed_rank_search)
+        docs, idx = self._index(spark)
+        with pytest.raises(ValueError):
+            parsed_rank_search(idx, docs, "spark OR flink", num_docs=2)
