@@ -508,11 +508,20 @@ _INDEX_SCHEMA = ("doc_id long, term string, hashgroup int, pos int, "
 
 def build_posdb_index(docs: DataFrame, html_col: str = "content",
                       id_col: str = "doc_id",
-                      url_col: str | None = None) -> DataFrame:
+                      url_col: str | None = None,
+                      links: DataFrame | None = None) -> DataFrame:
     """Documents → rank-carrying postings, one Arrow-batched pass
     (the XmlDoc per-document indexing work, distributed; zero shuffle).
     At scale write with ``sources.writers.write_postings_bucketed`` so
-    termlist scans prune to one bucket."""
+    termlist scans prune to one bucket.
+
+    ``links`` (dst_doc_id, anchor_text, src_site_rank) adds each
+    incoming anchor text as HASHGROUP_INLINKTEXT postings on the
+    destination doc: its own position space, whole-string density, and
+    — the reference's trick — the LINKER's site rank stored in the
+    word-spam bits ("for inlinktext terms the spam rank is the siterank
+    of the inlinker!", Posdb.h:37-38), which the scorer reads through
+    the sqrt(1+i) linker weight."""
     cols = [id_col, html_col] + ([url_col] if url_col else [])
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -537,7 +546,51 @@ def build_posdb_index(docs: DataFrame, html_col: str = "content",
             res["wiki_bigram"] = 0
             yield res
 
-    return docs.select(*cols).mapInPandas(gen, _INDEX_SCHEMA)
+    base = docs.select(*cols).mapInPandas(gen, _INDEX_SCHEMA)
+    if links is None:
+        return base
+
+    def link_gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "term", "hashgroup", "pos", "density",
+                "diversity", "wordspam")}
+            for row in pdf.itertuples(index=False):
+                toks = re.findall(r"[A-Za-z0-9]+",
+                                  (row.anchor_text or "").lower())
+                if not toks:
+                    continue
+                # whole-string density (getDensityRanks with no
+                # sections); linker site rank in the spam bits
+                dr = max(MAXDENSITYRANK - (len(toks) - 1), 1)
+                sr = int(row.src_site_rank or 0)
+                sr = min(max(sr, 0), MAXWORDSPAMRANK)
+                # each link text gets its own position space, spaced
+                # >50 units so cross-link pairs hit the FIXED_DISTANCE
+                # rule ("different link texts", PosdbTable.cpp:1545)
+                pos = int(row.ln0) * 1000
+                for t in toks:
+                    out["doc_id"].append(row.dst_doc_id)
+                    out["term"].append(t)
+                    out["hashgroup"].append(HG_INLINKTEXT)
+                    out["pos"].append(pos)
+                    out["density"].append(dr)
+                    out["diversity"].append(MAXDIVERSITYRANK)
+                    out["wordspam"].append(sr)
+                    pos += 2
+            res = pd.DataFrame(out)
+            res["is_syn"] = 0
+            res["wiki_bigram"] = 0
+            yield res
+
+    from pyspark.sql import Window
+    numbered = links.select(
+        "dst_doc_id", "anchor_text", "src_site_rank",
+        (F.row_number().over(
+            Window.partitionBy("dst_doc_id")
+            .orderBy("anchor_text", "src_site_rank")) - 1).alias("ln0"))
+    link_posts = numbered.mapInPandas(link_gen, _INDEX_SCHEMA)
+    return base.unionByName(link_posts)
 
 
 # ---------------------------------------------------------------------------

@@ -344,3 +344,33 @@ class TestParsedRank:
         docs, idx = self._index(spark)
         with pytest.raises(ValueError):
             parsed_rank_search(idx, docs, "spark OR flink", num_docs=2)
+
+
+@pytest.mark.usefixtures("spark")
+class TestInlinkText:
+    def test_anchor_postings_and_linker_weight(self, spark):
+        from open_source_search_engine_spark.search.posdbrank import (
+            HG_INLINKTEXT, build_posdb_index, posdb_rank_search)
+        docs = spark.createDataFrame(
+            [(1, "<html><body><p>page about nothing.</p></body></html>",
+              "en", 0),
+             (2, "<html><body><p>another page entirely here.</p></body>"
+                 "</html>", "en", 0)],
+            "doc_id long, content string, lang string, site_rank int")
+        links = spark.createDataFrame(
+            [(1, "best spark engine", 8),
+             (1, "spark engine docs", 3)],
+            "dst_doc_id long, anchor_text string, src_site_rank int")
+        idx = build_posdb_index(docs, links=links)
+        rows = idx.filter("hashgroup = %d" % HG_INLINKTEXT).collect()
+        assert {r["term"] for r in rows} >= {"best", "spark", "engine"}
+        # linker site rank stored in the spam bits (Posdb.h:37-38)
+        assert {r["wordspam"] for r in rows} == {8, 3}
+        # the two link texts occupy disjoint position spaces >50 apart
+        spark_pos = sorted(r["pos"] for r in rows if r["term"] == "spark")
+        assert spark_pos[1] - spark_pos[0] > 50
+        # anchor-only terms are searchable and rank doc 1
+        out = posdb_rank_search(idx, docs, ["spark", "engine"],
+                                num_docs=2).collect()
+        assert [r["doc_id"] for r in out] == [1]
+        assert out[0]["score"] > 0
