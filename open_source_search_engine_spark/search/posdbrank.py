@@ -860,6 +860,7 @@ def score_doc(lists: list[TermList], freq_ws: list[float],
               quoted: bool = False,
               quoted_ids: list[int] | None = None,
               wiki_phrase: bool = False,
+              wiki_ids: list[int] | None = None,
               site_rank: int = 0,
               doc_lang: str | None = None,
               qlang: str | None = None,
@@ -870,18 +871,24 @@ def score_doc(lists: list[TermList], freq_ws: list[float],
 
     ``quoted_ids`` assigns each term its quoted-phrase group
     (m_quotedStartIds, -1 = unquoted); ``quoted=True`` is the
-    single-phrase shorthand."""
+    single-phrase shorthand.  ``wiki_ids`` assigns each term its
+    wikipedia-phrase group (m_wikiPhraseIds, 0 = none;
+    ``wiki_phrase=True`` is the all-one-phrase shorthand): a pair in
+    the same wiki phrase targets its query spacing and takes the
+    WIKI_WEIGHT haircut (PosdbTable.cpp:699-712)."""
     nt = len(lists)
     if qpos is None:
         qpos = [2 * i for i in range(nt)]
     if quoted_ids is None:
         quoted_ids = [0] * nt if quoted else [-1] * nt
+    if wiki_ids is None:
+        wiki_ids = [1] * nt if wiki_phrase else [0] * nt
 
     def pair_quoted(i: int, j: int) -> bool:
         return quoted_ids[i] >= 0 and quoted_ids[i] == quoted_ids[j]
 
     def pair_qdist_wts(i: int, j: int) -> tuple[int, float]:
-        if wiki_phrase:
+        if wiki_ids[i] and wiki_ids[i] == wiki_ids[j]:
             return qpos[j] - qpos[i], WIKI_WEIGHT
         return 2, 1.0
 
@@ -1018,11 +1025,40 @@ def score_doc(lists: list[TermList], freq_ws: list[float],
 # the Spark query plan
 # ---------------------------------------------------------------------------
 
+def wiki_phrase_ids(words: list[str],
+                    titles: set[tuple[str, ...]]) -> list[int]:
+    """Wikipedia-phrase grouping for query words (Wiki::
+    getNumWordsInWikiPhrase, Wiki.cpp:175: longest run, up to 12
+    words, whose cumulative hash is a wikipedia title claims the
+    phrase).  Greedy left-to-right; ids start at 1, 0 = not in a
+    phrase."""
+    n = len(words)
+    ids = [0] * n
+    nid = 0
+    i = 0
+    lw = [w.lower() for w in words]
+    while i < n:
+        best = 0
+        for j in range(min(i + 12, n), i + 1, -1):
+            if tuple(lw[i:j]) in titles:
+                best = j
+                break
+        if best:
+            nid += 1
+            for k2 in range(i, best):
+                ids[k2] = nid
+            i = best
+        else:
+            i += 1
+    return ids
+
+
 def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
                       terms: list[str], num_docs: int, k: int = 10,
                       quoted: bool = False,
                       quoted_ids: list[int] | None = None,
                       qpos: list[int] | None = None,
+                      wiki_ids: list[int] | None = None,
                       qlang: str | None = None) -> DataFrame:
     """AND the termlists, score each candidate doc with the full
     PosdbTable kernel, return top-k (doc_id, score).
@@ -1069,8 +1105,8 @@ def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
         dl = pdf["_lang"].iloc[0]
         dl = dl if isinstance(dl, str) else None
         s = score_doc(lists, freq_ws, qpos=qpos, quoted=quoted,
-                      quoted_ids=quoted_ids, site_rank=sr,
-                      doc_lang=dl, qlang=qlang)
+                      quoted_ids=quoted_ids, wiki_ids=wiki_ids,
+                      site_rank=sr, doc_lang=dl, qlang=qlang)
         if s <= 0.0:
             return pd.DataFrame({"doc_id": [], "score": []})
         return pd.DataFrame({"doc_id": [doc_id], "score": [s]})
@@ -1082,7 +1118,8 @@ def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
 
 def parsed_rank_search(index: DataFrame, doc_meta: DataFrame | None,
                        query: str, num_docs: int, k: int = 10,
-                       qlang: str | None = None) -> DataFrame:
+                       qlang: str | None = None,
+                       wiki_titles: set | None = None) -> DataFrame:
     """Q1 → full Posdb ranking: parse the query (boolean grammar,
     Query.cpp) and, for the AND/phrase shapes PosdbTable scores
     natively, run the min-term-pair ranker with per-term query
@@ -1115,6 +1152,7 @@ def parsed_rank_search(index: DataFrame, doc_meta: DataFrame | None,
             raise ValueError(
                 "parsed_rank_search handles AND/phrase queries; use "
                 "queryparse.search_query for boolean/field operators")
+    wids = wiki_phrase_ids(terms, wiki_titles) if wiki_titles else None
     return posdb_rank_search(index, doc_meta, terms, num_docs, k=k,
                              quoted_ids=quoted_ids, qpos=qpos,
-                             qlang=qlang)
+                             wiki_ids=wids, qlang=qlang)

@@ -374,3 +374,35 @@ class TestInlinkText:
                                 num_docs=2).collect()
         assert [r["doc_id"] for r in out] == [1]
         assert out[0]["score"] > 0
+
+
+class TestWikiPhrases:
+    def test_id_assignment_greedy_longest(self):
+        from open_source_search_engine_spark.search.posdbrank import (
+            wiki_phrase_ids)
+        titles = {("new", "york"), ("new", "york", "city"),
+                  ("lock", "pick")}
+        ids = wiki_phrase_ids(["new", "york", "city", "hall"], titles)
+        assert ids == [1, 1, 1, 0]       # longest match wins
+        ids = wiki_phrase_ids(["a", "lock", "pick", "set"], titles)
+        assert ids == [0, 1, 1, 0]
+        ids = wiki_phrase_ids(["new", "york", "lock", "pick"], titles)
+        assert ids == [1, 1, 2, 2]       # two distinct groups
+
+    def test_wiki_pair_targets_query_spacing(self):
+        # in a wiki phrase the pair aims for qdist = qpos diff and the
+        # score takes the 0.10 WIKI_WEIGHT haircut
+        # (PosdbTable.cpp:699-712)
+        lists = [_mk([100]), _mk([102])]
+        plain = score_doc(lists, [1.0, 1.0])
+        wiki = score_doc(lists, [1.0, 1.0], wiki_ids=[1, 1])
+        # same positions, qdist 2 either way: wiki = plain * 0.10
+        assert wiki == pytest.approx(plain * 0.10)
+        # wiki qdist targets query spacing: terms 4 apart in query,
+        # 4 apart in body -> dist 0 (perfect), vs plain qdist 2 -> 2
+        lists2 = [_mk([100]), _mk([104])]
+        wiki2 = score_doc(lists2, [1.0, 1.0], qpos=[0, 4],
+                          wiki_ids=[1, 1])
+        plain2 = score_doc(lists2, [1.0, 1.0], qpos=[0, 4])
+        assert wiki2 == pytest.approx(100.0 * 0.10 * SAME_LANG_WEIGHT)
+        assert plain2 == pytest.approx(100.0 / 3.0 * SAME_LANG_WEIGHT)
