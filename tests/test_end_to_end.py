@@ -157,3 +157,44 @@ def test_search_results_summarize(spark, indexed):
         if r["n_hits"] > 0:
             low = r["snippet"].lower()
             assert "data" in low or "crawl" in low
+
+
+def test_crawl_to_posdb_full_rank(spark, crawled, indexed):
+    """The crawled pages through the FULL Posdb ranker: indexed_docs →
+    build_posdb_index (rank vectors over the page text) →
+    parsed_rank_search, cross-checked against a direct kernel call on
+    one doc's extracted termlists."""
+    from open_source_search_engine_spark.search.posdbrank import (
+        TermList, build_posdb_index, parsed_rank_search, score_doc,
+        term_freq_weight)
+
+    docs = (indexed.select(
+        F.abs(F.col("uh48")).alias("doc_id"),
+        F.concat(F.lit("<html><body><p>"), F.col("text"),
+                 F.lit("</p></body></html>")).alias("content"))
+        .filter(F.length("text") > 0).cache())
+    n = docs.count()
+    assert n > 10
+    idx = build_posdb_index(docs)
+    out = parsed_rank_search(idx, None, "lorem ipsum",
+                             num_docs=n, k=10).collect()
+    assert out, "query terms exist in the corpus filler vocabulary"
+    assert all(out[i]["score"] >= out[i + 1]["score"]
+               for i in range(len(out) - 1))
+    # kernel cross-check on the top doc
+    top = out[0]["doc_id"]
+    pdf = (idx.filter((F.col("doc_id") == top)
+                      & F.col("term").isin("lorem", "ipsum")).toPandas())
+    lists = []
+    for t in ("lorem", "ipsum"):
+        g = pdf[pdf["term"] == t]
+        lists.append(TermList(g["pos"].values, g["hashgroup"].values,
+                              g["density"].values, g["diversity"].values,
+                              g["wordspam"].values))
+    dfreq = {r["term"]: r["df"] for r in
+             idx.filter(F.col("term").isin("lorem", "ipsum"))
+             .groupBy("term")
+             .agg(F.count_distinct("doc_id").alias("df")).collect()}
+    fw = [term_freq_weight(dfreq["lorem"], n),
+          term_freq_weight(dfreq["ipsum"], n)]
+    assert out[0]["score"] == pytest.approx(score_doc(lists, fw))
