@@ -50,8 +50,9 @@ def _window_hash_batches(it: Iterator[pd.DataFrame], min_len: int
                          ) -> Iterator[pd.DataFrame]:
     powers = np.empty(min_len, dtype=np.uint64)
     powers[-1] = np.uint64(1)
-    for j in range(min_len - 2, -1, -1):
-        powers[j] = powers[j + 1] * _B          # uint64 wraparound
+    with np.errstate(over="ignore"):            # uint64 wraparound is
+        for j in range(min_len - 2, -1, -1):    # the hash definition
+            powers[j] = powers[j + 1] * _B
     for pdf in it:
         th, offs = _token_hashes_batch(pdf["text"].tolist())
         out_doc, out_start, out_h = [], [], []
