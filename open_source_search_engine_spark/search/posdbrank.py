@@ -1059,22 +1059,49 @@ def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
                       quoted_ids: list[int] | None = None,
                       qpos: list[int] | None = None,
                       wiki_ids: list[int] | None = None,
-                      qlang: str | None = None) -> DataFrame:
+                      qlang: str | None = None,
+                      synonyms: dict[str, list[str]] | None = None
+                      ) -> DataFrame:
     """AND the termlists, score each candidate doc with the full
     PosdbTable kernel, return top-k (doc_id, score).
 
-    Plan: termlist filter (bucket-prunable) → distinct-term count to
+    ``synonyms`` maps a query term to its alternate forms: each form's
+    postings are merged into the base term's list flagged is_syn=1 —
+    the reference's QueryTermInfo sublist mini-merge (the 0.9 synonym
+    weight then applies per occurrence, PosdbTable.cpp:929-932), and a
+    doc matches term i through ANY of its forms.
+
+    Plan: termlist filter (bucket-prunable) → distinct-group count to
     AND (one partial-aggregated shuffle) → doc_id-grouped scoring via
     applyInPandas → TakeOrderedAndProject."""
     terms = [t.lower() for t in terms]
     nt = len(terms)
-    tl = index.filter(F.col("term").isin(terms))
+    # term -> (query-term group, is_syn)
+    group_of: dict[str, tuple[int, int]] = {
+        t: (i, 0) for i, t in enumerate(terms)}
+    if synonyms:
+        for base, alts in synonyms.items():
+            bi = group_of.get(base.lower())
+            if bi is None:
+                continue
+            for a in alts:
+                group_of.setdefault(a.lower(), (bi[0], 1))
+    all_terms = list(group_of)
+    tl = index.filter(F.col("term").isin(all_terms))
+    grp = F.lit(None).cast("int")
+    syn = F.lit(None).cast("int")
+    for t, (gi, isyn) in reversed(group_of.items()):
+        grp = F.when(F.col("term") == t, F.lit(gi)).otherwise(grp)
+        syn = F.when(F.col("term") == t, F.lit(isyn)).otherwise(syn)
+    tl = (tl.withColumn("_grp", grp)
+          .withColumn("is_syn", F.greatest("is_syn", syn)))
     cand = (tl.groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("_n"))
+            .agg(F.count_distinct("_grp").alias("_n"))
             .filter(F.col("_n") == nt)
             .select("doc_id"))
     matched = tl.join(cand, "doc_id")
-    # per-term doc frequencies: nt rows, bounded collect
+    # per-group doc frequencies (the BASE term's termlist sizes the
+    # freq weight, like the QueryTermInfo's representative term)
     dfreq = {r["term"]: r["df"] for r in
              tl.groupBy("term").agg(
                  F.count_distinct("doc_id").alias("df")).collect()}
@@ -1088,13 +1115,12 @@ def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
     else:
         matched = matched.withColumn("_sr", F.lit(0)) \
                          .withColumn("_lang", F.lit(None).cast("string"))
-    term_order = {t: i for i, t in enumerate(terms)}
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_id = pdf["doc_id"].iloc[0]
         lists: list[TermList | None] = [None] * nt
-        for t, g in pdf.groupby("term"):
-            lists[term_order[t]] = TermList(
+        for gi, g in pdf.groupby("_grp"):
+            lists[int(gi)] = TermList(
                 g["pos"].values, g["hashgroup"].values,
                 g["density"].values, g["diversity"].values,
                 g["wordspam"].values, g["is_syn"].values,

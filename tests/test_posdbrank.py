@@ -406,3 +406,29 @@ class TestWikiPhrases:
         plain2 = score_doc(lists2, [1.0, 1.0], qpos=[0, 4])
         assert wiki2 == pytest.approx(100.0 * 0.10 * SAME_LANG_WEIGHT)
         assert plain2 == pytest.approx(100.0 / 3.0 * SAME_LANG_WEIGHT)
+
+
+@pytest.mark.usefixtures("spark")
+class TestSynonymMerge:
+    def test_syn_sublist_merge(self, spark):
+        from open_source_search_engine_spark.search.posdbrank import (
+            build_posdb_index, posdb_rank_search)
+        docs = spark.createDataFrame(
+            [(1, "<html><body><p>the automobile engine runs.</p></body>"
+                 "</html>", "en", 0),
+             (2, "<html><body><p>the car engine runs.</p></body></html>",
+              "en", 0)],
+            "doc_id long, content string, lang string, site_rank int")
+        idx = build_posdb_index(docs)
+        # without synonyms only doc 2 matches "car engine"
+        base = posdb_rank_search(idx, docs, ["car", "engine"],
+                                 num_docs=2).collect()
+        assert [r["doc_id"] for r in base] == [2]
+        # with automobile as a synonym of car, doc 1 matches through
+        # the merged sublist and scores LOWER (0.9 syn weight twice:
+        # occurrence score and pair side)
+        out = posdb_rank_search(
+            idx, docs, ["car", "engine"], num_docs=2,
+            synonyms={"car": ["automobile"]}).collect()
+        assert [r["doc_id"] for r in out] == [2, 1]
+        assert out[0]["score"] > out[1]["score"]
