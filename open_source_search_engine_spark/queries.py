@@ -2336,3 +2336,85 @@ def _q1_phrase_posdb_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("q1_phrase_posdb_rank", _q1_phrase_posdb_rank, "doc_id")
+
+
+def _q_thumbnail_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail candidate selection (Images.cpp:118-230): blacklist
+    substrings, <50px declared dims, domain validity, the site-reuse
+    vote (gbimage uniqueness), first-in-document-order pick.  Media
+    rows are synthesized deterministically per doc; the oracle
+    recomputes every rule in SQL."""
+    from .functions.images import image_candidates, select_thumbnails
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    base = F.concat(F.lit("http://img."), F.col("source"),
+                    F.lit(".example/"))
+    did = F.col("doc_id").cast("string")
+
+    def mk(url, order, w, h):
+        return docs.select(
+            "doc_id", F.col("source").alias("site"),
+            url.alias("img_url"), F.lit(order).alias("img_order"),
+            F.lit(w).cast("int").alias("width"),
+            F.lit(h).cast("int").alias("height"))
+
+    media = (mk(F.concat(base, F.lit("logo_"), did, F.lit(".jpg")), 0,
+                None, None)
+             .unionByName(mk(F.concat(base, F.lit("small_"), did,
+                                      F.lit(".jpg")), 1, 32, 32))
+             .unionByName(mk(F.concat(base, F.lit("shared.jpg")), 2,
+                             None, None))
+             .unionByName(mk(F.concat(base, F.lit("photo_"), did,
+                                      F.lit(".jpg")), 3, 640, 480)))
+    out = select_thumbnails(image_candidates(media))
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "thumbnail")
+            .orderBy("doc_id"))
+
+
+_register("q_thumbnail_select", _q_thumbnail_select, r"""
+WITH media AS (
+  SELECT doc_id, source AS site,
+         'http://img.' || source || '.example/logo_' || doc_id || '.jpg'
+           AS img_url, 0 AS o, NULL::INT AS w, NULL::INT AS h
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+         'http://img.' || source || '.example/small_' || doc_id || '.jpg',
+         1, 32, 32 FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+         'http://img.' || source || '.example/shared.jpg',
+         2, NULL, NULL FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+         'http://img.' || source || '.example/photo_' || doc_id || '.jpg',
+         3, 640, 480 FROM documents
+), cand AS (
+  SELECT * FROM media
+  WHERE (w IS NULL OR w >= 50) AND (h IS NULL OR h >= 50)
+    AND regexp_matches(img_url, '^https?://[^/]+\.[^/]+/')
+    AND NOT contains(lower(img_url), 'logo')
+    AND NOT contains(lower(img_url), 'comment')
+    AND NOT contains(lower(img_url), 'print')
+    AND NOT contains(lower(img_url), 'subscribe')
+    AND NOT contains(lower(img_url), 'header')
+    AND NOT contains(lower(img_url), 'footer')
+    AND NOT contains(lower(img_url), 'menu')
+    AND NOT contains(lower(img_url), 'button')
+    AND NOT contains(lower(img_url), 'banner')
+    AND NOT contains(lower(img_url), 'ad.doubleclick.')
+    AND NOT contains(lower(img_url), 'ads.webfeat.')
+    AND NOT contains(lower(img_url), 'xads.zedo.')
+), reused AS (
+  SELECT site, img_url FROM cand
+  GROUP BY site, img_url HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       arg_min(c.img_url, c.o) AS thumbnail
+FROM cand c
+LEFT JOIN reused r ON c.site = r.site AND c.img_url = r.img_url
+WHERE r.img_url IS NULL
+GROUP BY c.doc_id
+ORDER BY doc_id
+""")

@@ -1,0 +1,39 @@
+"""Thumbnail candidate selection (Images.cpp:118-230)."""
+
+import pytest
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "s1", "http://a.example.com/banner_top.jpg", 0, None, None),
+        (1, "s1", "http://a.example.com/icon.jpg", 1, 32, 32),
+        (1, "s1", "http://a.example.com/photos/story1.jpg", 2, 640, 480),
+        (2, "s1", "http://a.example.com/decor.jpg", 0, None, None),
+        (2, "s1", "http://a.example.com/photos/story2.jpg", 1, None, None),
+        (3, "s1", "http://a.example.com/decor.jpg", 0, None, None),
+        (3, "s1", "http://a.example.com/photos/story3.jpg", 1, None, None),
+        (4, "s2", "http://a.example.com/decor.jpg", 0, None, None),
+        (4, "s2", "http://localhost/x.jpg", 1, None, None),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, site string, img_url string, img_order int, "
+              "width int, height int")
+
+
+def test_filters_and_site_vote(spark, media):
+    from open_source_search_engine_spark.functions.images import (
+        image_candidates, select_thumbnails)
+    c = image_candidates(media)
+    urls = {r["img_url"] for r in c.collect()}
+    assert "http://a.example.com/banner_top.jpg" not in urls  # blacklist
+    assert "http://a.example.com/icon.jpg" not in urls        # too small
+    assert "http://localhost/x.jpg" not in urls               # bad domain
+    th = {r["doc_id"]: r["thumbnail"]
+          for r in select_thumbnails(c).collect()}
+    assert th[1] == "http://a.example.com/photos/story1.jpg"
+    # decor.jpg reused on docs 2+3 of s1 -> template, photos win
+    assert th[2] == "http://a.example.com/photos/story2.jpg"
+    assert th[3] == "http://a.example.com/photos/story3.jpg"
+    # s2 saw decor.jpg only once: it IS the thumbnail there
+    assert th[4] == "http://a.example.com/decor.jpg"
