@@ -43,21 +43,35 @@ from .hashgroups import HASHGROUP_WEIGHTS_X10
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
-_DATE_FORMATS = (
-    # deterministic atotime1 (HttpMime.cpp) subset
-    re.compile(r"^(\d{4})-(\d{2})-(\d{2})[T ]?(\d{2})?:?(\d{2})?:?"
-               r"(\d{2})?"),
-)
+# deterministic atotime (HttpMime.cpp atotime1-5) subset: ISO, and the
+# RFC1123/RFC850 "Sun, 06 Nov 1994 08:49:37" family (optional weekday,
+# day month-name year [HH:MM:SS], timegm like the reference)
+_ISO_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})[T ]?(\d{2})?:?(\d{2})?:?"
+                     r"(\d{2})?")
+_RFC_RE = re.compile(
+    r"^(?:[A-Za-z]+,?\s+)?(\d{1,2})[ -]([A-Za-z]{3,9})\.?[ -,]+(\d{4})"
+    r"(?:\s+(\d{2}):(\d{2}):(\d{2}))?")
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep",
+     "oct", "nov", "dec"))}
 
 _INT32_MIN = -0x80000000
 _INT32_MAX = 0x7FFFFFFF
 
 
 def _parse_date(val: str) -> int | None:
-    m = _DATE_FORMATS[0].match(val.strip())
-    if not m:
-        return None
-    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    val = val.strip()
+    m = _ISO_RE.match(val)
+    if m:
+        y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    else:
+        m = _RFC_RE.match(val)
+        if not m:
+            return None
+        mo = _MONTHS.get(m.group(2)[:3].lower())
+        if not mo:
+            return None
+        d, y = int(m.group(1)), int(m.group(3))
     h = int(m.group(4) or 0)
     mi = int(m.group(5) or 0)
     s = int(m.group(6) or 0)

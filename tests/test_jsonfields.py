@@ -71,3 +71,17 @@ class TestSearch:
         assert out[0]["score"] == 240 and out[1]["score"] == 160
         body = search_json_field(p, "body", ["spark", "engine"]).collect()
         assert [r["doc_id"] for r in body] == [1, 2]
+
+
+class TestRfcDates:
+    def test_rfc1123(self):
+        got = flatten_json('{"date": "Sun, 06 Nov 1994 08:49:37 GMT"}')
+        assert got[0][1] == "784111777"
+
+    def test_no_weekday(self):
+        got = flatten_json('{"date": "06 Nov 1994"}')
+        assert got[0][1] == "784080000"
+
+    def test_unparseable_left_as_string(self):
+        got = flatten_json('{"date": "sometime soon"}')
+        assert got[0][1] == "sometime soon"
