@@ -449,8 +449,10 @@ def word_spam_ranks(words: list[_Word]) -> np.ndarray:
     occ: dict[str, list[int]] = {}
     common: dict[str, bool] = {}
     for i, w in enumerate(words):
-        occ.setdefault(w.term, []).insert(0, i)
+        occ.setdefault(w.term, []).append(i)
         common[w.term] = w.term in _STOPWORDS or w.term.isdigit()
+    for profile in occ.values():
+        profile.reverse()
     spam_words = 0
     good_words = 0
     for term, profile in occ.items():
