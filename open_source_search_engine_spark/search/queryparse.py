@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FIELDS = frozenset({"site", "lang", "title", "url", "gbdocid",
-                    "link", "sitelink"})  # Query.cpp field table (subset:
+                    "link", "sitelink", "ip"})  # Query.cpp field table (subset:
 #   link:X    = docs that link to page X        (FIELD_LINK, Linkdb)
 #   sitelink:X = docs that link to any page on site X (FIELD_SITELINK)
 #   gbdocid:N = the doc with docid N            (FIELD_DOCID)
@@ -381,6 +381,36 @@ def _field_docs(ctx: ExecContext, node: FieldTerm) -> DataFrame:
             return _nothing(ctx)
         return (ctx.postings.select("doc_id").distinct()
                 .filter(F.col("doc_id") == did).select("doc_id", zero))
+    if node.field in ("url", "site", "ip"):
+        # FIELD_URL / FIELD_SITE / FIELD_IP (Query.cpp field table):
+        # url: exact scheme-stripped match; site: the doc's site prefix
+        # (host or host/path-area, SiteGetter definition); ip: the
+        # doc's first ip.  All read the doc_meta dimension the way the
+        # reference reads the url:/site:/ip: termlists XmlDoc indexed.
+        if ctx.doc_meta is None:
+            return _nothing(ctx)
+        cols = ctx.doc_meta.columns
+        if node.field == "ip":
+            if "first_ip" not in cols:
+                return _nothing(ctx)
+            return (ctx.doc_meta
+                    .filter(F.col("first_ip").cast("string") == node.value)
+                    .select("doc_id", zero))
+        if "url" not in cols:
+            return _nothing(ctx)
+        bare = F.regexp_replace(F.lower(F.col("url")),
+                                r"^[a-z][a-z0-9+.-]*://", "")
+        want = re.sub(r"^[a-z][a-z0-9+.-]*://", "", node.value.lower())
+        if node.field == "url":
+            cond = (F.regexp_replace(bare, "/$", "")
+                    == want.rstrip("/"))
+        else:
+            w = want.rstrip("/")
+            # host match covers www.-insertion both ways
+            host = F.regexp_extract(bare, r"^([^/]+)", 1)
+            cond = ((host == w) | (host == "www." + w)
+                    | (bare == w) | bare.startswith(w + "/"))
+        return ctx.doc_meta.filter(cond).select("doc_id", zero)
     if ctx.doc_meta is None or node.field not in ctx.doc_meta.columns:
         # unknown field dimension: matches nothing (reference logs+skips)
         return _nothing(ctx)

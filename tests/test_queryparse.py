@@ -193,3 +193,31 @@ def test_exec_link_fields_and_docid(spark, idx):
     assert _ids(search_query(postings, "gbdocid:abc")) == []
     # no links dim provided -> link: matches nothing
     assert _ids(search_query(postings, "link:target.com/page")) == []
+
+
+def test_url_site_ip_fields(spark):
+    from open_source_search_engine_spark.search.queryparse import (
+        search_query)
+    from open_source_search_engine_spark.search.postings import (
+        build_postings)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "alpha delta")],
+        "doc_id long, text string")
+    meta = spark.createDataFrame(
+        [(1, "http://xyz.com/a.html", 167772161),
+         (2, "http://xyz.com/~bob/b.html", 167772161),
+         (3, "http://other.example.com/c.html", 167772162)],
+        "doc_id long, url string, first_ip long")
+    p = build_postings(docs)
+    got = lambda q: {r["doc_id"] for r in
+                     search_query(p, q, doc_meta=meta).collect()}
+    # site: matches the host (www.-insertion covered both ways)
+    assert got("alpha site:xyz.com") == {1, 2}
+    assert got("alpha site:other.example.com") == {3}
+    # site: with a path area restricts to the prefix
+    assert got("alpha site:xyz.com/~bob") == {2}
+    # url: exact scheme-stripped match
+    assert got("alpha url:xyz.com/a.html") == {1}
+    assert got("alpha url:http://xyz.com/a.html") == {1}
+    # ip:
+    assert got("alpha ip:167772162") == {3}
