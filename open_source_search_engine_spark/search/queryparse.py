@@ -257,6 +257,9 @@ class ExecContext:
     bigrams: DataFrame | None = None       # build_bigram_postings output:
                                            # 2-word phrases become ONE
                                            # termlist scan (Phrases.h:3-6)
+    region_postings: DataFrame | None = None  # hashgroups build (term,
+                                           # doc_id, hashgroup, tf) — the
+                                           # title: termlist dimension
     next_id: int = dc_field(default=0)
 
     def tag(self) -> int:
@@ -381,6 +384,15 @@ def _field_docs(ctx: ExecContext, node: FieldTerm) -> DataFrame:
             return _nothing(ctx)
         return (ctx.postings.select("doc_id").distinct()
                 .filter(F.col("doc_id") == did).select("doc_id", zero))
+    if node.field == "title":
+        # FIELD_TITLE: the term indexed under the title hashgroup
+        # (XmlDoc hashTitle; Query.cpp FIELD_TITLE)
+        if ctx.region_postings is None:
+            return _nothing(ctx)
+        return (ctx.region_postings
+                .filter((F.col("hashgroup") == "title")
+                        & (F.col("term") == node.value))
+                .select("doc_id", zero).distinct())
     if node.field in ("url", "site", "ip"):
         # FIELD_URL / FIELD_SITE / FIELD_IP (Query.cpp field table):
         # url: exact scheme-stripped match; site: the doc's site prefix
@@ -485,7 +497,8 @@ def search_query(postings: DataFrame, query: str, k: int = 10,
                  doc_meta: DataFrame | None = None,
                  links: DataFrame | None = None,
                  synonyms: dict | None = None,
-                 bigrams: DataFrame | None = None) -> DataFrame:
+                 bigrams: DataFrame | None = None,
+                 region_postings: DataFrame | None = None) -> DataFrame:
     """Full Q1→Q2→Q3 path: parse → DataFrame algebra → top-K.
 
     Returns (doc_id, score) ordered by (score desc, doc_id).  With a
@@ -496,7 +509,8 @@ def search_query(postings: DataFrame, query: str, k: int = 10,
     ast = parse_query(query)
     ast, sorts = _strip_sorts(ast)
     ctx = ExecContext(postings=postings, doc_meta=doc_meta,
-                      links=links, synonyms=synonyms, bigrams=bigrams)
+                      links=links, synonyms=synonyms, bigrams=bigrams,
+                      region_postings=region_postings)
     if ast is None:
         out = _all_docs(ctx)          # pure gbsortby:... query
     else:

@@ -221,3 +221,30 @@ def test_url_site_ip_fields(spark):
     assert got("alpha url:http://xyz.com/a.html") == {1}
     # ip:
     assert got("alpha ip:167772162") == {3}
+
+
+def test_title_field(spark):
+    from open_source_search_engine_spark.search.queryparse import (
+        search_query)
+    from open_source_search_engine_spark.search.postings import (
+        build_postings)
+    from open_source_search_engine_spark.search.hashgroups import (
+        build_postings_by_region)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta title0")],
+        "doc_id long, text string")
+    regions = spark.createDataFrame(
+        [(1, "title", "beta news"), (1, "body", "alpha beta gamma"),
+         (2, "title", "other page"), (2, "body", "alpha delta title0")],
+        "doc_id long, hashgroup string, text string")
+    p = build_postings(docs)
+    rp = build_postings_by_region(regions)
+    got = {r["doc_id"] for r in
+           search_query(p, "alpha title:beta",
+                        region_postings=rp).collect()}
+    assert got == {1}
+    # a body-only occurrence of the word does not satisfy title:
+    got = {r["doc_id"] for r in
+           search_query(p, "alpha title:title0",
+                        region_postings=rp).collect()}
+    assert got == set()
