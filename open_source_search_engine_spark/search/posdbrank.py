@@ -1062,7 +1062,8 @@ def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
                       qpos: list[int] | None = None,
                       wiki_ids: list[int] | None = None,
                       qlang: str | None = None,
-                      synonyms: dict[str, list[str]] | None = None
+                      synonyms: dict[str, list[str]] | None = None,
+                      dfreq: dict[str, int] | None = None
                       ) -> DataFrame:
     """AND the termlists, score each candidate doc with the full
     PosdbTable kernel, return top-k (doc_id, score).
@@ -1103,10 +1104,13 @@ def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
             .select("doc_id"))
     matched = tl.join(cand, "doc_id")
     # per-group doc frequencies (the BASE term's termlist sizes the
-    # freq weight, like the QueryTermInfo's representative term)
-    dfreq = {r["term"]: r["df"] for r in
-             tl.groupBy("term").agg(
-                 F.count_distinct("doc_id").alias("df")).collect()}
+    # freq weight, like the QueryTermInfo's representative term);
+    # callers scoring a RESTRICTED candidate set pass the full-corpus
+    # counts in so freq weights stay corpus-wide
+    if dfreq is None:
+        dfreq = {r["term"]: r["df"] for r in
+                 tl.groupBy("term").agg(
+                     F.count_distinct("doc_id").alias("df")).collect()}
     freq_ws = [term_freq_weight(dfreq.get(t, 0), num_docs) for t in terms]
     if doc_meta is not None:
         meta = doc_meta.select(
@@ -1184,3 +1188,119 @@ def parsed_rank_search(index: DataFrame, doc_meta: DataFrame | None,
     return posdb_rank_search(index, doc_meta, terms, num_docs, k=k,
                              quoted_ids=quoted_ids, qpos=qpos,
                              wiki_ids=wids, qlang=qlang)
+
+
+def _occ_bound_col():
+    """JVM-side per-occurrence score UPPER BOUND: the exact occurrence
+    score with the <=1 factors (synonym 0.9^2) dropped and the >1 factor
+    (wiki-bigram 1.4^2) kept — dominates the kernel's value."""
+    def arr(vals):
+        return F.array(*[F.lit(float(v)) for v in vals])
+    div2 = F.element_at(arr(DIVERSITY_W ** 2), F.col("diversity") + 1)
+    hg2 = F.element_at(arr(HG_W ** 2), F.col("hashgroup") + 1)
+    den2 = F.element_at(arr(DENSITY_W ** 2), F.col("density") + 1)
+    spam2 = F.when(
+        F.col("hashgroup") == HG_INLINKTEXT,
+        F.element_at(arr(LINKER_W ** 2), F.col("wordspam") + 1)) \
+        .otherwise(F.element_at(arr(SPAM_W ** 2), F.col("wordspam") + 1))
+    wb = F.when(F.col("wiki_bigram") == 1,
+                F.lit(WIKI_BIGRAM_WEIGHT ** 2)).otherwise(F.lit(1.0))
+    return F.lit(100.0) * div2 * hg2 * den2 * spam2 * wb
+
+
+def posdb_rank_search_capped(index: DataFrame,
+                             doc_meta: DataFrame | None,
+                             terms: list[str], num_docs: int,
+                             k: int = 10, candidate_cap: int = 1000,
+                             qlang: str | None = None) -> DataFrame:
+    """The 100 TB two-phase plan for :func:`posdb_rank_search`: a cheap
+    JVM-side ADMISSIBLE upper bound prunes the candidate set before the
+    per-doc Python kernel runs.
+
+    The bound: ``score <= min_t(fw_t² · Σ top-10 occurrence bounds)
+    × (sr + (15-sr)/3)·⅓+1) × sameLang``.  It dominates the kernel
+    because minScore <= minSingleScore, the single-term top-10 sum can
+    only shrink under the dup-hashgroup rule, per-occurrence <=1
+    factors are dropped, and the effective site rank is at most
+    ``sr + (15-sr)/3`` (inlinker ranks cap at 15).  The reference's own
+    second-pass structure (PosdbTable secondPass re-scores only the
+    top tree) motivates the same shape: score the plausible top, keep
+    an exactness certificate.
+
+    Docs are scored in bound order; if the k-th kernel score clears the
+    best UNSCORED bound the result is provably exact, otherwise the cap
+    doubles and the scan continues (never wrong, just slower on
+    adversarial inputs).  Eager: returns a small materialized frame."""
+    spark = index.sparkSession
+    terms = [t.lower() for t in terms]
+    nt = len(terms)
+    tl = index.filter(F.col("term").isin(terms))
+    cand = (tl.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_n"))
+            .filter(F.col("_n") == nt)
+            .select("doc_id"))
+    matched = tl.join(cand, "doc_id")
+    dfreq = {r["term"]: r["df"] for r in
+             tl.groupBy("term").agg(
+                 F.count_distinct("doc_id").alias("df")).collect()}
+    freq_ws = [term_freq_weight(dfreq.get(t, 0), num_docs) for t in terms]
+    fw_col = F.lit(None).cast("double")
+    for t, fw in zip(terms, freq_ws):
+        fw_col = F.when(F.col("term") == t, F.lit(fw * fw)) \
+                  .otherwise(fw_col)
+    per_term = (matched
+                .withColumn("_ob", _occ_bound_col())
+                .groupBy("doc_id", "term")
+                .agg(F.aggregate(
+                    F.slice(F.reverse(F.array_sort(
+                        F.collect_list("_ob"))), 1, MAX_TOP),
+                    F.lit(0.0), lambda a, x: a + x).alias("_top10"))
+                .withColumn("_fw2", fw_col)
+                .groupBy("doc_id")
+                .agg(F.min(F.col("_fw2") * F.col("_top10"))
+                     .alias("_minsingle")))
+    if doc_meta is not None:
+        meta = doc_meta.select(
+            "doc_id", F.col("site_rank").cast("double").alias("_sr"),
+            F.col("lang").alias("_lang"))
+        per_term = per_term.join(meta, "doc_id", "left")
+    else:
+        per_term = (per_term.withColumn("_sr", F.lit(0.0))
+                    .withColumn("_lang", F.lit(None).cast("string")))
+    sr = F.coalesce(F.col("_sr"), F.lit(0.0))
+    eff_bound = sr + (F.lit(15.0) - sr) / 3.0
+    mult = eff_bound * SITE_RANK_MULTIPLIER + 1.0
+    if qlang is not None:
+        mult = mult * F.when(F.col("_lang").isNull()
+                             | (F.col("_lang") == qlang),
+                             F.lit(SAME_LANG_WEIGHT)).otherwise(F.lit(1.0))
+    else:
+        mult = mult * SAME_LANG_WEIGHT
+    bounds = (per_term.select(
+        "doc_id", (F.col("_minsingle") * mult).alias("_bound"))
+        .orderBy(F.desc("_bound"), "doc_id"))
+
+    scored: dict[int, float] = {}
+    offset = 0
+    cap = candidate_cap
+    while True:
+        page = bounds.offset(offset).limit(cap + 1).collect()
+        batch = [r["doc_id"] for r in page[:cap]]
+        next_bound = page[cap]["_bound"] if len(page) > cap else None
+        if batch:
+            got = posdb_rank_search(
+                index.join(F.broadcast(
+                    spark.createDataFrame([(int(d),) for d in batch],
+                                          "doc_id long")), "doc_id"),
+                doc_meta, terms, num_docs, k=len(batch),
+                qlang=qlang, dfreq=dfreq).collect()
+            for r in got:
+                scored[r["doc_id"]] = r["score"]
+        top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+        kth = top[k - 1][1] if len(top) >= k else None
+        if next_bound is None or (kth is not None and kth >= next_bound):
+            return spark.createDataFrame(
+                [(int(d), float(s)) for d, s in top],
+                "doc_id long, score double")
+        offset += cap
+        cap *= 2     # adversarial gap: widen and continue

@@ -432,3 +432,35 @@ class TestSynonymMerge:
             synonyms={"car": ["automobile"]}).collect()
         assert [r["doc_id"] for r in out] == [2, 1]
         assert out[0]["score"] > out[1]["score"]
+
+
+@pytest.mark.usefixtures("spark")
+class TestCappedSearch:
+    def test_capped_equals_full(self, spark):
+        from open_source_search_engine_spark.search.posdbrank import (
+            build_posdb_index, posdb_rank_search,
+            posdb_rank_search_capped)
+        rows = []
+        words = ["spark", "query", "engine", "fast", "slow", "data",
+                 "table", "row"]
+        for d in range(40):
+            body = " ".join(words[(d + i) % len(words)]
+                            for i in range(30))
+            rows.append((d, "<html><title>%s</title><body><p>%s.</p>"
+                            "</body></html>"
+                         % (words[d % len(words)], body), "en", d % 10))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, content string, lang string, "
+                  "site_rank int")
+        idx = build_posdb_index(docs).cache()
+        full = posdb_rank_search(idx, docs, ["spark", "query"],
+                                 num_docs=40, k=10,
+                                 qlang="en").collect()
+        for cap in (3, 10, 100):
+            capped = posdb_rank_search_capped(
+                idx, docs, ["spark", "query"], num_docs=40, k=10,
+                candidate_cap=cap, qlang="en").collect()
+            assert ([(r["doc_id"], round(r["score"], 9))
+                     for r in capped]
+                    == [(r["doc_id"], round(r["score"], 9))
+                        for r in full]), f"cap={cap}"
