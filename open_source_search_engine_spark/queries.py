@@ -2418,3 +2418,119 @@ WHERE r.img_url IS NULL
 GROUP BY c.doc_id
 ORDER BY doc_id
 """)
+
+
+# ---------------------------------------------------------------------------
+# Link-spam tier (linkspam.cpp isLinkSpam — Linkdb vote suppression)
+# ---------------------------------------------------------------------------
+def _linkspam_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic linker-URL shapes cycling the URL-level spam rungs
+    (TLD bans, guestbook hostnames, CGI, the path-needle ladder)."""
+    from .functions.linkspam import url_spam_note_col
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    d = F.col("doc_id")
+    url = (F.when(d % 8 == 0, F.format_string(
+               "http://d%d.x.example/ok/page.html", d))
+           .when(d % 8 == 1, F.format_string("http://d%d.info/a", d))
+           .when(d % 8 == 2, F.format_string("http://d%d.biz/a", d))
+           .when(d % 8 == 3, F.format_string(
+               "http://guestbook.d%d.example/a", d))
+           .when(d % 8 == 4, F.format_string("http://d%d.example/a?x=1", d))
+           .when(d % 8 == 5, F.format_string("http://d%d.example/guest/p", d))
+           .when(d % 8 == 6, F.format_string(
+               "http://d%d.example/linkexchange/p", d))
+           .otherwise(F.format_string(
+               "http://d%d.example/blog/trackbacks-not/p", d)))
+    return (docs.withColumn("url", url)
+            .withColumn("note", url_spam_note_col("url"))
+            .select("doc_id", "url", "note").orderBy("doc_id"))
+
+
+def _linkspam_url_oracle() -> str:
+    """DuckDB genuinely recomputes the ladder from string ops — a true
+    cross-engine oracle (same rung order as linkspam.cpp:650-741)."""
+    from .functions.linkspam import PATH_NEEDLES
+    rungs = "\n".join(
+        f"    WHEN length(path) > 1 AND contains(path, '{needle}') "
+        f"THEN '{note}'" for needle, note in PATH_NEEDLES)
+    return f"""
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE CAST(doc_id % 8 AS INT)
+           WHEN 0 THEN 'http://d' || doc_id || '.x.example/ok/page.html'
+           WHEN 1 THEN 'http://d' || doc_id || '.info/a'
+           WHEN 2 THEN 'http://d' || doc_id || '.biz/a'
+           WHEN 3 THEN 'http://guestbook.d' || doc_id || '.example/a'
+           WHEN 4 THEN 'http://d' || doc_id || '.example/a?x=1'
+           WHEN 5 THEN 'http://d' || doc_id || '.example/guest/p'
+           WHEN 6 THEN 'http://d' || doc_id || '.example/linkexchange/p'
+           ELSE 'http://d' || doc_id || '.example/blog/trackbacks-not/p'
+         END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) AS host,
+         lower(regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1)) AS path
+  FROM u
+), parts2 AS (
+  SELECT *, regexp_extract(host, '\\.([^.]+)$', 1) AS tld,
+         substr(host, 1, length(host)
+                - length(regexp_extract(host, '([^.]+\\.[^.]+)$', 1)))
+           AS sub
+  FROM parts
+)
+SELECT doc_id, url,
+  CASE
+    WHEN tld = 'info' THEN '.info tld'
+    WHEN tld = 'biz' THEN '.biz tld'
+    WHEN length(sub) > 0 AND length(sub) < 30
+         AND contains(sub, 'guestbook') THEN 'guestbook in hostname'
+    WHEN contains(url, '?') THEN 'path is cgi'
+{rungs}
+  END AS note
+FROM parts2 ORDER BY doc_id
+"""
+
+
+def _linkspam_votes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-outlink isLinkSpam verdicts (the mapInPandas operator)
+    over deterministic linker pages cycling the content rungs: clean
+    text, comment-section markers before/after the link, needle phrases,
+    bare link chains, post forms."""
+    from .graph.spamvotes import link_spam_votes_df
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    d = F.col("doc_id")
+    link = F.format_string(
+        '<a href="http://t%d.example/p.html">t</a>', d)
+    clean = F.concat(F.lit("<p>alpha text before "), link,
+                     F.lit(" alpha text after</p>"))
+    html = (F.when(d % 6 == 0, clean)
+            .when(d % 6 == 1, F.concat(
+                F.lit('<div class="comment">c</div>'), clean))
+            .when(d % 6 == 2, F.concat(
+                clean, F.lit('<div class="comment">c</div>')))
+            .when(d % 6 == 3, F.concat(F.lit("<div>"), link,
+                                       F.lit("</div>")))
+            .when(d % 6 == 4, F.concat(
+                clean, F.lit("<p>please add your url</p>")))
+            .otherwise(F.concat(
+                clean, F.lit('<textarea name=c></textarea>'
+                             '<input type="submit" value="s">'))))
+    page_url = (F.when(d % 12 == 7, F.format_string("http://d%d.info/a.html", d))
+                .otherwise(F.format_string("http://d%d.example/a.html", d)))
+    docs = docs.select(
+        "doc_id", page_url.alias("url"),
+        F.array(F.struct(F.lit("text").alias("kind"), html.alias("text"),
+                         F.lit(None).cast("string").alias("media_ref"),
+                         F.lit(0).alias("offset"))).alias("spans"))
+    return (link_spam_votes_df(docs)
+            .select("doc_id", "url_norm", "is_spam", "note")
+            .orderBy("doc_id", "url_norm"))
+
+
+_register("linkspam_url_rules", _linkspam_urls, _linkspam_url_oracle())
+_register_golden("linkspam_votes", _linkspam_votes_q, "doc_id, url_norm")
