@@ -2534,3 +2534,65 @@ def _linkspam_votes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("linkspam_url_rules", _linkspam_urls, _linkspam_url_oracle())
 _register_golden("linkspam_votes", _linkspam_votes_q, "doc_id, url_norm")
+
+
+# ---------------------------------------------------------------------------
+# Country identification (XmlDoc::getCountryId → guessCountryTLD)
+# ---------------------------------------------------------------------------
+def _doc_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country ids over deterministic URL shapes cycling the guess rules:
+    2-letter first-label wins, else ccTLD, else 0 — the production
+    pure-Catalyst expression (``country_id_col``)."""
+    from .functions.country import country_id_col
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    d = F.col("doc_id")
+    url = (F.when(d % 6 == 0, F.format_string("http://d%d.example/a", d))
+           .when(d % 6 == 1, F.format_string("http://de.d%d.example/a", d))
+           .when(d % 6 == 2, F.format_string("http://d%d.fr/a", d))
+           .when(d % 6 == 3, F.format_string("http://d%d.co.jp/a", d))
+           .when(d % 6 == 4, F.format_string("http://fr.d%d.co.uk/a", d))
+           .otherwise(F.format_string("http://xx.d%d.info/a", d)))
+    return (docs.withColumn("url", url)
+            .withColumn("country_id", country_id_col("url"))
+            .select("doc_id", "url", "country_id").orderBy("doc_id"))
+
+
+def _doc_country_oracle() -> str:
+    """DuckDB recomputes the guess from the code table (a VALUES CTE in
+    the reference's exact order) + the same label extracts."""
+    from .functions.country import COUNTRY_CODES
+    values = ", ".join(f"('{c}', {i})"
+                       for i, c in enumerate(COUNTRY_CODES) if i)
+    return f"""
+WITH codes(cc, cid) AS (VALUES {values}),
+u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'http://d' || doc_id || '.example/a'
+           WHEN 1 THEN 'http://de.d' || doc_id || '.example/a'
+           WHEN 2 THEN 'http://d' || doc_id || '.fr/a'
+           WHEN 3 THEN 'http://d' || doc_id || '.co.jp/a'
+           WHEN 4 THEN 'http://fr.d' || doc_id || '.co.uk/a'
+           ELSE 'http://xx.d' || doc_id || '.info/a'
+         END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         regexp_extract(regexp_extract(url, '^[a-z]+://([^/:?]+)', 1),
+                        '^([^.]{{2}})\\.', 1) AS first2,
+         regexp_extract(regexp_extract(url, '^[a-z]+://([^/:?]+)', 1),
+                        '\\.([^.]{{2}})$', 1) AS last2
+  FROM u
+)
+SELECT p.doc_id, p.url,
+       CAST(coalesce(cp.cid, ct.cid, 0) AS INT) AS country_id
+FROM parts p
+LEFT JOIN codes cp ON p.first2 = cp.cc
+LEFT JOIN codes ct ON p.last2 = ct.cc
+ORDER BY p.doc_id
+"""
+
+
+_register("doc_country_id", _doc_country, _doc_country_oracle())
