@@ -1054,6 +1054,20 @@ def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_golden("q5_result_summaries", _summaries, "doc_id")
 
 
+def _summaries_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5, reference-faithful engine: Summary.cpp ladder — description
+    tags > greedy best-window loop with dead zones / retired terms >
+    default longest-run summary (search/summary_ref.py, batch pandas
+    UDF, zero shuffle)."""
+    from .search.summary_ref import summarize_ref
+    return (summarize_ref(_docs_long(spark, sf_dir),
+                          query_terms=["data", "join"])
+            .select("doc_id", "summary").orderBy("doc_id"))
+
+
+_register_golden("q5_summary_engine", _summaries_ref, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Link-graph tier (Linkdb.cpp / Msg25 / siteRank): inlink aggregation and
 # an integer-arithmetic PageRank over a deterministic link graph derived
