@@ -1068,6 +1068,37 @@ def _summaries_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_golden("q5_summary_engine", _summaries_ref, "doc_id")
 
 
+def _titles_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5, reference-faithful title engine: Title.cpp candidate scoring
+    (inlink anchor texts, query boost, pairwise similarity cross-boost,
+    URL-path booster) over documents with deterministic synthetic
+    inlinks derived from each doc's own leading tokens."""
+    from .search.title_ref import title_ref
+    docs = _docs_long(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = (docs
+            .withColumn("url", F.concat(
+                F.lit("http://site"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com/doc-"),
+                F.col("doc_id").cast("string"), F.lit("/page")))
+            .withColumn("anchors", F.array(
+                F.struct(
+                    F.concat_ws(" ", F.slice(toks, 1, 4)).alias("link_text"),
+                    F.lit("").alias("rss_title"),
+                    F.lit(True).alias("same_host")),
+                F.struct(
+                    F.concat_ws(" ", F.slice(toks, 3, 5)).alias("link_text"),
+                    F.lit("").alias("rss_title"),
+                    F.lit(False).alias("same_host")))))
+    return (title_ref(docs, "text", "url", "anchors", ["data", "join"],
+                      content_type="text")
+            .select("doc_id", "title").orderBy("doc_id"))
+
+
+_register_golden("q5_title_engine", _titles_ref, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Link-graph tier (Linkdb.cpp / Msg25 / siteRank): inlink aggregation and
 # an integer-arithmetic PageRank over a deterministic link graph derived
