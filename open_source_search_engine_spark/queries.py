@@ -1099,6 +1099,32 @@ def _titles_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_golden("q5_title_engine", _titles_ref, "doc_id")
 
 
+def _serve_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Msg40 serve path: PosdbTable rank → broadcast Msg20
+    join-back → Title.cpp/Summary.cpp engines → Msg51 cluster levels,
+    one call (search/serve.py)."""
+    from .search.serve import serve_results
+    docs = _docs_long(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("http://site"),
+                        (F.col("doc_id") % 50).cast("string"),
+                        F.lit(".example.com/doc-"),
+                        F.col("doc_id").cast("string")))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    anchors = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 4)).alias("link_text"),
+        F.lit("").alias("rss_title"), F.lit(True).alias("same_host"))
+    page = serve_results(docs, "data join", k=20, url_col="url",
+                         anchors=anchors, content_type="text")
+    return (page.select("rank", "doc_id", "url", "title", "summary",
+                        F.col("score").cast("double").alias("score"),
+                        "cluster_level")
+            .orderBy("rank"))
+
+
+_register_golden("q_serve_page", _serve_page, "rank")
+
+
 # ---------------------------------------------------------------------------
 # Link-graph tier (Linkdb.cpp / Msg25 / siteRank): inlink aggregation and
 # an integer-arithmetic PageRank over a deterministic link graph derived
