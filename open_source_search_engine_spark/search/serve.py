@@ -89,7 +89,8 @@ def serve_results(docs: DataFrame, query: str, k: int = 10, *,
                   dedup_percent: int = 90,
                   dedup_url: bool = True,
                   max_per_site: int = 2,
-                  content_type: str = "html") -> DataFrame:
+                  content_type: str = "html",
+                  highlight_summaries: bool = False) -> DataFrame:
     """One query → one annotated result page (Msg40::gotResults).
 
     ``docs`` is the titledb analogue: (id_col, text_col[, url_col]).
@@ -145,7 +146,24 @@ def serve_results(docs: DataFrame, query: str, k: int = 10, *,
         family_filter=family_filter, lang_filter=lang_filter,
         dedup_percent=dedup_percent, dedup_url=dedup_url,
         max_per_site=max_per_site)
+    if highlight_summaries and terms:
+        # PageResults.cpp:3185-3215 highlights query hits in each
+        # summary with the Highlight.cpp style cycle
+        from .cached import highlight
+        page = page.withColumn("summary",
+                               highlight(F.col("summary"), terms))
     return page.orderBy("rank")
+
+
+def did_you_mean_for(docs: DataFrame, query: str,
+                     text_col: str = "text") -> str | None:
+    """PageResults' spell suggestion: run each query word through the
+    Speller compound-splitter over the collection's unified dict
+    (PageResults.cpp spellcheck block / Speller::getRecommendation)."""
+    from .speller import build_unified_dict, did_you_mean
+    words = frozenset(
+        r.word for r in build_unified_dict(docs, text_col).collect())
+    return did_you_mean(query, words)
 
 
 def _rank(docs: DataFrame, query: str, k: int, id_col: str,

@@ -114,6 +114,21 @@ class TestServeResults:
         hosts = [r.url.split("/")[2] for r in vis]
         assert len(hosts) == len(set(hosts))
 
+    def test_highlight_summaries(self, spark, docs):
+        page = serve_results(docs, "optimizer", k=2, url_col="url",
+                             content_type="text",
+                             highlight_summaries=True).collect()
+        row = next(r for r in page if r.doc_id == 1)
+        assert "optimizer</span>" in row.summary
+
+    def test_did_you_mean(self, spark, docs):
+        from open_source_search_engine_spark.search.serve import (
+            did_you_mean_for)
+        # "sparkstreaming" splits into two dict words
+        assert did_you_mean_for(docs, "sparkstreaming") == \
+            "spark streaming"
+        assert did_you_mean_for(docs, "spark") is None
+
     def test_serve_tail_is_broadcast(self, spark, docs):
         # the join-back of the K winners must be a broadcast join, not a
         # shuffled sort-merge of the corpus
