@@ -178,6 +178,14 @@ def _rank(docs: DataFrame, query: str, k: int, id_col: str,
 
     try:
         if index is None:
+            # on-the-fly build (fixture path): the per-doc indexing
+            # kernel is CPU-bound, so spread it across all cores even
+            # when the input is one small file — at scale the index is
+            # pre-built and term-bucketed (write_postings_bucketed) and
+            # this branch never runs
+            n_part = docs.sparkSession.sparkContext.defaultParallelism
+            if docs.rdd.getNumPartitions() < n_part:
+                docs = docs.repartition(n_part)
             index = build_posdb_index(docs, html_col=text_col,
                                       id_col=id_col, url_col=url_col)
         out = parsed_rank_search(index, doc_meta, query, num_docs, k=k)
