@@ -2667,3 +2667,50 @@ ORDER BY p.doc_id
 
 
 _register("doc_country_id", _doc_country, _doc_country_oracle())
+
+
+# ---------------------------------------------------------------------------
+# High-frequency term shortcuts (HighFrequencyTermShortcuts.cpp:15-22):
+# stopword-frequency termlists are pre-truncated offline so a broad query
+# never scans the full list.  Spark side = the production extract +
+# substitution path; oracle recomputes both from raw documents.
+# ---------------------------------------------------------------------------
+def _q2_hf_shortcuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'data' is stopword-frequent in the fixture corpus (df ~ every
+    doc), so the shortcut table truncates its termlist to the top 8
+    postings (tf desc, doc_id asc) and the search only sees those."""
+    from .search.hfterms import hf_term_shortcuts, search_with_shortcuts
+    from .search.postings import build_postings
+    register_views(spark, sf_dir)
+    postings = build_postings(spark.table("documents"))
+    shortcuts = hf_term_shortcuts(postings, min_df=50, top_n=8)
+    return search_with_shortcuts(postings, shortcuts, ["data"], k=25)
+
+
+_register("q2_hf_term_shortcuts", _q2_hf_shortcuts, """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE length(term) > 0 GROUP BY term, doc_id
+), hf AS (
+  SELECT term FROM postings GROUP BY term HAVING COUNT(*) > 50
+), sub AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT term, doc_id, tf,
+           ROW_NUMBER() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id) AS rn
+    FROM postings WHERE term IN (SELECT term FROM hf)
+  ) s WHERE rn <= 8
+  UNION ALL
+  SELECT term, doc_id, tf FROM postings
+  WHERE term NOT IN (SELECT term FROM hf)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(tf * 10 AS BIGINT) AS score,
+       CAST(NULL AS BIGINT) AS min_gap
+FROM sub WHERE term = 'data'
+ORDER BY score DESC, doc_id
+LIMIT 25
+""")
