@@ -154,6 +154,27 @@ def hash64b(s: str | bytes) -> int:
     return int(hash64b_bytes([b])[0])
 
 
+def _simple_lower(s: str) -> str:
+    """Per-codepoint simple lowercase (ucToLower, hash.h:168): Python's
+    full case mapping agrees except where one codepoint lowers to
+    several (e.g. U+0130) — there the reference's simple mapping is the
+    first codepoint."""
+    return "".join((c.lower() or c)[0] for c in s)
+
+
+def hash64_lower_utf8(s: str) -> int:
+    """``hash64Lower_utf8`` (hash.h:139-196): the tabulation hash over
+    the LOWERCASED UTF-8 bytes — the reference's word/term id.  Same
+    g_hashtab and uint8 position wrap as hash64b, so this is exactly
+    hash64b of the lowered encoding."""
+    return hash64b(_simple_lower(s).encode("utf-8"))
+
+
+def hash64_lower_batch(words) -> np.ndarray:
+    """Vectorized hash64Lower_utf8 over a batch of strings -> uint64."""
+    return hash64b_bytes([_simple_lower(w).encode("utf-8") for w in words])
+
+
 def uh48_bytes(data: list[bytes]) -> np.ndarray:
     """Canonical URL id: ``hash64b(url) & 0xffffFFFFffff`` (Spider.h:729-738).
 

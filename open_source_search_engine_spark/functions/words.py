@@ -1,0 +1,343 @@
+"""Word segmentation — the Words.cpp tokenizer (Words.cpp:210-430
+addWords), the kernel every indexing path in the reference sits on.
+
+The reference scans a document as ALTERNATING runs: a "punct word"
+(maximal run of non-word chars), then an alnum word, and so on; with
+``has_tags`` a ``<tag ...>`` span is its own token (XmlNode.h:280
+isTagStart + XmlNode.cpp:342 getTagLen, including the quoted-attribute
+scanning rules).  The alnum-word rules, in the reference's order:
+
+- ASCII alnum chars accumulate; UTF-8 chars accumulate while they carry
+  the word-char property, with ignorable/extend (combining) chars
+  absorbed (Words.cpp:316-356);
+- a script CHANGE breaks the word; Latin is treated as common "so we can
+  have latin1 like chars without breaking the word" (Words.cpp:345-356);
+- ideograph / hiragana / thai chars are included and then break — CJK
+  text segments one codepoint per word (Words.cpp:348-353);
+- ``java++`` / ``A+`` exception: trailing ``+``/``++`` joins when
+  followed by non-alnum (Words.cpp:362-366); ``c#`` likewise for ``#``
+  (Words.cpp:368);
+- digit grouping: ``1,000,000`` stays one word when the leading group is
+  1-3 digits (Words.cpp:371-384); a decimal point between digits joins
+  and keeps consuming digits (Words.cpp:387-394);
+- ONE apostrophe continuation per word: ``we're``, ``dave's``
+  (Words.cpp:400-404, the hadApostrophe latch).
+
+Quirk kept for fidelity: a document STARTING with a non-Latin-script
+word emits one zero-length word first (the script-change break fires on
+the first char because oldScript is still common — Words.cpp:341-356);
+``words_batch`` drops empty tokens from its output.
+
+Word ids are ``hash64Lower_utf8`` over the word span (hash.h:139-196):
+the tabulation hash of the lowercased UTF-8 bytes — same ``g_hashtab``
+as uh48, so ids here are bit-compatible with the reference's posdb
+term ids.
+
+Spark-side use: ``words_batch`` is an Arrow-batched kernel for
+``pandas_udf``/``mapInPandas`` (one Python pass per doc, NumPy-free by
+design — the per-char state machine IS the spec); the postings builder
+``build_postings_words`` in search/postings.py feeds it whole documents
+per batch, so the hot loop never crosses the Arrow boundary per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# Script classification (UnicodeProperties ucGetScript, reduced to the
+# ranges the break rules actually distinguish).  Latin maps to COMMON at
+# use-site like the reference.
+# ---------------------------------------------------------------------------
+_COMMON = 0
+_LATIN = 1
+_GREEK = 2
+_CYRILLIC = 3
+_HEBREW = 4
+_ARABIC = 5
+_DEVANAGARI = 6
+_THAI = 7
+_HIRAGANA = 8
+_KATAKANA = 9
+_CJK = 10
+_HANGUL = 11
+_ARMENIAN = 12
+
+_SCRIPT_RANGES = (
+    (0x0370, 0x03FF, _GREEK), (0x1F00, 0x1FFF, _GREEK),
+    (0x0400, 0x052F, _CYRILLIC),
+    (0x0530, 0x058F, _ARMENIAN),
+    (0x0590, 0x05FF, _HEBREW),
+    (0x0600, 0x06FF, _ARABIC), (0x0750, 0x077F, _ARABIC),
+    (0x0900, 0x097F, _DEVANAGARI),
+    (0x0E00, 0x0E7F, _THAI),
+    (0x3040, 0x309F, _HIRAGANA),
+    (0x30A0, 0x30FF, _KATAKANA),
+    (0x3400, 0x4DBF, _CJK), (0x4E00, 0x9FFF, _CJK),
+    (0xF900, 0xFAFF, _CJK), (0x20000, 0x2FA1F, _CJK),
+    (0x1100, 0x11FF, _HANGUL), (0x3130, 0x318F, _HANGUL),
+    (0xAC00, 0xD7AF, _HANGUL),
+    (0x0041, 0x024F, _LATIN),   # checked after ASCII fast paths
+)
+
+# UC_IDEOGRAPH | UC_HIRAGANA | UC_THAI — the include-then-break set
+_BREAK_SCRIPTS = frozenset((_CJK, _HIRAGANA, _THAI))
+
+
+def _script(cp: int) -> int:
+    for lo, hi, s in _SCRIPT_RANGES:
+        if lo <= cp <= hi:
+            return s
+    return _COMMON
+
+
+def _is_extend(ch: str) -> bool:
+    """UC_IGNORABLE | UC_EXTEND: combining marks + format chars."""
+    import unicodedata
+    return unicodedata.category(ch) in ("Mn", "Me", "Cf")
+
+
+def _is_alnum(ch: str) -> bool:
+    """is_alnum_utf8 / ucIsWordChar: the word-char property."""
+    return ch.isalnum()
+
+
+def _is_ascii_alnum(ch: str) -> bool:
+    return ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ("0" <= ch <= "9")
+
+
+def _is_digit(ch: str) -> bool:
+    return "0" <= ch <= "9"
+
+
+# ---------------------------------------------------------------------------
+# Tag recognition (XmlNode.h:280 isTagStart, XmlNode.cpp:342 getTagLen)
+# ---------------------------------------------------------------------------
+def is_tag_start(s: str, i: int) -> bool:
+    if i >= len(s) or s[i] != "<":
+        return False
+    n = len(s)
+    c1 = s[i + 1] if i + 1 < n else ""
+    c2 = s[i + 2] if i + 2 < n else ""
+    c3 = s[i + 3] if i + 3 < n else ""
+    if c1.isascii() and c1.isalpha():
+        return True
+    if c1 == "/":
+        return (c2.isascii() and c2.isalnum()) or c2 == ">"
+    if c1 == "?":
+        return c2.isascii() and c2.isalnum()
+    if c1 == "!":
+        if c2.isascii() and c2.isalnum():
+            return True
+        if c2 == "[":
+            return True
+        if c2 == "-" and c3 == "-":
+            return True
+    return False
+
+
+def tag_len(s: str, start: int) -> int:
+    """getTagLen: scan to the closing ``>`` honoring quoted attribute
+    values — a double quote only opens a string when preceded (modulo
+    whitespace) by ``=``; a single quote only when preceded by ``=`` or
+    whitespace; unbalanced-quote recovery for ``">`` and ``" >``."""
+    node = s[start:]
+    n = len(node)
+    i = 1
+    while i < n:
+        c = node[i]
+        if c not in "<>\"'":
+            i += 1
+            continue
+        if c in "<>":
+            break
+        if c == '"':
+            k = i - 1
+            while k > 1 and node[k].isspace():
+                k -= 1
+            if k <= 1 or node[k] != "=":
+                i += 1
+                continue
+            i += 1
+            while i < n and node[i] != '"':
+                if node[i] == ">" and node[i - 1] == '"':
+                    i -= 1
+                    break
+                if (node[i] == ">" and node[i - 1] == " "
+                        and i >= 2 and node[i - 2] == '"'):
+                    i -= 1
+                    break
+                i += 1
+            if i >= n:
+                return i
+            if i + 1 < n and node[i + 1] == '"':
+                i += 1
+            i += 1
+            continue
+        # single quote: only a string opener after '=' or whitespace
+        if i >= 1 and node[i - 1] != "=" and not node[i - 1].isspace():
+            i += 1
+            continue
+        i += 1
+        while i < n and node[i] != "'":
+            i += 1
+        i += 1
+    if i < n and node[i] == ">":
+        return i + 1
+    # no closure outside quotes: be stringent
+    i = 1
+    while i < n and node[i] != ">" and node[i] != "<":
+        i += 1
+    return i
+
+
+# ---------------------------------------------------------------------------
+# The segmenter
+# ---------------------------------------------------------------------------
+@dataclass
+class Token:
+    text: str
+    kind: str            # 'alnum' | 'punct' | 'tag'
+    tag: str | None = None   # tag name for kind='tag' ('/x' for back tags)
+
+
+def _tag_name(tok: str) -> str:
+    body = tok[1:].lstrip()
+    back = body.startswith("/")
+    if back:
+        body = body[1:]
+    name = ""
+    for ch in body:
+        if ch.isascii() and (ch.isalnum() or ch in "!-?"):
+            name += ch
+        else:
+            break
+    name = name.lower()
+    return ("/" + name) if back else name
+
+
+def segment(text: str, has_tags: bool = False) -> list[Token]:
+    """addWords (Words.cpp:210-430), one token list per document."""
+    s = text
+    n = len(s)
+    out: list[Token] = []
+    i = 0
+    old_script = _COMMON
+    while i < n:
+        ch = s[i]
+        if not _is_alnum(ch):
+            # tag token?
+            if ch == "<" and has_tags and is_tag_start(s, i):
+                tl = tag_len(s, i)
+                tok = s[i:i + tl]
+                out.append(Token(tok, "tag", _tag_name(tok)))
+                i += tl
+                continue
+            # punct run
+            start = i
+            while i < n:
+                c = s[i]
+                # stop on '<' if we got tags — but only a real tag start,
+                # else a bare '<' in text would never be consumed
+                if c == "<" and has_tags and is_tag_start(s, i):
+                    break
+                if c.isascii():
+                    if not _is_ascii_alnum(c):
+                        i += 1
+                        continue
+                    old_script = _COMMON
+                    break
+                if not _is_alnum(c):
+                    i += 1
+                    continue
+                old_script = _script(ord(c))
+                break
+            out.append(Token(s[start:i], "punct"))
+            continue
+        # alnum word
+        j = i
+        had_apostrophe = False
+        while True:
+            while i < n:
+                c = s[i]
+                if c.isascii():
+                    if _is_ascii_alnum(c):
+                        i += 1
+                        continue
+                    old_script = _COMMON
+                    break
+                if _is_extend(c):
+                    i += 1
+                    continue
+                if not _is_alnum(c):
+                    old_script = _COMMON
+                    break
+                saved = old_script
+                sc = _script(ord(c))
+                if sc == _LATIN:
+                    sc = _COMMON
+                old_script = sc
+                if sc in _BREAK_SCRIPTS:
+                    i += 1
+                    break
+                if saved != sc:
+                    break
+                i += 1
+            # java++ / A+ / c# exceptions (Words.cpp:362-368)
+            if i < n and s[i] == "+":
+                nxt2 = s[i + 2] if i + 2 < n else ""
+                nxt1 = s[i + 1] if i + 1 < n else ""
+                if nxt1 == "+" and not (nxt2 and _is_alnum(nxt2)):
+                    i += 2
+                elif not (nxt1 and _is_alnum(nxt1)):
+                    i += 1
+            if i < n and s[i] == "#":
+                nxt1 = s[i + 1] if i + 1 < n else ""
+                if not (nxt1 and _is_alnum(nxt1)):
+                    i += 1
+            # ,ddd digit grouping (Words.cpp:371-384)
+            if (i < n and s[i] == "," and 1 <= i - j <= 3
+                    and _is_digit(s[i - 1])
+                    and (i - j < 2 or _is_digit(s[i - 2]))
+                    and (i - j < 3 or _is_digit(s[i - 3]))):
+                while (s[i:i + 1] == ","
+                       and _is_digit(s[i + 1:i + 2])
+                       and _is_digit(s[i + 2:i + 3])
+                       and _is_digit(s[i + 3:i + 4])
+                       and not _is_digit(s[i + 4:i + 5])):
+                    i += 4
+            # decimal point (Words.cpp:387-394)
+            if (i < n and s[i] == "." and i > j and _is_digit(s[i - 1])
+                    and _is_digit(s[i + 1:i + 2])):
+                i += 1
+                while i < n and _is_digit(s[i]):
+                    i += 1
+            # one apostrophe continuation (Words.cpp:400-404)
+            if (i < n and s[i] == "'" and i + 1 < n
+                    and _is_alnum(s[i + 1]) and not had_apostrophe):
+                i += 1
+                had_apostrophe = True
+                continue
+            break
+        out.append(Token(s[j:i], "alnum"))
+    return out
+
+
+def alnum_words(text: str, has_tags: bool = False) -> list[str]:
+    """The alnum word sequence (empty tokens from the start-of-text
+    script quirk dropped)."""
+    return [t.text for t in segment(text, has_tags)
+            if t.kind == "alnum" and t.text]
+
+
+def words_batch(texts, has_tags: bool = False):
+    """pandas.Series[str] -> pandas.Series[list[str]] — the Arrow-batch
+    kernel for pandas_udf / mapInPandas."""
+    return texts.map(lambda t: alnum_words(t or "", has_tags))
+
+
+def word_ids(words: list[str]) -> list[int]:
+    """hash64Lower_utf8 per word (hash.h:139) — bit-compatible with the
+    reference's term ids (same g_hashtab as uh48)."""
+    from .ghash import hash64_lower_utf8
+    return [hash64_lower_utf8(w) for w in words]

@@ -2670,6 +2670,73 @@ _register("doc_country_id", _doc_country, _doc_country_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Words.cpp segmentation (addWords, Words.cpp:210-430): the tokenizer
+# every reference indexing path sits on.  Synthetic inputs cycle the
+# rule families (suffix exceptions, digit grouping, apostrophe latch,
+# tag tokens, bare '<'); the oracle pins the hand-derived expected
+# token sequences as literal arrays.
+# ---------------------------------------------------------------------------
+_WORDS_CASES = [
+    "foo, bar!",
+    "java++ and c# win",
+    "1,000,000.50 units",
+    "we're dave's o'clock",
+    "<p>hi <b>x</b></p>",
+    "price < 5 today",
+]
+_WORDS_EXPECT = [
+    ["foo", "bar"],
+    ["java++", "and", "c#", "win"],
+    ["1,000,000.50", "units"],
+    ["we're", "dave's", "o'clock"],
+    ["hi", "x"],
+    ["price", "5", "today"],
+]
+
+
+def _words_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION segmenter (words_batch via Arrow-batched
+    pandas_udf) over per-doc synthetic texts; one row per token with its
+    position."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions.words import words_batch
+    register_views(spark, sf_dir)
+
+    @pandas_udf("array<string>")
+    def _seg(texts):
+        return words_batch(texts, has_tags=True)
+
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    txt = F.element_at(F.array(*[F.lit(t) for t in _WORDS_CASES]),
+                       (F.col("doc_id") % 6 + 1).cast("int"))
+    return (docs.withColumn("_w", _seg(txt))
+            .select("doc_id", F.posexplode("_w").alias("word_no", "word"))
+            .orderBy("doc_id", "word_no"))
+
+
+def _words_segment_oracle() -> str:
+    rows = ", ".join(
+        f"({k}, {n}, '{w.replace(chr(39), chr(39) * 2)}')"
+        for k, words in enumerate(_WORDS_EXPECT)
+        for n, w in enumerate(words))
+    return f"""
+WITH expect(k, word_no, word) AS (VALUES {rows})
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(e.word_no AS INT) AS word_no,
+       e.word AS word
+FROM documents d
+JOIN expect e ON e.k = CAST(d.doc_id % 6 AS INT)
+ORDER BY d.doc_id, e.word_no
+"""
+
+
+_register("words_segment_tokens", _words_segment, _words_segment_oracle())
+
+
+# ---------------------------------------------------------------------------
 # High-frequency term shortcuts (HighFrequencyTermShortcuts.cpp:15-22):
 # stopword-frequency termlists are pre-truncated offline so a broad query
 # never scans the full list.  Spark side = the production extract +

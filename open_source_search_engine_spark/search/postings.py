@@ -40,6 +40,33 @@ def build_postings(docs: DataFrame, text_col: str = "text",
                  F.sort_array(F.collect_list("pos")).alias("positions")))
 
 
+def build_postings_ref_tokens(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              has_tags: bool = True) -> DataFrame:
+    """Postings built with the reference's Words.cpp segmenter
+    (functions/words.py) instead of the whitespace split: HTML tags
+    dropped, ``java++``/``c#``/``1,000.50``/``we're`` kept whole, CJK
+    one codepoint per term.  Arrow-batched pandas_udf — one Python pass
+    per document, then the same pure-Catalyst explode/groupBy as
+    ``build_postings`` (term-bucketable identically)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.words import words_batch
+
+    @pandas_udf("array<string>")
+    def _seg(texts):
+        return words_batch(texts, has_tags=has_tags)
+
+    toks = (docs.select(F.col(id_col).alias("doc_id"),
+                        _seg(F.col(text_col)).alias("_w"))
+            .select("doc_id",
+                    F.posexplode(F.expr("transform(_w, x -> lower(x))"))
+                    .alias("pos", "term")))
+    return (toks.groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"),
+                 F.sort_array(F.collect_list("pos")).alias("positions")))
+
+
 def build_postings_with_anchors(docs: DataFrame, links: DataFrame,
                                 text_col: str = "text",
                                 id_col: str = "doc_id") -> DataFrame:

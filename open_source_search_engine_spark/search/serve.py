@@ -111,9 +111,13 @@ def serve_results(docs: DataFrame, query: str, k: int = 10, *,
     ranked = _rank(docs, query, k, id_col, text_col, url_col,
                    index, postings, doc_meta, num_docs)
 
+    # top-K first (TakeOrderedAndProject — distributed), THEN the rank
+    # number over the bounded K-row page; the window never sees the full
+    # candidate set.
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    topk = (ranked.withColumn("rank", F.row_number().over(w) - 1)
-            .select("doc_id", "score", "rank").limit(k))
+    topk = (ranked.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w) - 1))
 
     # Msg20: join the K winners back to titledb — broadcast the K side
     base = docs.select(

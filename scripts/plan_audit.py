@@ -47,6 +47,13 @@ WHITELIST: dict[str, dict[str, str]] = {
             "the reference's equivalent is a serial loop over the same "
             "bounded page.",
     },
+    "q_serve_page": {
+        "unpartitioned_window":
+            "the serve path's rank window runs AFTER orderBy+limit(k) "
+            "(TakeOrderedAndProject), so it numbers <=k rows; the "
+            "cluster/dedup post-filter windows it composes run over the "
+            "same bounded result page (see q_result_cluster_filter).",
+    },
     "q_result_dedup_summary": {
         "unpartitioned_window":
             "same bounded result page (limit(256)) — greedy dup-summary "

@@ -1,0 +1,197 @@
+"""Words.cpp segmentation kernel (functions/words.py)."""
+
+import pytest
+
+from open_source_search_engine_spark.functions.ghash import (
+    hash64_lower_utf8,
+    hash64b,
+)
+from open_source_search_engine_spark.functions.words import (
+    alnum_words,
+    is_tag_start,
+    segment,
+    tag_len,
+    word_ids,
+    words_batch,
+)
+
+
+def kinds(text, **kw):
+    return [(t.text, t.kind) for t in segment(text, **kw)]
+
+
+class TestBasicSegmentation:
+    def test_alternating_runs(self):
+        assert kinds("foo, bar!") == [
+            ("foo", "alnum"), (", ", "punct"),
+            ("bar", "alnum"), ("!", "punct")]
+
+    def test_leading_punct(self):
+        assert kinds(" x") == [(" ", "punct"), ("x", "alnum")]
+
+    def test_concat_roundtrip(self):
+        for s in ("a,b c!d", "we're 1,000.5 java++ c# end.",
+                  "<p>hi</p>", "  ", "", "x"):
+            assert "".join(t.text for t in segment(s, has_tags=True)) == s
+
+    def test_empty(self):
+        assert segment("") == []
+
+
+class TestWordExtensions:
+    """Words.cpp:362-404 — the suffix/continuation exception ladder."""
+
+    def test_cplusplus(self):
+        assert alnum_words("java++ rocks") == ["java++", "rocks"]
+        assert alnum_words("A+ grade") == ["A+", "grade"]
+
+    def test_plus_followed_by_alnum_not_joined(self):
+        # '+' followed by alnum is a separator, not a suffix
+        assert alnum_words("a+b") == ["a", "b"]
+
+    def test_csharp(self):
+        assert alnum_words("c# and f#!") == ["c#", "and", "f#"]
+        assert alnum_words("c#d") == ["c", "d"]
+
+    def test_digit_grouping(self):
+        assert alnum_words("1,000,000 units") == ["1,000,000", "units"]
+        assert alnum_words("12,345") == ["12,345"]
+        # leading group of 4 digits: not a grouped number
+        assert alnum_words("1234,567") == ["1234", "567"]
+        # group not exactly 3 digits: stops
+        assert alnum_words("1,00") == ["1", "00"]
+        # non-digit left neighbor: no grouping
+        assert alnum_words("ab,123") == ["ab", "123"]
+
+    def test_decimal_point(self):
+        assert alnum_words("3.14159 pie") == ["3.14159", "pie"]
+        assert alnum_words("1,000.50") == ["1,000.50"]
+        assert alnum_words("a.5") == ["a", "5"]
+        assert alnum_words("5.a") == ["5", "a"]
+
+    def test_apostrophe_once(self):
+        assert alnum_words("we're dave's o'clock") == \
+            ["we're", "dave's", "o'clock"]
+        # the hadApostrophe latch: only ONE continuation per word
+        assert alnum_words("a'b'c") == ["a'b", "c"]
+        # trailing apostrophe never joins
+        assert alnum_words("dogs' toys") == ["dogs", "toys"]
+
+    def test_cplusplus_apostrophe_chain(self):
+        # after the ++ suffix the apostrophe rule still applies
+        assert alnum_words("c++'s") == ["c++'s"]
+
+
+class TestUnicode:
+    def test_combining_mark_absorbed(self):
+        # e + COMBINING ACUTE stays one word (UC_EXTEND continue)
+        assert alnum_words("café au") == ["café", "au"]
+
+    def test_latin1_not_breaking(self):
+        # Latin script maps to common: né is one word
+        assert alnum_words("né x") == ["né", "x"]
+
+    def test_cjk_one_char_per_word(self):
+        # ideographs: include then break (Words.cpp:348-353)
+        assert alnum_words("中文ok") == ["中", "文", "ok"]
+
+    def test_hiragana_single(self):
+        assert alnum_words("あい") == ["あ", "い"]
+
+    def test_script_change_breaks(self):
+        # greek then cyrillic: break at the script boundary
+        words = alnum_words("x αβаб y")
+        assert "αβ" in words and "аб" in words
+
+    def test_start_of_text_script_quirk(self):
+        # reference emits a zero-length word before a leading non-Latin
+        # script word (oldScript still common); alnum_words drops it
+        toks = segment("αβ")
+        assert [t.text for t in toks] == ["", "αβ"]
+        assert alnum_words("αβ") == ["αβ"]
+
+    def test_ascii_joins_any_script(self):
+        # ascii alnum accumulates regardless of current script
+        assert alnum_words("αβa") == ["αβa"]
+
+
+class TestTags:
+    def test_tag_tokens(self):
+        toks = segment("<p>hi <b>x</b></p>", has_tags=True)
+        assert [(t.kind, t.tag) for t in toks if t.kind == "tag"] == \
+            [("tag", "p"), ("tag", "b"), ("tag", "/b"), ("tag", "/p")]
+        assert alnum_words("<p>hi <b>x</b></p>", has_tags=True) == \
+            ["hi", "x"]
+
+    def test_not_a_tag_without_flag(self):
+        assert alnum_words("<p>hi</p>", has_tags=False) == ["p", "hi", "p"]
+
+    def test_lt_in_text_is_punct(self):
+        # "< 5" is not a tag start — stays punct
+        assert alnum_words("a < 5", has_tags=True) == ["a", "5"]
+
+    def test_is_tag_start_forms(self):
+        for s in ("<p>", "</p>", "</>", "<?xml", "<!--c-->", "<![CDATA[",
+                  "<!DOCTYPE"):
+            assert is_tag_start(s, 0), s
+        for s in ("< p", "<3", "<-", "<'a'"):
+            assert not is_tag_start(s, 0), s
+
+    def test_tag_len_quoted_gt(self):
+        # '>' inside a quoted attribute value doesn't close the tag
+        s = '<a href="x>y">link'
+        assert tag_len(s, 0) == len('<a href="x>y">')
+
+    def test_tag_len_unquoted_attr_quote(self):
+        # a quote NOT preceded by '=' doesn't open a string
+        s = "<a b\"c>rest"
+        assert tag_len(s, 0) == len('<a b"c>')
+
+    def test_tag_len_unbalanced_recovery(self):
+        # '">' with a dangling open quote: the "> recovery rule
+        s = '<a href="x">'
+        assert tag_len(s, 0) == len(s)
+
+
+class TestWordIds:
+    def test_lower_hash_matches_hash64b_of_lowered(self):
+        # for ascii, hash64Lower == hash64b of the lowered bytes
+        assert hash64_lower_utf8("HeLLo") == hash64b("hello")
+        assert hash64_lower_utf8("hello") == hash64b("hello")
+
+    def test_case_insensitive(self):
+        assert hash64_lower_utf8("FOO") == hash64_lower_utf8("foo")
+        assert hash64_lower_utf8("foo") != hash64_lower_utf8("bar")
+
+    def test_word_ids_batch(self):
+        ws = ["The", "the", "Café"]
+        ids = word_ids(ws)
+        assert ids[0] == ids[1]
+        assert ids[2] == hash64_lower_utf8("café")
+
+
+class TestBatch:
+    def test_words_batch_series(self):
+        import pandas as pd
+        out = words_batch(pd.Series(["a,b", None, "we're 1,000"]))
+        assert list(out) == [["a", "b"], [], ["we're", "1,000"]]
+
+
+class TestRefTokenPostings:
+    def test_build_postings_ref_tokens(self, spark):
+        from open_source_search_engine_spark.search.postings import (
+            build_postings_ref_tokens,
+        )
+        docs = spark.createDataFrame(
+            [(1, "<p>Java++ wins, Java++ LOSES</p>"),
+             (2, "we're 1,000 strong")],
+            "doc_id long, text string")
+        rows = {(r.term, r.doc_id): (r.tf, r.positions)
+                for r in build_postings_ref_tokens(docs).collect()}
+        # tags dropped, suffix kept, lowercased, positions = word index
+        assert rows[("java++", 1)] == (2, [0, 2])
+        assert rows[("wins", 1)] == (1, [1])
+        assert rows[("loses", 1)] == (1, [3])
+        assert rows[("we're", 2)] == (1, [0])
+        assert rows[("1,000", 2)] == (1, [1])
+        assert ("p", 1) not in rows
