@@ -2670,6 +2670,65 @@ _register("doc_country_id", _doc_country, _doc_country_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Statsdb per-second stat buckets (Statsdb.cpp:244-420 addStat): each op
+# spread across the one-second buckets it overlaps, weighted by the
+# fraction of its duration inside each (integer-exact ppm form).
+# ---------------------------------------------------------------------------
+def _statsdb_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION add_stats aggregate over ops derived from events:
+    label = event_type, op window = [ts, ts + event_id % 4500 ms]
+    (zero-duration ops exercise the t2++ rule), value = round(100x)."""
+    from .pipeline.statsdb import add_stats
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    # ts is TIMESTAMP_NTZ: epoch ms via tz-free timestampdiff (matches
+    # DuckDB's epoch_ms on the naive value regardless of session tz)
+    t1 = F.expr(
+        "timestampdiff(MILLISECOND, TIMESTAMP_NTZ '1970-01-01', ts)")
+    ops = ev.select(
+        F.col("event_type").alias("label"),
+        t1.alias("t1_ms"),
+        (t1 + F.col("event_id") % 4500).alias("t2_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("value"))
+    return add_stats(ops).orderBy("label", "t_sec")
+
+
+_register("statsdb_second_buckets", _statsdb_buckets, """
+WITH ops AS (
+  SELECT event_type AS label,
+         CAST(epoch_ms(ts) AS BIGINT) AS t1,
+         CAST(epoch_ms(ts) AS BIGINT)
+           + CAST(event_id % 4500 AS BIGINT) AS t2r,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+), bumped AS (
+  SELECT label, t1,
+         CASE WHEN t2r = t1 THEN t1 + 1 ELSE t2r END AS t2, v
+  FROM ops
+), bounded AS (
+  SELECT label, t1, t2, v, t2 - t1 AS dt
+  FROM bumped WHERE t2 - t1 > 0 AND t2 - t1 < 30000
+), buckets AS (
+  SELECT label, t1, t2, v, dt,
+         unnest(generate_series(t1 // 1000, (t2 - 1) // 1000)) AS t_sec
+  FROM bounded
+), contrib AS (
+  SELECT label, t_sec, v, dt,
+         LEAST(t2, (t_sec + 1) * 1000)
+           - GREATEST(t1, t_sec * 1000) AS ov
+  FROM buckets
+)
+SELECT label, CAST(t_sec AS BIGINT) AS t_sec,
+       CAST(SUM(ov * 1000000 // dt) AS BIGINT) AS total_ops_ppm,
+       CAST(SUM(v * ov * 1000000 // dt) AS BIGINT) AS total_quantity_ppm,
+       CAST(SUM(ov) AS BIGINT) AS total_time_ms
+FROM contrib
+GROUP BY label, t_sec
+ORDER BY label, t_sec
+""")
+
+
+# ---------------------------------------------------------------------------
 # Words.cpp segmentation (addWords, Words.cpp:210-430): the tokenizer
 # every reference indexing path sits on.  Synthetic inputs cycle the
 # rule families (suffix exceptions, digit grouping, apostrophe latch,
