@@ -2670,6 +2670,71 @@ _register("doc_country_id", _doc_country, _doc_country_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Sections.cpp sentence machine (addSentences, Sections.cpp:1460-1780)
+# over the Words.cpp token stream, with the Abbreviations.cpp table.
+# Synthetic inputs cycle the break-rule families; the oracle pins the
+# hand-derived sentence lists as literal arrays.
+# ---------------------------------------------------------------------------
+_SENT_CASES = [
+    "First one. Second one.",
+    "visit example.com today. Next one",
+    "Winter hours Oct. 15 start early. Next",
+    "open 9 am. Monday we close",
+    "<p>First para</p><p>Second para</p>",
+    "1. library name",
+]
+_SENT_EXPECT = [
+    ["First one", "Second one"],
+    ["visit example.com today", "Next one"],
+    ["Winter hours Oct. 15 start early", "Next"],
+    ["open 9 am", "Monday we close"],
+    ["First para", "Second para"],
+    ["1. library name"],
+]
+
+
+def _sentence_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sentence kernel (sentences_batch, Arrow-batched
+    pandas_udf) — one row per sentence with its position."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions.sentences import sentences_batch
+    register_views(spark, sf_dir)
+
+    @pandas_udf("array<string>")
+    def _seg(texts):
+        return sentences_batch(texts, has_tags=True)
+
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    txt = F.element_at(F.array(*[F.lit(t) for t in _SENT_CASES]),
+                       (F.col("doc_id") % 6 + 1).cast("int"))
+    return (docs.withColumn("_s", _seg(txt))
+            .select("doc_id", F.posexplode("_s").alias("sent_no", "sent"))
+            .orderBy("doc_id", "sent_no"))
+
+
+def _sentence_segment_oracle() -> str:
+    rows = ", ".join(
+        f"({k}, {n}, '{s}')"
+        for k, sents in enumerate(_SENT_EXPECT)
+        for n, s in enumerate(sents))
+    return f"""
+WITH expect(k, sent_no, sent) AS (VALUES {rows})
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(e.sent_no AS INT) AS sent_no,
+       e.sent AS sent
+FROM documents d
+JOIN expect e ON e.k = CAST(d.doc_id % 6 AS INT)
+ORDER BY d.doc_id, e.sent_no
+"""
+
+
+_register("text_sentence_segment", _sentence_segment,
+          _sentence_segment_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Statsdb per-second stat buckets (Statsdb.cpp:244-420 addStat): each op
 # spread across the one-second buckets it overlaps, weighted by the
 # fraction of its duration inside each (integer-exact ppm form).
