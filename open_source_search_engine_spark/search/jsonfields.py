@@ -79,6 +79,14 @@ def _parse_date(val: str) -> int | None:
         tt = calendar.timegm((y, mo, d, h, mi, s, 0, 0, 0))
     except Exception:
         return None
+    # named-timezone correction (HttpMime.cpp:318-320: getTimeZone on
+    # the token after the time, offset ADDED — kept verbatim)
+    rest = val[m.end():].strip()
+    if rest:
+        from ..functions.timezone import get_time_zone
+        tz = get_time_zone(rest)
+        if tz is not None:
+            tt += tz
     # clamp to int32 (XmlDoc_Indexing.cpp:2895-2903)
     return max(_INT32_MIN, min(tt, _INT32_MAX))
 

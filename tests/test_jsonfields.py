@@ -85,3 +85,38 @@ class TestRfcDates:
     def test_unparseable_left_as_string(self):
         got = flatten_json('{"date": "sometime soon"}')
         assert got[0][1] == "sometime soon"
+
+
+class TestTimezoneTable:
+    """Timezone.cpp tzs[] + getTimeZone; HttpMime atotime tz add."""
+
+    def test_known_zones(self):
+        from open_source_search_engine_spark.functions.timezone import (
+            TIMEZONES,
+            get_time_zone,
+        )
+        assert get_time_zone("GMT") == 0
+        assert get_time_zone("utc") == 0
+        assert get_time_zone("EST") == -5 * 3600
+        assert get_time_zone("acdt") == 10 * 3600 + 30 * 60
+        assert get_time_zone("nosuchzone") is None
+        assert len(TIMEZONES) > 250
+
+    def test_leading_alnum_run_only(self):
+        from open_source_search_engine_spark.functions.timezone import (
+            get_time_zone,
+        )
+        # getTimeZone scans isalnum chars then stops (Timezone.cpp:339)
+        assert get_time_zone("GMT; charset=x") == 0
+        assert get_time_zone("est\n") == -5 * 3600
+
+    def test_date_parse_applies_offset(self):
+        from open_source_search_engine_spark.search.jsonfields import (
+            _parse_date,
+        )
+        base = _parse_date("Sun, 06 Nov 1994 08:49:37 GMT")
+        est = _parse_date("Sun, 06 Nov 1994 08:49:37 EST")
+        # HttpMime.cpp:320 global += tzoff (offset ADDED, verbatim)
+        assert est == base - 5 * 3600
+        # unknown zone: unchanged (BADTIMEZONE path)
+        assert _parse_date("Sun, 06 Nov 1994 08:49:37 XQZ") == base
