@@ -2670,6 +2670,50 @@ _register("doc_country_id", _doc_country, _doc_country_oracle())
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk, GPT-style): tokenized docs joined
+# by EOS into per-source streams, cut into fixed context windows.  The
+# Spark side is the PRODUCTION two-pass range-sharded prefix sum; the
+# oracle recomputes with one plain window per source.
+# ---------------------------------------------------------------------------
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training.packing import pack_sequences
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (pack_sequences(docs, context_len=512, group_col="source")
+            .orderBy("group", "chunk_id", "doc_id"))
+
+
+_register("training_pack_sequences", _pack_sequences, """
+WITH toks AS (
+  SELECT source AS grp, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(trim(text), ' ')) + 1 AS BIGINT)
+           AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT grp, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_offset
+  FROM toks
+), chunks AS (
+  SELECT grp, doc_id, n_tokens, tok_offset,
+         unnest(generate_series(
+           CAST(tok_offset // 512 AS BIGINT),
+           CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT)))
+           AS chunk_id
+  FROM placed
+)
+SELECT grp AS "group", doc_id, n_tokens, CAST(chunk_id AS BIGINT)
+         AS chunk_id,
+       GREATEST(chunk_id * 512 - tok_offset, 0) AS tok_start,
+       LEAST(chunk_id * 512 + 512 - tok_offset, n_tokens) AS tok_end
+FROM chunks
+ORDER BY "group", chunk_id, doc_id
+""")
+
+
+# ---------------------------------------------------------------------------
 # Sections.cpp sentence machine (addSentences, Sections.cpp:1460-1780)
 # over the Words.cpp token stream, with the Abbreviations.cpp table.
 # Synthetic inputs cycle the break-rule families; the oracle pins the
