@@ -27,11 +27,20 @@ REASONS = ["gopher_shape", "gopher_repetition", "dup_ngram", "pii", "lang",
            "contaminated", "boilerplate_only", "near_dup"]
 
 
+#: every switchable curation gate, in evaluation order.  ``curate``'s
+#: ``gates`` parameter selects a subset — curation recipes differ (e.g.
+#: FineWeb drops the dup-ngram rule; code corpora skip language ID), so
+#: the stage set is a knob, not a constant.
+GATES = ("shape", "repetition", "dup_ngram", "lang", "line_dedup",
+         "near_dup")
+
+
 def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
            neardup_threshold: float = 0.85,
            max_pii: int | None = None,
            eval_docs: DataFrame | None = None,
-           decontam_n: int = 13) -> DataFrame:
+           decontam_n: int = 13,
+           gates: tuple[str, ...] = GATES) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, keep, reason).
 
     Every stage is computed as its own DataFrame and joined on doc_id;
@@ -49,22 +58,41 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
     from .lines import line_dedup, segment_text
     from .textqual import language_id
 
-    base = docs.select("doc_id", "text")
-    shape = gopher_quality(base).select("doc_id", "gopher_pass")
-    rep = gopher_repetition(base).select("doc_id", "rep_pass")
-    cov = dup_ngram_coverage(base).select("doc_id", "dupngram_pass")
-    lang = language_id(base).select(
-        "doc_id", F.col("pred_lang").isin(*lang_keep).alias("lang_pass"))
-    seg = base.withColumn("text", segment_text("text"))
-    lined = line_dedup(seg).select(
-        "doc_id", (F.col("n_kept") > 0).alias("line_pass"))
+    on = frozenset(gates)
+    unknown = on - frozenset(GATES)
+    if unknown:
+        raise ValueError(f"unknown curation gates: {sorted(unknown)}")
 
-    gated = (base.select("doc_id")
-             .join(shape, "doc_id", "left")
-             .join(rep, "doc_id", "left")
-             .join(cov, "doc_id", "left")
-             .join(lang, "doc_id", "left")
-             .join(lined, "doc_id", "left"))
+    base = docs.select("doc_id", "text")
+    gated = base.select("doc_id")
+    if "shape" in on:
+        shape = gopher_quality(base).select("doc_id", "gopher_pass")
+        gated = gated.join(shape, "doc_id", "left")
+    else:
+        gated = gated.withColumn("gopher_pass", F.lit(True))
+    if "repetition" in on:
+        rep = gopher_repetition(base).select("doc_id", "rep_pass")
+        gated = gated.join(rep, "doc_id", "left")
+    else:
+        gated = gated.withColumn("rep_pass", F.lit(True))
+    if "dup_ngram" in on:
+        cov = dup_ngram_coverage(base).select("doc_id", "dupngram_pass")
+        gated = gated.join(cov, "doc_id", "left")
+    else:
+        gated = gated.withColumn("dupngram_pass", F.lit(True))
+    if "lang" in on:
+        lang = language_id(base).select(
+            "doc_id", F.col("pred_lang").isin(*lang_keep).alias("lang_pass"))
+        gated = gated.join(lang, "doc_id", "left")
+    else:
+        gated = gated.withColumn("lang_pass", F.lit(True))
+    if "line_dedup" in on:
+        seg = base.withColumn("text", segment_text("text"))
+        lined = line_dedup(seg).select(
+            "doc_id", (F.col("n_kept") > 0).alias("line_pass"))
+        gated = gated.join(lined, "doc_id", "left")
+    else:
+        gated = gated.withColumn("line_pass", F.lit(True))
     if max_pii is not None:
         from .pii import pii_profile
         pii = pii_profile(base).select(
@@ -87,8 +115,11 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
 
     survivors = base.join(
         gated.filter(quality_ok).select("doc_id"), "doc_id")
-    kept = dedup_keepers(survivors, threshold=neardup_threshold).select(
-        "doc_id", F.col("keep").alias("dedup_keep"))
+    if "near_dup" in on:
+        kept = dedup_keepers(survivors, threshold=neardup_threshold).select(
+            "doc_id", F.col("keep").alias("dedup_keep"))
+    else:
+        kept = survivors.select("doc_id", F.lit(True).alias("dedup_keep"))
 
     out = gated.join(kept, "doc_id", "left")
     reason = (F.when(~F.col("gopher_pass"), "gopher_shape")
