@@ -101,15 +101,9 @@ _COMMON_FILES = [
     "main.htm", "main.php", "main.pl",
 ]
 
-# multi-label public suffixes we recognize when splitting domain from host;
-# the reference uses the exhaustive list in Domains.cpp — we carry the common
-# core plus the synthetic-corpus TLDs.
-_TWO_LEVEL_TLDS = {
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
-    "com.br", "com.cn", "com.mx", "co.in", "co.nz", "co.za",
-    "com.ar", "com.tr", "com.tw",
-}
+# domain/TLD split lives in domains.py — the exact Domains.cpp ladder
+# with the reference's full two-label suffix table.
+from .domains import get_domain, get_domain_of_ip, get_tld
 
 
 def _is_alnum(c: str) -> bool:
@@ -443,22 +437,21 @@ def normalize_url(
 
     is_ip = _looks_like_ip(host)
 
-    # domain / tld (Url.cpp:1185-1220, Domains.cpp list abbreviated)
+    # domain / tld (Url.cpp:1191-1216): IPs get the C-block as domain and
+    # no tld; otherwise the Domains.cpp getTLD/getDomain ladder, with the
+    # tld only counted when it is a proper suffix (m_tld > m_host).
     domain, tld = "", ""
-    if not is_ip:
-        parts = host.split(".")
-        if len(parts) >= 2:
-            last2 = ".".join(parts[-2:])
-            if last2 in _TWO_LEVEL_TLDS and len(parts) >= 3:
-                tld = last2
-                domain = ".".join(parts[-3:])
-            else:
-                tld = parts[-1]
-                domain = last2
+    if is_ip:
+        domain = get_domain_of_ip(host) or ""
+    else:
+        t = get_tld(host)
+        if t is not None and len(t) < len(host):
+            tld = t
+            domain = get_domain(host, t) or ""
 
-    # addWWW only when host == domain and host has exactly one '.'
-    # (Url.cpp:1220-1231)
-    if add_www and not is_ip and host == domain and host.count(".") == 1:
+    # addWWW when the host IS the registered domain and contains a period
+    # (Url.cpp:1219-1230 — pointer equality m_host == m_domain + strchr)
+    if add_www and not is_ip and host == domain and "." in host:
         host = "www." + host
         # domain/tld unchanged
 
@@ -546,19 +539,19 @@ def _looks_like_ip(host: str) -> bool:
 
 
 def domain_of_host(host: str) -> str:
-    """Registered domain of a bare hostname (Url.cpp:1185-1220 getDomain
-    split, same two-level-TLD table as normalize_url).  '' for IPs and
-    TLD-less hosts — matches ParsedUrl.domain for the same host."""
+    """Registered domain of a bare hostname (Url.cpp:1191-1216 split,
+    Domains.cpp ladder).  IPs yield their C-block (getDomainOfIp);
+    TLD-only and TLD-less hosts yield '' — matches ParsedUrl.domain for
+    the same host."""
     host = host.lower().rstrip(".")
-    if not host or _looks_like_ip(host):
+    if not host:
         return ""
-    parts = host.split(".")
-    if len(parts) < 2:
+    if _looks_like_ip(host):
+        return get_domain_of_ip(host) or ""
+    t = get_tld(host)
+    if t is None or len(t) >= len(host):
         return ""
-    last2 = ".".join(parts[-2:])
-    if last2 in _TWO_LEVEL_TLDS and len(parts) >= 3:
-        return ".".join(parts[-3:])
-    return last2
+    return get_domain(host, t) or ""
 
 
 # ---------------------------------------------------------------------------
