@@ -14,8 +14,10 @@ metadata — the rules mirrored here (Images.cpp:118-230):
   uniqueness against the site's template pages (Images.cpp:206-223,
   getThumbnail's gbsitetemplate count); here that's one vote aggregate,
 * candidates are tried in document order and the first surviving one
-  becomes the thumbnail (the download/scale step is the stubbed decode
-  path in training/multimodal.py — selection is metadata-only).
+  becomes the thumbnail; the download/scale step is the REAL decode +
+  aspect-fit resample path in training/multimodal.py (``thumbnail_media``
+  below composes the two, mirroring Images.cpp downloadImage →
+  ``*topnm | pnmscale`` end-to-end).
 
 Spark shape: filters are pure Catalyst; the site-uniqueness vote is one
 (site, img_url) aggregate + an anti-join; first-per-page is a min_by —
@@ -79,3 +81,31 @@ def select_thumbnails(cands: DataFrame, min_site_reuse: int = 2
             .agg(F.min_by(F.col("img_url"),
                           F.struct("img_order", "img_url"))
                  .alias("thumbnail")))
+
+
+def thumbnail_media(selected: DataFrame, media: DataFrame,
+                    box_w: int = 160, box_h: int = 120) -> DataFrame:
+    """End-to-end Images.cpp: join each page's selected thumbnail URL to
+    its fetched payload (the downloadImage step) and run the REAL decode →
+    aspect-fit resample → PPM re-encode (the ``*topnm | pnmscale -xysize``
+    step, Images.cpp:160-178).
+
+    ``selected``: (doc_id, thumbnail) from :func:`select_thumbnails`.
+    ``media``: (media_url, kind, payload) fetched image bytes.
+    Returns (doc_id, thumbnail, out_width, out_height, payload_out_bytes).
+
+    Spark shape: the selected side is one row per page (small next to the
+    media blob table), so the join broadcasts selection onto the payloads
+    and only matched blobs ever decode — the resize UDF never sees an
+    unselected image."""
+    from ..training.multimodal import resize_media
+    matched = (media.join(
+        F.broadcast(selected.withColumnRenamed("thumbnail", "media_url")),
+        "media_url")
+        .select(F.col("doc_id").alias("media_id"), "kind", "payload",
+                F.col("media_url").alias("thumbnail")))
+    thumbs = resize_media(matched, box_w, box_h)
+    return (matched.select("media_id", "thumbnail")
+            .join(thumbs, "media_id")
+            .select(F.col("media_id").alias("doc_id"), "thumbnail",
+                    "out_width", "out_height", "payload_out_bytes"))

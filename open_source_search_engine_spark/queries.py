@@ -760,6 +760,34 @@ def _f4_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_golden("f4_shard_assignment", _f4_shard, "first_ip")
 
 
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode → aspect-fit resample → PPM re-encode over every visual
+    payload (the reference's ``*topnm | pnmscale -xysize`` thumbnail path,
+    Images.cpp:160-178), reporting exact output geometry and byte size."""
+    from .training.multimodal import media_from_documents, resize_media
+    register_views(spark, sf_dir)
+    media = media_from_documents(spark.table("documents"))
+    return resize_media(media, 160, 120).orderBy("media_id")
+
+
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame sampling from the raw-video container: decode, take up
+    to 4 evenly spaced frames, emit real per-frame image features."""
+    from .training.multimodal import media_from_documents, sample_frames
+    register_views(spark, sf_dir)
+    media = media_from_documents(spark.table("documents"))
+    return (sample_frames(media, max_frames=4)
+            .select("media_id", "frame_idx",
+                    F.round(F.element_at("frame_feature", 4), 4)
+                    .alias("luma_std"))
+            .orderBy("media_id", "frame_idx"))
+
+
+_register_golden("multimodal_resize", _multimodal_resize, "media_id")
+_register_golden("multimodal_frame_sample", _multimodal_frames,
+                 "media_id, frame_idx")
+
+
 def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (training-data dedup family):
     blocked candidate pairs scored by integer-quantized dot product.  Each

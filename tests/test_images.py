@@ -37,3 +37,35 @@ def test_filters_and_site_vote(spark, media):
     assert th[3] == "http://a.example.com/photos/story3.jpg"
     # s2 saw decor.jpg only once: it IS the thumbnail there
     assert th[4] == "http://a.example.com/decor.jpg"
+
+
+def test_thumbnail_media_end_to_end(spark, media):
+    """Select → payload join → real decode + pnmscale-style resize."""
+    import numpy as np
+    from open_source_search_engine_spark.functions.images import (
+        image_candidates, select_thumbnails, thumbnail_media)
+    from open_source_search_engine_spark.training.multimodal import (
+        encode_ppm, fit_box)
+    rng = np.random.default_rng(3)
+    blobs = []
+    for url, (w, h) in [
+        ("http://a.example.com/photos/story1.jpg", (640, 480)),
+        ("http://a.example.com/photos/story2.jpg", (300, 100)),
+        ("http://a.example.com/photos/story3.jpg", (80, 60)),
+        ("http://a.example.com/decor.jpg", (50, 400)),
+        ("http://a.example.com/banner_top.jpg", (10, 10)),  # never selected
+    ]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blobs.append((url, "image", bytearray(encode_ppm(px))))
+    media_blobs = spark.createDataFrame(
+        blobs, "media_url string, kind string, payload binary")
+    sel = select_thumbnails(image_candidates(media))
+    out = {r["doc_id"]: r
+           for r in thumbnail_media(sel, media_blobs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for doc, (w, h) in [(1, (640, 480)), (2, (300, 100)),
+                        (3, (80, 60)), (4, (50, 400))]:
+        ow, oh = fit_box(w, h, 160, 120)
+        assert (out[doc]["out_width"], out[doc]["out_height"]) == (ow, oh)
+        header = b"P6\n%d %d\n255\n" % (ow, oh)
+        assert out[doc]["payload_out_bytes"] == len(header) + ow * oh * 3

@@ -105,18 +105,71 @@ def test_token_counts(spark):
     assert r["bpe_tokens"] == 9
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_codec_roundtrips():
+    """The pure-NumPy codecs must round-trip exactly (PPM, BMP, WAV, RV01)."""
+    import numpy as np
     from open_source_search_engine_spark.training.multimodal import (
-        extract_features, media_from_documents)
-    docs = spark.createDataFrame([(7, "payload bytes here")],
-                                 ["doc_id", "text"])
-    out = extract_features(media_from_documents(docs)).collect()
-    assert len(out) == 1
-    assert out[0]["payload_bytes"] == len("payload bytes here")
-    assert len(out[0]["feature"]) == 8
-    # deterministic stub: same payload → same feature
-    out2 = extract_features(media_from_documents(docs)).collect()
-    assert out[0]["feature"] == out2[0]["feature"]
+        decode_bmp, decode_image, decode_ppm, decode_video, decode_wav,
+        encode_bmp, encode_ppm, encode_video, encode_wav)
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    # header grammar: comments + arbitrary whitespace
+    body = encode_ppm(px).split(b"\n", 1)[1]
+    weird = b"P6 # c\n# comment line\n 13\t9\n255\n" + body.split(b"\n", 2)[2]
+    assert np.array_equal(decode_ppm(weird), px)
+    samples = (np.sin(np.arange(400) / 7.0) * 20000).astype(np.int16)
+    sr, got = decode_wav(encode_wav(samples, 8000))
+    assert sr == 8000 and np.array_equal(got, samples)
+    frames = rng.integers(0, 256, size=(3, 6, 8, 3), dtype=np.uint8)
+    assert np.array_equal(decode_video(encode_video(frames)), frames)
+    assert np.array_equal(decode_image(encode_ppm(px)), px)  # dispatch
+
+
+def test_multimodal_features_are_real_statistics():
+    """Features are real content statistics, not payload hashes."""
+    import numpy as np
+    from open_source_search_engine_spark.training.multimodal import (
+        audio_features, encode_wav, image_features)
+    red = np.zeros((4, 4, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    f = image_features(red)
+    assert abs(f[0] - 1.0) < 1e-6 and f[1] == 0.0 and f[2] == 0.0
+    assert f[3] == 0.0 and f[4] == 0.0          # flat image: no edges
+    silence = np.zeros(256, dtype=np.int16)
+    sr_f = audio_features(*__import__(
+        "open_source_search_engine_spark.training.multimodal",
+        fromlist=["decode_wav"]).decode_wav(encode_wav(silence)))
+    assert sr_f[0] == 0.0 and sr_f[2] == 0.0    # silent: zero rms/peak
+    loud = (np.ones(256) * 30000).astype(np.int16)
+    assert audio_features(8000, loud)[0] > 0.9
+
+
+def test_multimodal_plumbing(spark):
+    """End-to-end: synthesize REAL payloads, decode, extract features."""
+    from open_source_search_engine_spark.training.multimodal import (
+        extract_features, media_from_documents, synthesize_payload)
+    docs = spark.createDataFrame(
+        [(6, "an image doc"), (7, "an audio doc"), (8, "a video doc")],
+        ["doc_id", "text"])
+    out = {r["media_id"]: r
+           for r in extract_features(media_from_documents(docs)).collect()}
+    assert {out[6]["kind"], out[7]["kind"], out[8]["kind"]} == \
+        {"image", "audio", "video"}
+    for mid, text in [(6, "an image doc"), (7, "an audio doc"),
+                      (8, "a video doc")]:
+        _, payload, _, _ = synthesize_payload(mid, text)
+        assert out[mid]["payload_bytes"] == len(payload)
+        assert len(out[mid]["feature"]) == 8
+    # real payload magic per format
+    assert synthesize_payload(6, "an image doc")[1][:2] == b"P6"
+    assert synthesize_payload(7, "an audio doc")[1][:4] == b"RIFF"
+    assert synthesize_payload(8, "a video doc")[1][:4] == b"RV01"
+    # deterministic: same doc → same feature
+    out2 = {r["media_id"]: r
+            for r in extract_features(media_from_documents(docs)).collect()}
+    assert all(out[m]["feature"] == out2[m]["feature"] for m in out)
 
 
 def test_salted_topk_equals_plain_window(spark):
@@ -178,15 +231,31 @@ def test_ivf_topk_contains_planted_neighbor(spark):
 
 
 def test_multimodal_resize_and_frames(spark):
+    import struct
     from open_source_search_engine_spark.training.multimodal import (
-        media_from_documents, resize_media, sample_frames)
+        fit_box, media_from_documents, resize_media, sample_frames,
+        synthesize_payload)
     docs = spark.createDataFrame(
-        [(2, "video-ish payload content here")], ["doc_id", "text"])
-    media = media_from_documents(docs)   # doc_id 2 -> kind 'video'
-    rz = resize_media(media).collect()
-    assert rz[0]["out_width"] == 160 and rz[0]["out_height"] == 120
+        [(2, "video-ish payload content here"),
+         (3, "image payload content here")], ["doc_id", "text"])
+    media = media_from_documents(docs)   # doc_id 2 -> video, 3 -> image
+    rz = {r["media_id"]: r for r in resize_media(media).collect()}
+    # aspect-fit: out dims honor the real source aspect ratio (pnmscale
+    # -xysize semantics) and the re-encoded PPM byte count is exact
+    for mid in (2, 3):
+        kind, payload, w, h = synthesize_payload(
+            mid, "video-ish payload content here" if mid == 2
+            else "image payload content here")
+        ow, oh = fit_box(w, h, 160, 120)
+        assert (rz[mid]["out_width"], rz[mid]["out_height"]) == (ow, oh)
+        header = b"P6\n%d %d\n255\n" % (ow, oh)
+        assert rz[mid]["payload_out_bytes"] == len(header) + ow * oh * 3
     frames = sample_frames(media).collect()
-    assert len(frames) >= 1
+    # frame count == min(4, container frame count), read from the header
+    _, vid_payload, _, _ = synthesize_payload(
+        2, "video-ish payload content here")
+    n_in_container = struct.unpack_from("<H", vid_payload, 8)[0]
+    assert len(frames) == min(4, n_in_container)
     assert all(len(f["frame_feature"]) == 8 for f in frames)
     # deterministic frame features
     again = sample_frames(media).collect()
