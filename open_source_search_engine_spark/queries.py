@@ -1055,8 +1055,19 @@ def _embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark.table("embeddings"), query_vec_id=0, k=10)
 
 
+def _embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN (Jégou et al. 2011): deterministic per-subspace codebooks,
+    8-byte codes, ADC table-gather scan, exact re-rank of the top 50 —
+    the memory-bound tier where 10^10 float vectors cannot load but
+    their codes can."""
+    from .training.simsearch import pq_topk
+    register_views(spark, sf_dir)
+    return pq_topk(spark.table("embeddings"), query_vec_id=0, k=10)
+
+
 _register_golden("doc_fingerprint_winnow", _winnow, "doc_id")
 _register_golden("embed_ann_ivf", _embed_ivf, "dot_q DESC, vec_id")
+_register_golden("embed_ann_pq", _embed_pq, "dot_q DESC, vec_id")
 
 
 def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,6 +10,9 @@
   partition key, so a query is one partition-pruned scan.
 - IVF-style variant: k coarse centroids (deterministic subsample),
   assign-to-nearest as the bucket; same pruning structure.
+- product quantization (Jégou et al., TPAMI 2011): M-byte codes + ADC
+  table-gather scan + exact re-rank — the memory-bound 10^10-vector tier
+  (codes fit executor memory when the float vectors cannot).
 """
 
 from __future__ import annotations
@@ -237,4 +240,132 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
     probe = [int(i) for i in np.argsort(d2)[:nprobe]]
     cand_ids = assigned.filter(F.col("bucket").isin(probe)).select("vec_id")
     cand = emb.join(cand_ids, "vec_id", "left_semi")
+    return brute_force_topk(cand, query_vec_id, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bound 10^10-vector tier
+# ---------------------------------------------------------------------------
+# Public method: Jégou/Douze/Schmid, "Product Quantization for Nearest
+# Neighbor Search" (TPAMI 2011).  The vector is split into M subspaces,
+# each quantized to one of KSUB centroids, so a 64-dim float vector
+# becomes M bytes — at 10^10 vectors that is the difference between 2.5 TB
+# of codes (cache-resident per executor) and 2.5 PB of floats.  Query-time
+# scoring is an ADC (asymmetric distance computation) table gather: one
+# (M, KSUB) dot-product table built on the driver, broadcast with the
+# task, and summed per vector with a NumPy fancy-index — no float matmul
+# in the scan.  An exact re-rank of the top candidates restores
+# brute-force precision at the top of the list.
+
+PQ_M = 8            # subspaces → 8-byte codes
+PQ_KSUB = 16        # centroids per subspace (4-bit codes; 256 in prod)
+
+CODE_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("codes", T.ArrayType(T.IntegerType())),
+])
+
+ADC_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("adc_dot", T.DoubleType()),
+])
+
+
+def pq_codebooks(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
+                 sample: int = 512, lloyd_iters: int = 3) -> np.ndarray:
+    """(m, ksub, dim/m) codebooks trained on a bounded fixed-order sample:
+    farthest-point seeding + a few Lloyd iterations per subspace — fully
+    deterministic (no RNG), same pattern as :func:`ivf_centroids`."""
+    rows = (emb.orderBy("vec_id").limit(sample)
+            .select("embedding").collect())
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    dsub = mat.shape[1] // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        cents = [sub[0]]
+        d2 = ((sub - cents[0]) ** 2).sum(axis=1)
+        for _ in range(1, min(ksub, len(sub))):
+            cents.append(sub[int(np.argmax(d2))])
+            d2 = np.minimum(d2, ((sub - cents[-1]) ** 2).sum(axis=1))
+        c = np.stack(cents)
+        for _ in range(lloyd_iters):
+            assign = (((sub[:, None, :] - c[None, :, :]) ** 2)
+                      .sum(axis=2).argmin(axis=1))
+            for ci in range(len(c)):        # empty cells keep their centroid
+                mask = assign == ci
+                if mask.any():
+                    c[ci] = sub[mask].mean(axis=0)
+        books[j, : len(c)] = c
+        books[j, len(c):] = c[-1]           # degenerate tiny-sample fill
+    return books
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
+    """vec_id → M subspace code ids (one NumPy pass per Arrow batch).
+    ``books`` is a plain ndarray captured in the closure — broadcast once
+    per task exactly like the LSH plane matrix."""
+    m, ksub, dsub = books.shape
+
+    def _encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cn = (books ** 2).sum(axis=2)                      # (m, ksub)
+        for batch in it:
+            mat = np.stack(batch["embedding"].values).astype(np.float64)
+            sub = mat.reshape(len(mat), m, dsub)           # (n, m, dsub)
+            # ||x - c||^2 argmin == (||c||^2 - 2 x·c) argmin, per subspace
+            dots = np.einsum("nmd,mkd->nmk", sub, books)
+            codes = (cn[None, :, :] - 2.0 * dots).argmin(axis=2)
+            yield pd.DataFrame({
+                "vec_id": batch["vec_id"].astype("int64"),
+                "codes": list(codes.astype("int32")),
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _encode, schema=CODE_SCHEMA)
+
+
+def pq_adc_scan(codes: DataFrame, books: np.ndarray,
+                query: np.ndarray) -> DataFrame:
+    """ADC scan: approx dot(query, x) = sum_j table[j, code_j] with
+    table[j, c] = dot(query_sub_j, books[j, c]).  The scan touches ONLY
+    the code bytes — the float vectors never load."""
+    m, ksub, dsub = books.shape
+    table = np.einsum("md,mkd->mk", query.reshape(m, dsub), books)
+
+    def _scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = np.arange(m)
+        for batch in it:
+            cmat = np.stack(batch["codes"].values).astype(np.int64)
+            approx = table[cols[None, :], cmat].sum(axis=1)
+            yield pd.DataFrame({
+                "vec_id": batch["vec_id"].astype("int64"),
+                "adc_dot": approx,
+            })
+
+    return codes.mapInPandas(_scan, schema=ADC_SCHEMA)
+
+
+def pq_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+            m: int = PQ_M, ksub: int = PQ_KSUB,
+            refine: int = 50) -> DataFrame:
+    """PQ ANN: train codebooks on a bounded sample, encode the corpus to
+    M-byte codes, ADC-scan for the ``refine`` best candidates, then
+    exact-score just those and return the true top-k among them.
+
+    Plan shape at scale: encode is one Arrow map over the corpus (done
+    offline, stored as an 8-byte column); a query is one table-gather
+    scan + TakeOrderedAndProject over ``refine`` rows + a ``refine``-row
+    exact re-rank — no shuffle keyed on anything query-dependent."""
+    books = pq_codebooks(emb, m, ksub)
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).collect()[0]
+    q = np.array(qrow["embedding"], dtype=np.float64)
+    codes = pq_encode(emb, books)
+    cand_ids = (pq_adc_scan(codes, books, q)
+                .filter(F.col("vec_id") != query_vec_id)
+                .orderBy(F.desc("adc_dot"), "vec_id")
+                .limit(refine)
+                .select("vec_id"))
+    # keep the query row: the exact re-rank scorer reads it back out
+    cand = emb.join(cand_ids, "vec_id", "left_semi").unionByName(
+        emb.filter(F.col("vec_id") == query_vec_id))
     return brute_force_topk(cand, query_vec_id, k)

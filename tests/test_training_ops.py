@@ -230,6 +230,33 @@ def test_ivf_topk_contains_planted_neighbor(spark):
     assert 1 in ivf  # the planted near-duplicate survives list pruning
 
 
+def test_pq_topk_recovers_planted_neighbor(spark):
+    import numpy as np
+    from open_source_search_engine_spark.training.simsearch import (
+        brute_force_topk, pq_codebooks, pq_encode, pq_topk)
+    rng = np.random.RandomState(21)
+    base = rng.standard_normal(64)
+    rows = [(0, base.tolist()), (1, (base * 0.99).tolist())]
+    rows += [(i, rng.standard_normal(64).tolist()) for i in range(2, 80)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # codes are m ids in [0, ksub)
+    books = pq_codebooks(emb, m=8, ksub=16)
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 and
+               all(0 <= c < 16 for c in r["codes"]) for r in codes)
+    # ADC scan + exact re-rank finds the planted near-duplicate first
+    got = [r["vec_id"] for r in pq_topk(emb, 0, k=5).collect()]
+    assert got[0] == 1
+    # with refine >= corpus size the result equals exact brute force
+    exact = [(r["vec_id"], r["dot_q"])
+             for r in brute_force_topk(emb, 0, k=5).collect()]
+    full = [(r["vec_id"], r["dot_q"])
+            for r in pq_topk(emb, 0, k=5, refine=100).collect()]
+    assert full == exact
+    # deterministic codebooks → deterministic results
+    assert got == [r["vec_id"] for r in pq_topk(emb, 0, k=5).collect()]
+
+
 def test_multimodal_resize_and_frames(spark):
     import struct
     from open_source_search_engine_spark.training.multimodal import (
