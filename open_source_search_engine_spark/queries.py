@@ -403,8 +403,8 @@ def _embed_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("embed_topk_bruteforce", _embed_topk_spark, """
 SELECT CAST(d.vec_id AS BIGINT) AS vec_id,
-       SUM(CAST(ROUND(CAST(d.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
-           * CAST(ROUND(CAST(q.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS dot_q
+       CAST(SUM(CAST(ROUND(CAST(d.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
+           * CAST(ROUND(CAST(q.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot_q
 FROM embeddings d, embeddings q, range(1, 65) t(i)
 WHERE q.vec_id = 0 AND d.vec_id <> 0
 GROUP BY d.vec_id
@@ -851,7 +851,8 @@ WITH pairs AS (
   FROM embeddings a, embeddings b
   WHERE a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb, dot_q
+SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb,
+       CAST(dot_q AS BIGINT) AS dot_q
 FROM pairs WHERE dot_q >= 150000 ORDER BY va, vb
 """)
 
@@ -2745,8 +2746,9 @@ WITH toks AS (
 )
 SELECT grp AS "group", doc_id, n_tokens, CAST(chunk_id AS BIGINT)
          AS chunk_id,
-       GREATEST(chunk_id * 512 - tok_offset, 0) AS tok_start,
-       LEAST(chunk_id * 512 + 512 - tok_offset, n_tokens) AS tok_end
+       CAST(GREATEST(chunk_id * 512 - tok_offset, 0) AS BIGINT) AS tok_start,
+       CAST(LEAST(chunk_id * 512 + 512 - tok_offset, n_tokens) AS BIGINT)
+         AS tok_end
 FROM chunks
 ORDER BY "group", chunk_id, doc_id
 """)

@@ -53,3 +53,23 @@ def test_rows_only_runs(spark, name):
     df = QUERIES[name](spark, SF)
     assert df.count() >= 0
     assert len(df.columns) >= 2
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_arrow_types_are_hashable(duck, name):
+    """The driver hashes oracle results via Arrow, where DuckDB's HUGEINT
+    (the result type of an uncast SUM(BIGINT)) surfaces as decimal128(38,0)
+    and hash-mismatches a value-identical Spark BIGINT column.  Round 2 lost
+    two green rows to exactly this (embed_topk_bruteforce,
+    dedup_embed_cosine_pairs, VERDICT r2 item 1) — gate the whole class:
+    no oracle may emit a decimal/hugeint-typed column.  LIMIT 0 keeps it
+    schema-only (no data materialized)."""
+    import pyarrow as pa
+
+    schema = duck.execute(
+        f"SELECT * FROM ({ORACLES[name]}) _typegate LIMIT 0").arrow().schema
+    bad = [f"{f.name}:{f.type}" for f in schema
+           if pa.types.is_decimal(f.type)]
+    assert not bad, (
+        f"{name}: oracle emits decimal/HUGEINT columns {bad} — "
+        f"CAST the aggregate to BIGINT/DOUBLE in the oracle SQL")
