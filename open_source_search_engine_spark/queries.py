@@ -577,9 +577,14 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_hamming=6 keeps the pigeonhole segments 9-10 bits wide so each
+    bucket holds ~1/2^9 of the corpus — candidate count stays O(n·k).  At
+    h=16 (round-2 config) the 3-4-bit segments made the bucket join
+    near-quadratic (~n²/16 candidates); the kernel docstring mandates
+    h<=6 at scale."""
     from .training.dedup import simhash_fingerprints, simhash_near_dups
     fps = simhash_fingerprints(_docs_long(spark, sf_dir))
-    return simhash_near_dups(fps, max_hamming=16).orderBy("doc_a", "doc_b")
+    return simhash_near_dups(fps, max_hamming=6).orderBy("doc_a", "doc_b")
 
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -335,24 +335,65 @@ def _simhash_segments(max_hamming: int) -> list[tuple[int, int]]:
     return out
 
 
-def simhash_near_dups(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pigeonhole LSH over the 64-bit fingerprint: split into max_hamming+1
-    segments (so recall is guaranteed AT the configured threshold, not just
-    at hamming<=3), bucket-join per segment, verify with bit_count.  Note
-    the precision/shuffle tradeoff: larger thresholds mean narrower
-    segments and denser buckets — at 100 TB keep max_hamming small (<=6)
-    or pre-block by another key."""
+def _simhash_block_tables(max_hamming: int,
+                          blocks_per_key: int | None = None
+                          ) -> tuple[list[tuple[int, int]],
+                                     list[tuple[int, ...]]]:
+    """Manku/Jain/Das Sarma (WWW'07 §3) generalized block scheme: split the
+    64 bits into k = max_hamming + c blocks and bucket on every
+    c-combination of blocks.  Pigeonhole: h errors touch <= h blocks, so
+    >= c blocks stay untouched and that exact combination matches —
+    recall is guaranteed AT max_hamming while each bucket key carries
+    c*64/k bits instead of 64/(h+1).  c=1 degenerates to the plain
+    pigeonhole.  c is auto-chosen as the largest of {3,2,1} keeping the
+    table count C(h+c, c) <= 128 (shuffle volume = tables * rows).
+
+    Wider keys matter on template-correlated corpora: a shared boilerplate
+    makes single 9-10-bit segments near-constant across huge doc groups
+    (a 234-doc bucket at sf0.01), turning the bucket join ~quadratic; at
+    22-bit 3-block keys the same corpus tops out at 29 docs per bucket."""
+    from itertools import combinations
+    from math import comb
+
+    if blocks_per_key is None:
+        blocks_per_key = next(
+            c for c in (3, 2, 1) if comb(max_hamming + c, c) <= 128)
+    k = max_hamming + blocks_per_key
+    if k > 64:
+        raise ValueError("max_hamming too large for 64-bit fingerprints")
+    base, rem = divmod(64, k)
+    blocks, off = [], 0
+    for s in range(k):
+        w = base + (1 if s < rem else 0)
+        blocks.append((off, w))
+        off += w
+    return blocks, list(combinations(range(k), blocks_per_key))
+
+
+def simhash_near_dups(fps: DataFrame, max_hamming: int = 3,
+                      blocks_per_key: int | None = None) -> DataFrame:
+    """Simhash near-dup pairs via c-of-k block LSH (see
+    _simhash_block_tables), bucket-join per table key, verify with
+    bit_count.  Recall is exact at the threshold; precision comes from the
+    popcount verify.  At 100 TB keep max_hamming <= 6 so keys stay >= 20
+    bits wide and buckets stay O(cluster size), not O(corpus)."""
+    blocks, tables = _simhash_block_tables(max_hamming, blocks_per_key)
+    block_cols = [
+        F.shiftrightunsigned("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+        for off, w in blocks]
+    # pack c block values (each < 2^16 since k >= 4) + table id into one
+    # 64-bit key: tables fit in the bits above 16*c (c <= 3 -> <= 48 used)
+    keys = []
+    for t, combo in enumerate(tables):
+        key = F.lit(t)
+        for b in combo:
+            key = F.shiftleft(key, 16).bitwiseOR(block_cols[b])
+        keys.append(key)
     segs = fps.select(
-        "doc_id", "simhash",
-        F.posexplode(F.array(*[
-            (F.shiftrightunsigned("simhash", off)
-             .bitwiseAND(F.lit((1 << w) - 1)))
-            for off, w in _simhash_segments(max_hamming)
-        ])).alias("seg_idx", "seg_val"))
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("bkey"))
     l, r = segs.alias("l"), segs.alias("r")
     pairs = (
-        l.join(r, (F.col("l.seg_idx") == F.col("r.seg_idx"))
-               & (F.col("l.seg_val") == F.col("r.seg_val"))
+        l.join(r, (F.col("l.bkey") == F.col("r.bkey"))
                & (F.col("l.doc_id") < F.col("r.doc_id")))
         .select(F.col("l.doc_id").alias("doc_a"),
                 F.col("r.doc_id").alias("doc_b"),

@@ -331,6 +331,50 @@ def test_simhash_recall_at_configured_threshold(spark):
     assert simhash_near_dups(fps, max_hamming=9).count() == 0
 
 
+def test_simhash_catalog_candidate_count_subquadratic(spark):
+    """The catalog entry runs max_hamming=6 (9-10-bit segments).  Assert
+    the pre-verify candidate-pair count on the real sf0.01 corpus stays
+    O(n·k), nowhere near the ~n²/16 the round-2 h=16 config produced
+    (41,047 of 124,750 possible pairs) — this is the scale guarantee, not
+    just the recall one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.queries import _docs_long
+    from open_source_search_engine_spark.training.dedup import (
+        _simhash_block_tables, simhash_fingerprints)
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        import pytest
+        pytest.skip("sf0.01 testdata missing")
+    fps = simhash_fingerprints(_docs_long(spark, sf)).cache()
+    n = fps.count()
+    blocks, tables = _simhash_block_tables(6)
+    block_cols = [
+        F.shiftrightunsigned("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+        for off, w in blocks]
+    keys = []
+    for t, combo in enumerate(tables):
+        key = F.lit(t)
+        for b in combo:
+            key = F.shiftleft(key, 16).bitwiseOR(block_cols[b])
+        keys.append(key)
+    segs = fps.select("doc_id", F.explode(F.array(*keys)).alias("bkey"))
+    # candidate pairs before popcount verify = sum over buckets of C(c,2)
+    cand = (segs.groupBy("bkey").count()
+            .select(F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                    .alias("pairs")).collect()[0]["pairs"])
+    biggest = (segs.groupBy("bkey").count()
+               .agg(F.max("count")).collect()[0][0])
+    fps.unpersist()
+    # h=16 single-segment gave ~n^2/3 candidates here and a 234-doc
+    # mega-bucket; the 3-of-9 block scheme must stay linear-ish.
+    assert cand < 32 * n, f"candidate join too dense: {cand} pairs for n={n}"
+    assert biggest < n // 8, f"mega-bucket survived: {biggest} docs (n={n})"
+
+
 def test_dedup_keepers_chain_clusters(spark):
     """a~b and b~c (no a~c pair) must keep only the cluster minimum a —
     and must NOT over-drop when a doc's only duplicate was itself dropped
