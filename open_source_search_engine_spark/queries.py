@@ -865,8 +865,11 @@ FROM pairs WHERE dot_q >= 150000 ORDER BY va, vb
 def _token_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram(1) Jaccard near-dup pairs over blocked candidates (same
     source+lang) — JVM-side array set ops; scaled-integer score for exact
-    cross-engine hashing.  The 3-gram shingle variant is the MinHash path
-    (training/dedup.py)."""
+    cross-engine hashing.  FIXTURE-ONLY blocking: within-block all-pairs is
+    quadratic in the block, and an "en/web" block at 100 TB IS the corpus —
+    the scale path is dedup_ngram_jaccard_pairs_lsh below (MinHash-LSH
+    bucket block over the same unigram space, exact-Jaccard verified), the
+    same split dedup_embed_cosine_pairs/_lsh uses."""
     register_views(spark, sf_dir)
     toks = spark.table("documents").select(
         "doc_id", "source", "lang",
@@ -905,6 +908,48 @@ WHERE a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
                  / len(list_distinct(a.toks || b.toks))) AS BIGINT) >= 8000
 ORDER BY da, db
 """)
+
+
+def _token_jaccard_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for unigram-Jaccard near-dup pairs: no label-column
+    blocking, no within-block all-pairs.  Candidates come from banded
+    MinHash-LSH over shingle_k=1 signatures (the minhash of a token
+    multiset equals the minhash of its set, so the estimator lives in
+    exactly the space the verify measures); survivors are exact-verified
+    with array_intersect/array_union.  The only wide operations are the
+    band-bucket self-join (uniform hash keys, no skew) and one join back
+    to the token arrays.  At 16 bands x 4 rows a true pair at j=0.8 is
+    missed with probability (1-0.8^4)^16 ~= 2e-4; the golden pins the
+    fixture's planted pairs, and the recall test cross-checks against the
+    exact all-pairs computation at sf0.01."""
+    from .training.dedup import lsh_candidate_pairs, minhash_signatures
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    sigs = minhash_signatures(docs, shingle_k=1)
+    # generous LSH pre-filter (est >= 0.5) so estimator noise cannot drop
+    # a true j>=0.8 pair; precision comes from the exact verify below
+    cand = lsh_candidate_pairs(sigs, threshold=0.5)
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    return (
+        cand
+        .join(toks.select(F.col("doc_id").alias("doc_a"),
+                          F.col("toks").alias("ta")), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"),
+                          F.col("toks").alias("tb")), "doc_b")
+        .withColumn("jacc_x10000",
+                    F.round(F.lit(10000.0)
+                            * F.size(F.array_intersect("ta", "tb"))
+                            / F.size(F.array_union("ta", "tb"))).cast("long"))
+        .filter(F.col("jacc_x10000") >= 8000)
+        .select(F.col("doc_a").cast("long").alias("da"),
+                F.col("doc_b").cast("long").alias("db"), "jacc_x10000")
+        .orderBy("da", "db")
+    )
+
+
+_register_golden("dedup_ngram_jaccard_pairs_lsh", _token_jaccard_lsh_spark,
+                 "da, db")
 
 
 def _search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

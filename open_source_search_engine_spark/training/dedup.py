@@ -195,10 +195,11 @@ SIG_SCHEMA = T.StructType([
 ])
 
 
-def minhash_map_in_pandas(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def minhash_map_in_pandas(it: Iterator[pd.DataFrame],
+                          shingle_k: int = 3) -> Iterator[pd.DataFrame]:
     for batch in it:
         th, offs = _token_hashes_batch(batch["text"])
-        flat, sh_offs = _shingle_hashes_flat(th, offs)
+        flat, sh_offs = _shingle_hashes_flat(th, offs, k=shingle_k)
         prod = _mod_mersenne(flat[:, None] * _A[None, :] + _B[None, :])
         sigs_mat = (np.minimum.reduceat(prod, sh_offs[:-1], axis=0)
                     if len(flat) else np.zeros((0, N_HASHES), np.uint64))
@@ -217,10 +218,16 @@ def _spread_input(docs: DataFrame) -> DataFrame:
     return docs
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, text) → (doc_id, sig array<long>[64])."""
+def minhash_signatures(docs: DataFrame, shingle_k: int = 3) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, sig array<long>[64]).
+
+    shingle_k=1 minhashes the unigram token SET (duplicates don't move a
+    min), i.e. the same similarity space as an exact token-Jaccard verify;
+    k=3 (default) is the order-sensitive shingle space for near-dup text."""
+    def _fn(it):
+        return minhash_map_in_pandas(it, shingle_k=shingle_k)
     return _spread_input(docs.select("doc_id", "text")).mapInPandas(
-        minhash_map_in_pandas, schema=SIG_SCHEMA)
+        _fn, schema=SIG_SCHEMA)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5) -> DataFrame:

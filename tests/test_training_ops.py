@@ -375,6 +375,44 @@ def test_simhash_catalog_candidate_count_subquadratic(spark):
     assert biggest < n // 8, f"mega-bucket survived: {biggest} docs (n={n})"
 
 
+def test_ngram_jaccard_lsh_recall_vs_exact(spark):
+    """dedup_ngram_jaccard_pairs_lsh (MinHash-LSH blocked, no label
+    columns) must recover essentially every pair the exact all-pairs
+    unigram-Jaccard >= 0.8 computation finds at sf0.01.  With 16 bands x 4
+    rows and a 0.5 est prefilter the per-pair miss probability at j=0.8 is
+    (1-0.8^4)^16 ~= 2e-4, so demand >= 99.5% recall and perfect precision
+    (the exact verify guarantees the latter by construction)."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from open_source_search_engine_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("sf0.01 testdata missing")
+    got = {(r["da"], r["db"]): r["jacc_x10000"]
+           for r in QUERIES["dedup_ngram_jaccard_pairs_lsh"](spark, sf)
+           .collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf}/documents.parquet'")
+    exact = {(r[0], r[1]): r[2] for r in con.execute("""
+        WITH t AS (SELECT doc_id,
+                          list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT),
+               CAST(ROUND(10000.0 * len(list_intersect(a.toks, b.toks))
+                    / len(list_distinct(a.toks || b.toks))) AS BIGINT) AS j
+        FROM t a, t b WHERE a.doc_id < b.doc_id
+        """).fetchall() if r[2] >= 8000}
+    # precision: every emitted pair is a true pair with the exact score
+    assert all(exact.get(k) == v for k, v in got.items())
+    recall = len(got) / len(exact)
+    assert recall >= 0.995, f"recall {recall:.4f} ({len(got)}/{len(exact)})"
+
+
 def test_dedup_keepers_chain_clusters(spark):
     """a~b and b~c (no a~c pair) must keep only the cluster minimum a —
     and must NOT over-drop when a doc's only duplicate was itself dropped
