@@ -284,7 +284,10 @@ class CrawlRunner:
         snap.record_write(m, self.state_dir, table, rnd, n)
         return n
 
-    def _read_all(self, table: str, m: snap.Manifest) -> DataFrame | None:
+    def _read_all(self, table: str,
+                  m: snap.Manifest | None) -> DataFrame | None:
+        if m is None:          # never-committed state dir: same as no rows
+            return None
         dirs = snap.committed_dirs(self.state_dir, table, m)
         if not dirs:
             return None
@@ -885,7 +888,8 @@ class CrawlRunner:
         the atomic manifest commit switches readers over — a crash mid-
         compaction leaves the old snapshot intact (Iceberg-style rewrite)."""
         m = snap.load_manifest(self.state_dir)
-        assert m is not None, "nothing to compact"
+        if m is None or self._read_all("requests", m) is None:
+            return    # nothing committed yet — compaction is a no-op
         gen = min([0] + [int(k.split("/")[1]) for k in m.rows
                          if k.startswith("requests/")]) - 1
         requests = self._read_all("requests", m)
@@ -909,10 +913,18 @@ class CrawlRunner:
         snap.commit_manifest(self.state_dir, m)
 
     # -------------------------------------------------------------- outputs
+    # All accessors return schema-correct EMPTY frames when the crawl never
+    # committed the corresponding log (e.g. every seed robots-blocked or
+    # quota-rejected before wave 1) — a zero-fetch crawl is a legitimate
+    # outcome, not an assertion failure.
     def crawl_order(self) -> DataFrame:
         m = snap.load_manifest(self.state_dir)
         waves = self._read_all("waves", m)
-        assert waves is not None
+        if waves is None:
+            return self.spark.createDataFrame(
+                [], "round int, seq_in_round int, uh48 long, "
+                    "url_norm string, first_ip long, priority int, "
+                    "hop_count int, fetch_at_ms long")
         return waves.select("round", "seq_in_round", "uh48",
                             F.col("url").alias("url_norm"), "first_ip",
                             "priority", "hop_count", "fetch_at_ms")
@@ -920,7 +932,9 @@ class CrawlRunner:
     def url_seen(self) -> DataFrame:
         m = snap.load_manifest(self.state_dir)
         req = self._read_all("requests", m)
-        assert req is not None
+        if req is None:
+            return self.spark.createDataFrame(
+                [], "uh48 long, url_norm string, first_seen_round int")
         return req.groupBy("uh48").agg(
             F.min_by("url", "round").alias("url_norm"),
             F.min("round").alias("first_seen_round"))
@@ -971,7 +985,8 @@ class CrawlRunner:
         Linkdb."""
         m = snap.load_manifest(self.state_dir)
         req = self._read_all("requests", m)
-        assert req is not None
+        if req is None:
+            return self.spark.createDataFrame([], "src long, dst long")
         return (req.filter((F.col("parent_uh48") >= 0)   # -1 = seed/inject
                            & (F.col("parent_uh48") != F.col("uh48")))
                 .select(F.col("parent_uh48").alias("src"),
