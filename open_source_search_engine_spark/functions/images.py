@@ -99,7 +99,11 @@ def thumbnail_media(selected: DataFrame, media: DataFrame,
     and only matched blobs ever decode — the resize UDF never sees an
     unselected image."""
     from ..training.multimodal import resize_media
-    matched = (media.join(
+    # one payload per URL: the same media_url fetched twice (re-crawl, two
+    # pages embedding it) must not fan out the join — each duplicate would
+    # multiply through the matched x thumbs self-join below
+    media_one = media.dropDuplicates(["media_url"])
+    matched = (media_one.join(
         F.broadcast(selected.withColumnRenamed("thumbnail", "media_url")),
         "media_url")
         .select(F.col("doc_id").alias("media_id"), "kind", "payload",

@@ -79,9 +79,15 @@ def decode_ppm(payload: bytes) -> np.ndarray:
                 pos += 1
             continue
         start = pos
-        while pos < n and not payload[pos:pos + 1].isspace():
+        # a '#' glued to a token with no separating whitespace ("13#c\n9")
+        # is legal PNM: the comment starts mid-stream, the token ends there
+        while (pos < n and not payload[pos:pos + 1].isspace()
+               and payload[pos] != 0x23):
             pos += 1
         tokens.append(int(payload[start:pos]))
+    if payload[pos:pos + 1] == b"#":     # comment glued to maxval: its
+        while pos < n and payload[pos] != 0x0A:   # newline is the single
+            pos += 1                               # ws before the raster
     pos += 1                                       # single ws after maxval
     w, h, maxval = tokens
     if maxval != 255:

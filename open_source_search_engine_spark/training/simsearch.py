@@ -279,6 +279,12 @@ def pq_codebooks(emb: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB,
     rows = (emb.orderBy("vec_id").limit(sample)
             .select("embedding").collect())
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if mat.shape[1] % m != 0:
+        raise ValueError(
+            f"PQ requires the embedding dim to be divisible by m: "
+            f"dim={mat.shape[1]}, m={m} — pick m from the divisors of the "
+            f"dim (pq_encode/pq_adc_scan reshape into m x {mat.shape[1]}/m "
+            f"subvectors)")
     dsub = mat.shape[1] // m
     books = np.empty((m, ksub, dsub))
     for j in range(m):
@@ -330,6 +336,10 @@ def pq_adc_scan(codes: DataFrame, books: np.ndarray,
     table[j, c] = dot(query_sub_j, books[j, c]).  The scan touches ONLY
     the code bytes — the float vectors never load."""
     m, ksub, dsub = books.shape
+    if query.size != m * dsub:
+        raise ValueError(
+            f"query dim {query.size} does not match the codebooks' "
+            f"m*dsub = {m}*{dsub} = {m * dsub}")
     table = np.einsum("md,mkd->mk", query.reshape(m, dsub), books)
 
     def _scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

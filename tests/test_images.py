@@ -69,3 +69,8 @@ def test_thumbnail_media_end_to_end(spark, media):
         assert (out[doc]["out_width"], out[doc]["out_height"]) == (ow, oh)
         header = b"P6\n%d %d\n255\n" % (ow, oh)
         assert out[doc]["payload_out_bytes"] == len(header) + ow * oh * 3
+    # duplicate payload rows (same media_url fetched twice) must not fan
+    # out: still exactly one row per doc
+    dup_blobs = media_blobs.union(media_blobs)
+    rows = thumbnail_media(sel, dup_blobs).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 4]

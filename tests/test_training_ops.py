@@ -119,6 +119,13 @@ def test_multimodal_codec_roundtrips():
     body = encode_ppm(px).split(b"\n", 1)[1]
     weird = b"P6 # c\n# comment line\n 13\t9\n255\n" + body.split(b"\n", 2)[2]
     assert np.array_equal(decode_ppm(weird), px)
+    # comments glued to tokens with NO separating whitespace are legal PNM:
+    # the token ends at the '#', the comment runs to end-of-line
+    raster = px.tobytes()
+    glued = b"P6\n13#c\n9\n255\n" + raster
+    assert np.array_equal(decode_ppm(glued), px)
+    glued_maxval = b"P6\n13 9 255#tail comment\n" + raster
+    assert np.array_equal(decode_ppm(glued_maxval), px)
     samples = (np.sin(np.arange(400) / 7.0) * 20000).astype(np.int16)
     sr, got = decode_wav(encode_wav(samples, 8000))
     assert sr == 8000 and np.array_equal(got, samples)
@@ -255,6 +262,14 @@ def test_pq_topk_recovers_planted_neighbor(spark):
     assert full == exact
     # deterministic codebooks → deterministic results
     assert got == [r["vec_id"] for r in pq_topk(emb, 0, k=5).collect()]
+    # misuse fails loudly at train time, not as an opaque reshape error
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(emb, m=7, ksub=16)
+    from open_source_search_engine_spark.training.simsearch import \
+        pq_adc_scan
+    with pytest.raises(ValueError, match="does not match"):
+        pq_adc_scan(pq_encode(emb, books), books, np.zeros(63))
 
 
 def test_multimodal_resize_and_frames(spark):
