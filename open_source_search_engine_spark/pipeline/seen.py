@@ -97,7 +97,14 @@ def probe_bloom(new_df: DataFrame, bloom_rows: list, key_col: str = "uh48",
                 flag_name: str = "maybe_seen") -> DataFrame:
     """Adds ``maybe_seen``: Bloom membership per row, vectorized.  The
     bitmaps ship once per executor via Spark broadcast (mapPartitions-side
-    lookup, not a join against the big side)."""
+    lookup, not a join against the big side).
+
+    FIXTURE-SCALE ONLY: ``bloom_rows`` is a driver-resident list of
+    bitmaps — at 10^10 URLs those bitmaps are tens of GB and must never
+    be collected.  The production path is :class:`BloomState` +
+    :func:`filter_new_requests_incremental`, whose bitmaps stay a
+    distributed (bucket, bitmap) table probed via a per-bucket cogroup.
+    Kept for unit tests of the bitmap kernels only."""
     spark = new_df.sparkSession
     table = {int(r["bucket"]): (np.frombuffer(r["bitmap"], dtype=np.uint8),
                                 int(r["n_bits"])) for r in bloom_rows}
@@ -122,30 +129,6 @@ def probe_bloom(new_df: DataFrame, bloom_rows: list, key_col: str = "uh48",
                              probe_udf(F.col(key_col), bucket_expr))
 
 
-def filter_new_requests(new_req: DataFrame, seen_requests: DataFrame,
-                        n_buckets: int = 64) -> DataFrame:
-    """The full F5 scale path with exact fallback (parity-safe drop rule —
-    see module docstring).  ``seen_requests`` is the deduplicated current
-    frontier (uh48, hop_count, discovery_time)."""
-    bloom_rows = build_bloom(seen_requests, n_buckets=n_buckets).collect()
-    probed = probe_bloom(new_req, bloom_rows, n_buckets=n_buckets)
-    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    existing = seen_requests.select(
-        "uh48", F.col("hop_count").alias("seen_hop"),
-        F.col("discovery_time").alias("seen_disc"))
-    kept = (
-        probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        .join(existing, "uh48", "left")
-        .filter(
-            F.col("seen_hop").isNull()                     # false positive
-            | (F.col("hop_count") < F.col("seen_hop"))     # hop-aware re-add
-            | ((F.col("hop_count") == F.col("seen_hop"))
-               & (F.col("discovery_time") <= F.col("seen_disc"))))
-        .drop("seen_hop", "seen_disc")
-    )
-    return definite_new.unionByName(kept)
-
-
 class BloomState:
     """Incrementally maintained DISTRIBUTED partitioned Bloom filter.
 
@@ -163,7 +146,7 @@ class BloomState:
     (same rows, same update job).
 
     Correctness note: Bloom state is a performance structure only — the
-    exact fallback join in filter_new_requests guarantees output parity
+    exact fallback join in filter_new_requests_incremental guarantees parity
     regardless of FP rate; an overfull bucket degrades speed, never
     results.  ``overfull()`` (a 64-row count collect, no bitmap movement)
     tells the caller when a resized rebuild from the full frontier is
