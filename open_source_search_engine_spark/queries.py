@@ -481,6 +481,11 @@ GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "fixtures", "golden")
 
+# the dictionary-synset fixture (Wiktionary.cpp analogue) — both the
+# Spark side (search.synsets.load_synsets) and the DuckDB oracles read
+# this one parquet
+from .search.synsets import SYNSETS_PATH as _SYNSETS_PARQUET  # noqa: E402
+
 
 def _golden_oracle(name: str, order_sql: str) -> str:
     path = os.path.join(GOLDEN_DIR, GOLDEN_SF, f"{name}.parquet")
@@ -1980,32 +1985,48 @@ LIMIT 50
 
 def _q1_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synonym expansion (Synonyms.cpp synsets; Conf::m_synonymWeight 0.9,
-    Parms.cpp:4369-4374): 'fast sort' with synset sort->{order} — a doc
-    scores the BEST form per term group, base tf*10 vs synonym tf*9."""
+    Parms.cpp:4369-4374) fed by the DICTIONARY fixture — the
+    Wiktionary.cpp analogue (fixtures/synsets/synsets.parquet via
+    search.synsets.load_synsets): 'fast merge' where merge->{join,...}
+    per the fixture — a doc scores the BEST form per term group, base
+    tf*10 vs synonym tf*9, and EVERY query term is expanded through the
+    dictionary like getSynSet runs per query word."""
     from .search.postings import build_postings
     from .search.queryparse import search_query
+    from .search.synsets import load_synsets
     register_views(spark, sf_dir)
     postings = build_postings(spark.table("documents"))
-    return search_query(postings, "fast sort", k=20,
-                        synonyms={"sort": ("order",)})
+    return search_query(postings, "fast merge", k=20,
+                        synonyms=load_synsets())
 
 
-_register("q1_synonym_search", _q1_synonyms, """
+_register("q1_synonym_search", _q1_synonyms, f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
   FROM documents
 ), postings AS (
   SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
   FROM tok WHERE length(term) > 0 GROUP BY term, doc_id
-), grp AS (
+), syn AS (
+  SELECT term, alt FROM '{_SYNSETS_PARQUET}'
+), grp_fast AS (
   SELECT doc_id,
-         MAX(CASE WHEN term = 'sort' THEN tf * 10 ELSE tf * 9 END) AS sp
-  FROM postings WHERE term IN ('sort', 'order') GROUP BY doc_id
+         MAX(CASE WHEN term = 'fast' THEN tf * 10 ELSE tf * 9 END) AS sp
+  FROM postings
+  WHERE term = 'fast'
+     OR term IN (SELECT alt FROM syn WHERE syn.term = 'fast')
+  GROUP BY doc_id
+), grp_merge AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = 'merge' THEN tf * 10 ELSE tf * 9 END) AS sp
+  FROM postings
+  WHERE term = 'merge'
+     OR term IN (SELECT alt FROM syn WHERE syn.term = 'merge')
+  GROUP BY doc_id
 )
 SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
-       CAST(f.tf * 10 + g.sp AS BIGINT) AS score
-FROM postings f JOIN grp g ON f.doc_id = g.doc_id
-WHERE f.term = 'fast'
+       CAST(f.sp + m.sp AS BIGINT) AS score
+FROM grp_fast f JOIN grp_merge m USING (doc_id)
 ORDER BY score DESC, doc_id
 LIMIT 20
 """)
@@ -2396,6 +2417,44 @@ def _q2_posdb_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("q2_posdb_rank_topk", _q2_posdb_rank, "doc_id")
+
+
+def _q2_posdb_synonym_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posdb ranking with the QueryTermInfo synonym sublist mini-merge
+    (PosdbTable.cpp:929-932 0.9 weight per synonym occurrence) fed by
+    the DICTIONARY fixture (Wiktionary.cpp analogue,
+    search.synsets.load_synsets): 'data merge' where the fixture expands
+    merge->{join,...} — a doc matches term 2 through ANY form and
+    synonym occurrences score at 0.9."""
+    from .search.posdbrank import build_posdb_index, posdb_rank_search
+    from .search.synsets import load_synsets
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.array_join(F.slice(toks, 1, 4), " "),
+        F.lit("</title></head><body><h1>"),
+        F.array_join(F.slice(toks, 5, 3), " "),
+        F.lit("</h1><p>"),
+        F.array_join(F.slice(toks, 8, F.size(toks)), " "),
+        F.lit(".</p></body></html>"))
+    hdocs = docs.select(
+        "doc_id", html.alias("content"),
+        (F.col("doc_id") % 10).cast("int").alias("site_rank"),
+        "lang")
+    idx = build_posdb_index(hdocs)
+    n_docs = docs.count()
+    syn = {t: list(a) for t, a in load_synsets().items()}
+    out = posdb_rank_search(idx, hdocs, ["data", "merge"],
+                            num_docs=n_docs, k=25, qlang="en",
+                            synonyms=syn)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.round("score", 6).alias("score"))
+            .orderBy("doc_id"))
+
+
+_register_golden("q2_posdb_synonym_rank", _q2_posdb_synonym_rank, "doc_id")
 
 
 def _text_site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:

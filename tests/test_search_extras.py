@@ -48,6 +48,44 @@ class TestSynonymForms:
         assert generated_forms("word") == []
 
 
+class TestSynsetFixture:
+    """The dictionary fixture (Wiktionary.cpp analogue):
+    fixtures/synsets/synsets.parquet built by scripts/make_synsets.py."""
+
+    def test_loads_and_has_real_size(self):
+        from open_source_search_engine_spark.search.synsets import (
+            SYNSETS_PATH, load_synsets)
+        import os
+        assert os.path.exists(SYNSETS_PATH)
+        syn = load_synsets()
+        # "a few hundred entries" — the Wiktionary pattern, not a toy map
+        assert len(syn) >= 200
+        assert all(isinstance(v, tuple) and v for v in syn.values())
+
+    def test_rank_order_preserved(self):
+        # alts come back in the synset's authored emit order (rank col)
+        from open_source_search_engine_spark.search.synsets import (
+            load_synsets)
+        syn = load_synsets()
+        assert syn["merge"][0] == "join"
+        assert syn["fast"] == ("quick", "rapid", "swift", "speedy")
+
+    def test_feeds_expand_term(self):
+        # getSynSet per query word (Synonyms.cpp:186) through the fixture
+        from open_source_search_engine_spark.search.synsets import (
+            load_synsets)
+        forms = expand_term("merge", load_synsets())
+        assert forms[0] == ("merge", 10)
+        assert ("join", 9) in forms
+
+    def test_apostrophe_retry_through_fixture(self):
+        # Synonyms.cpp:187-194 's-strip retry hits the fixture headword
+        from open_source_search_engine_spark.search.synsets import (
+            load_synsets)
+        forms = expand_term("merge's", load_synsets())
+        assert ("join", 9) in forms
+
+
 def test_synonym_term_docs_scores_best_form(spark):
     # doc 1 has the base term twice (tf2*10=20) and the synonym thrice
     # (tf3*9=27): the doc scores max(20, 27)=27, never the sum
