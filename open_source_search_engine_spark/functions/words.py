@@ -63,7 +63,24 @@ _CJK = 10
 _HANGUL = 11
 _ARMENIAN = 12
 
+_INHERITED = 13
+
 _SCRIPT_RANGES = (
+    # Inherited-script combining marks FIRST (they overlap concrete-script
+    # blocks, e.g. U+3099 sits inside the Hiragana block).  Ranges are the
+    # exact script=Inherited runs of the reference's compiled scripts.dat
+    # (ucdata/scripts.dat read back through UCPropTable::deserialize):
+    # a mark in these blocks carries its OWN script value, so it breaks a
+    # word whose previous char was any other script (Words.cpp:357
+    # ``saved != oldScript``) — NFD "café" really segments as "cafe"+mark
+    # in the reference, while same-script marks (Devanagari U+093E,
+    # Hebrew points U+05B0) continue their word.  U+200C/200D are listed
+    # Inherited too but never reach the script check (UC_IGNORABLE
+    # continue, Words.cpp:334).
+    (0x0300, 0x0357, _INHERITED), (0x035D, 0x036F, _INHERITED),
+    (0x064B, 0x0655, _INHERITED), (0x0670, 0x0670, _INHERITED),
+    (0x20D0, 0x20EA, _INHERITED), (0x302A, 0x302F, _INHERITED),
+    (0x3099, 0x309A, _INHERITED), (0xFE20, 0xFE23, _INHERITED),
     (0x0370, 0x03FF, _GREEK), (0x1F00, 0x1FFF, _GREEK),
     (0x0400, 0x052F, _CYRILLIC),
     (0x0530, 0x058F, _ARMENIAN),
@@ -91,15 +108,30 @@ def _script(cp: int) -> int:
     return _COMMON
 
 
-def _is_extend(ch: str) -> bool:
-    """UC_IGNORABLE | UC_EXTEND: combining marks + format chars."""
+def _is_ignorable(ch: str) -> bool:
+    """UC_IGNORABLE | UC_EXTEND — the continue-without-looking set checked
+    FIRST in the word scan (Words.cpp:334).  In the reference's compiled
+    table (ucdata/properties.dat) every Cf is IGNORABLE, plus the Mn
+    variation selectors U+FE00-FE0F and Mongolian FVS U+180B-180D (which
+    are WORDCHAR too, but the ignorable check wins by order)."""
     import unicodedata
-    return unicodedata.category(ch) in ("Mn", "Me", "Cf")
+    return (unicodedata.category(ch) == "Cf"
+            or "\ufe00" <= ch <= "\ufe0f"
+            or "\u180b" <= ch <= "\u180d")
 
 
 def _is_alnum(ch: str) -> bool:
-    """is_alnum_utf8 / ucIsWordChar: the word-char property."""
-    return ch.isalnum()
+    """is_alnum_utf8 / ucIsWordChar: the UC_WORDCHAR property.  The
+    reference's table generator (misc/create_ucd_tables.cpp:102-203) sets
+    it for general categories L*/N*, DerivedCoreProps Alphabetic (which
+    pulls in the Mn/Mc/Me vowel signs and points Python's isalnum
+    rejects), Grapheme_Extend (the rest of Mn/Me, plus ZWNJ/ZWJ in that
+    UCD vintage), and Ideographic.  Verified against the compiled
+    properties.dat for the adversarial vectors in tests/test_words.py."""
+    import unicodedata
+    return (ch.isalnum()
+            or unicodedata.category(ch) in ("Mn", "Mc", "Me")
+            or ch in ("\u200c", "\u200d"))
 
 
 def _is_ascii_alnum(ch: str) -> bool:
@@ -266,7 +298,7 @@ def segment(text: str, has_tags: bool = False) -> list[Token]:
                         continue
                     old_script = _COMMON
                     break
-                if _is_extend(c):
+                if _is_ignorable(c):
                     i += 1
                     continue
                 if not _is_alnum(c):

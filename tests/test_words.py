@@ -83,9 +83,16 @@ class TestWordExtensions:
 
 
 class TestUnicode:
-    def test_combining_mark_absorbed(self):
-        # e + COMBINING ACUTE stays one word (UC_EXTEND continue)
-        assert alnum_words("café au") == ["café", "au"]
+    def test_nfd_inherited_mark_splits(self):
+        # e + COMBINING ACUTE (U+0301): the mark is UC_WORDCHAR but its
+        # script is Inherited (scripts.dat value 24) != common, so the
+        # reference's script-change break (Words.cpp:357) fires and NFD
+        # "cafe\u0301" really segments as "cafe" + the mark.  Verified
+        # against the compiled ucdata tables (properties.dat/scripts.dat
+        # read back through UCPropTable::deserialize).
+        assert alnum_words("cafe\u0301 au") == ["cafe", "\u0301", "au"]
+        # precomposed \u00e9 (Latin -> common) stays one word
+        assert alnum_words("caf\u00e9 au") == ["caf\u00e9", "au"]
 
     def test_latin1_not_breaking(self):
         # Latin script maps to common: né is one word
@@ -113,6 +120,84 @@ class TestUnicode:
     def test_ascii_joins_any_script(self):
         # ascii alnum accumulates regardless of current script
         assert alnum_words("αβa") == ["αβa"]
+
+
+class TestUCPropTableVectors:
+    """Adversarial codepoints where Python's unicodedata and the
+    reference's UCPropTable classify differently.  Each expectation was
+    verified against the reference's COMPILED tables
+    (ucdata/properties.dat + scripts.dat, deserialized per
+    UCPropTable.cpp:111 and probed for UC_WORDCHAR/UC_IGNORABLE/script),
+    not against the generator source — the shipped table is what the
+    reference actually runs."""
+
+    def test_devanagari_vowel_sign_continues(self):
+        # U+093E (Mc) is NOT isalnum in Python, but DerivedCoreProps
+        # Alphabetic -> UC_WORDCHAR in the reference, and its script is
+        # Devanagari — same as the base letter, so the word survives.
+        # (Round-2 behavior split this word at every matra.)
+        assert alnum_words("कार") == ["कार"]
+
+    def test_devanagari_visarga_continues(self):
+        assert alnum_words("कः") == ["कः"]
+
+    def test_hebrew_point_continues(self):
+        # U+05B0 (Mn) scripts.dat says Hebrew (22), same as the letters
+        assert alnum_words("אְב") == ["אְב"]
+
+    def test_arabic_haraka_splits(self):
+        # U+064B fathatan is WORDCHAR but script=Inherited in the
+        # reference's (old-UCD) scripts.dat — script change breaks
+        assert alnum_words("اً") == ["ا", "ً"]
+
+    def test_thai_mark_is_own_word(self):
+        # U+0E31 carries UC_THAI -> include-then-break like base Thai
+        assert alnum_words("กัน") == \
+            ["ก", "ั", "น"]
+
+    def test_zwnj_zwj_absorbed_midword(self):
+        # U+200C/200D: UC_WORDCHAR AND UC_IGNORABLE; the ignorable check
+        # runs first (Words.cpp:334) so they continue the word — the
+        # Persian ZWNJ compound stays one token, bytes preserved
+        assert alnum_words("می‌خ") == \
+            ["می‌خ"]
+        assert alnum_words("a‍b") == ["a‍b"]
+
+    def test_zwnj_starts_word_after_punct(self):
+        # the punct scan stops at ZWNJ because ucIsWordChar is TRUE for
+        # it — the next word starts AT the ZWNJ and absorbs it
+        assert alnum_words("a ‌b") == ["a", "‌b"]
+
+    def test_plain_cf_ignorables_absorbed_not_word_starting(self):
+        # soft hyphen / ZWSP / word joiner / FEFF: IGNORABLE only, NOT
+        # WORDCHAR -> absorbed mid-word, punct between words
+        assert alnum_words("x­yz") == ["x­yz"]
+        assert alnum_words("x​yz") == ["x​yz"]
+        assert alnum_words("a ⁠ b") == ["a", "b"]
+        assert alnum_words("a﻿b") == ["a﻿b"]
+
+    def test_variation_selector_absorbed(self):
+        # U+FE0F is Mn (wordchar-ish) AND Default_Ignorable: the
+        # reference table sets both bits; ignorable-first absorbs it
+        # even across a script boundary
+        assert alnum_words("a️中") == ["a️中"]
+
+    def test_superscript_and_fraction_are_wordchars(self):
+        # No-category digits: N* -> UC_WORDCHAR (and Python agrees here)
+        assert alnum_words("x²y") == ["x²y"]
+        assert alnum_words("4½") == ["4½"]
+
+    def test_hiragana_voiced_mark_breaks(self):
+        # U+3099 sits INSIDE the Hiragana block but scripts.dat says
+        # Inherited, and its props carry no UC_HIRAGANA bit — so it is
+        # its own (script-change-broken) word, not an include-break char
+        assert alnum_words("あ゙") == ["あ", "゙"]
+
+    def test_combining_mark_run_after_split_stays_together(self):
+        # after the inherited-script break, consecutive marks share the
+        # Inherited script and accumulate into ONE word with following
+        # ascii (ascii fast path never script-breaks)
+        assert alnum_words("é̂s") == ["e", "́̂s"]
 
 
 class TestTags:
