@@ -188,6 +188,9 @@ class CrawlRunner:
         self.cfg = cfg or CrawlConfig()
         self.use_bloom_seen = use_bloom_seen
         self._bloom = None   # incremental BloomState, built on first use
+        # per-stage wall clocks of the most recent round (_run_round) —
+        # the statsdb/PagePerf-style breakdown bench.py reports
+        self.last_round_timings: dict[str, float] = {}
         self._normalize = make_normalize_udf(strip_params=True,
                                              strip_common_file=True)
         self._robots_allowed, self._robots_delay = make_robots_udfs(
@@ -792,6 +795,13 @@ class CrawlRunner:
         m.robots_compiled_at_ms = self._robots_compiled_at_ms or 0
         requests = self._read_all("requests", m)
         replies = self._read_all("replies", m)
+        # per-stage wall clocks at the plan's action boundaries — the
+        # statsdb/PagePerf-style breakdown bench.py reports per round so a
+        # regression shows up per STAGE, not just in the round total.
+        # (wave is cached, so each later action pays only its own stage.)
+        import time as _time
+        stage_t: dict[str, float] = {}
+        _t0 = _time.time()
         cand = self._candidates(requests, replies, wave_start).cache()
         wave = None
         try:
@@ -803,6 +813,7 @@ class CrawlRunner:
                       + self.cfg.fetch_duration_ms).alias("max_end")
             ).collect()[0]
             n_wave, max_end = agg["n"], agg["max_end"]
+            stage_t["assemble_wave"] = _time.time() - _t0
             if n_wave == 0:
                 row = (cand.filter(F.col("eligible_ms") > wave_start)
                        .agg(F.min("eligible_ms").alias("mf")).collect()[0])
@@ -820,6 +831,7 @@ class CrawlRunner:
                 snap.commit_manifest(self.state_dir, m)
                 return RoundStats(rnd, 0, 0, jumped=not m.finished)
 
+            _t0 = _time.time()
             new_replies, new_req = self._simulate_fetch(wave, replies, rnd)
             if self.use_bloom_seen:
                 # F5 scale path: Bloom-prefilter new outlinks against the
@@ -844,8 +856,16 @@ class CrawlRunner:
                 new_req = filter_new_requests_incremental(
                     new_req, seen, self._bloom).select(*REQUEST_COLS)
             self._write(wave.select(*WAVE_COLS), "waves", rnd, m)
+            # covers Bloom URL-seen maintenance + the wave write (the
+            # fetch-sim plan itself is lazy until the replies write)
+            stage_t["seen_filter_wave_write"] = _time.time() - _t0
+            _t0 = _time.time()
             self._write(new_replies, "replies", rnd, m)
+            stage_t["fetch_sim"] = _time.time() - _t0
+            _t0 = _time.time()
             n_new = self._write(new_req, "requests", rnd + 1, m)
+            stage_t["new_requests"] = _time.time() - _t0
+            self.last_round_timings = stage_t
             if self.use_bloom_seen and n_new:
                 self._bloom.add_df(self.spark.read.parquet(
                     snap.round_dir(self.state_dir, "requests", rnd + 1))
@@ -938,6 +958,24 @@ class CrawlRunner:
         return req.groupBy("uh48").agg(
             F.min_by("url", "round").alias("url_norm"),
             F.min("round").alias("first_seen_round"))
+
+    def replies_log(self) -> DataFrame:
+        """The committed reply log (one row per simulated fetch, all
+        rounds) — the input the statsdb bridge
+        (pipeline.statsdb.crawl_stats_to_statsdb) turns into per-second
+        scheduler stat buckets, mirroring the reference's addStat calls
+        from the spider loop (Statsdb.cpp)."""
+        m = snap.load_manifest(self.state_dir)
+        rep = self._read_all("replies", m)
+        if rep is None:
+            return self.spark.createDataFrame(
+                [], "first_ip long, uh48 long, domain string, "
+                    "spidered_time long, err_code int, err_count int, "
+                    "http_status int, is_indexed boolean, "
+                    "content_hash32 long, site_rank int, "
+                    "crawl_delay_ms long, download_end_ms long, "
+                    "percent_changed_per_day double, round int")
+        return rep.select(*REPLY_COLS)
 
     def crawl_stats(self) -> DataFrame:
         """Crawlinfo (SpiderLoop.cpp:2041-2360 aggregated every 20 s in the

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Reproduce the BENCH/BASELINE.md scaling table (VERDICT r2 item 10).
+
+The N->4N scaling-efficiency evidence (sandbox protocol: same job, same
+input, local[4] vs local[16] in one process) lives in BENCH/BASELINE.md
+prose; this is the committed entry point that re-measures it after any
+wave-path change and writes the raw artifact next to the headline, so
+the number stays auditable.
+
+Exact reproduction command (the run recorded in BENCH/BASELINE.md):
+
+    python scripts/run_scaling.py --out BENCH/scaling_r03.json
+
+Input is deterministic by construction: bench.build_frontier derives
+every column arithmetically from spark.range(96_000_000) (no RNG — the
+"seed" is the generator expression itself), so two runs measure the
+same bytes.  Expect ~6-10 min wall: a 32-core heap/codegen warm-up pass,
+then 1+3 runs at local[4] and 1+3 at local[16], best-of-3 each.
+
+Gate: efficiency = (throughput_4N / throughput_N) / 4 >= 0.8
+(BASELINE.json north_rule).  Runs on a loaded machine scatter low —
+re-run on an idle box before reading a miss as a regression.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=None,
+                    help="also write the raw JSON artifact here "
+                         "(e.g. BENCH/scaling_r03.json)")
+    ap.add_argument("--rows", type=int, default=96_000_000,
+                    help="frontier rows (96M: sized so the 4N run is "
+                         "~35 s, past the fixed per-job costs — see "
+                         "BENCH/BASELINE.md 'Input sizing')")
+    ap.add_argument("--n-small", type=int, default=4,
+                    help="N in the N->4N comparison (4->16 avoids "
+                         "gating on SMT; see bench.run_scaling)")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_FRONTIER_ROWS"] = str(args.rows)
+    from bench import run_scaling
+
+    result = run_scaling(n_small=args.n_small, reps=args.reps)
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return 0 if result["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
