@@ -1220,6 +1220,35 @@ def _serve_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_golden("q_serve_page", _serve_page, "rank")
 
 
+def _search_input_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SearchInput parameter surface end-to-end (SearchInput.cpp +
+    Parms.cpp OBJ_SI table, search/searchinput.py): an HttpRequest-style
+    param dict — paging (n/s), advanced-query rewrite (plus/quotea →
+    setQueryBuffers), site clustering (sc), dup removal (dr/pss/ddu),
+    highlighting (qh) — parsed, derived, capped, composed and run
+    through the Msg40 serve path."""
+    from .search.searchinput import execute_search_input, parse_search_input
+    docs = _docs_long(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("http://site"),
+                        (F.col("doc_id") % 50).cast("string"),
+                        F.lit(".example.com/doc-"),
+                        F.col("doc_id").cast("string")))
+    si = parse_search_input({
+        "q": "data join", "n": "8", "s": "2", "sc": "1",
+        "dr": "1", "pss": "80", "ddu": "1", "qh": "1",
+        "plus": "stream", "quotea": "",
+    })
+    page = execute_search_input(si, docs, url_col="url",
+                                content_type="text")
+    return (page.select("rank", "doc_id", "url", "title", "summary",
+                        F.col("score").cast("double").alias("score"),
+                        "cluster_level")
+            .orderBy("rank"))
+
+
+_register_golden("q_search_input_page", _search_input_page, "rank")
+
+
 # ---------------------------------------------------------------------------
 # Link-graph tier (Linkdb.cpp / Msg25 / siteRank): inlink aggregation and
 # an integer-arithmetic PageRank over a deterministic link graph derived

@@ -119,7 +119,19 @@ class QueryParseError(ValueError):
 
 
 def _tokenize(q: str) -> list[str]:
-    return _TOKEN_RE.findall(q)
+    toks = _TOKEN_RE.findall(q)
+    # leading '+' is the required-term sign (Query.cpp m_wordSign '+'):
+    # implicit AND already requires every positive term, so the sign is
+    # consumed, not matched.  A bare '+' token (e.g. from '+ "phrase"')
+    # drops.  '-' stays — the NOT operator handled in unary().
+    out = []
+    for t in toks:
+        if t.startswith("+") and t not in ("+",):
+            t = t[1:]
+        if t == "+":
+            continue
+        out.append(t)
+    return out
 
 
 class _Parser:

@@ -89,6 +89,7 @@ def serve_results(docs: DataFrame, query: str, k: int = 10, *,
                   dedup_percent: int = 90,
                   dedup_url: bool = True,
                   max_per_site: int = 2,
+                  do_site_clustering: bool = True,
                   content_type: str = "html",
                   highlight_summaries: bool = False) -> DataFrame:
     """One query → one annotated result page (Msg40::gotResults).
@@ -149,7 +150,8 @@ def serve_results(docs: DataFrame, query: str, k: int = 10, *,
                     "title", "summary"),
         family_filter=family_filter, lang_filter=lang_filter,
         dedup_percent=dedup_percent, dedup_url=dedup_url,
-        max_per_site=max_per_site)
+        max_per_site=max_per_site,
+        do_site_clustering=do_site_clustering)
     if highlight_summaries and terms:
         # PageResults.cpp:3185-3215 highlights query hits in each
         # summary with the Highlight.cpp style cycle
