@@ -280,6 +280,99 @@ FROM frontier GROUP BY uh % 40 ORDER BY link_target
 """)
 
 # ---------------------------------------------------------------------------
+# F30 — proxy-ban politeness: the doubling-tier proxy-pool threshold
+# (SpiderProxy.cpp:617-652) and the ban-scaled crawl-delay
+# (Msg13.cpp:2046-2056, DELAYPERBAN=500 cap 60000).  Spark runs the
+# closed-form Catalyst kernel (functions/proxy.py); the oracle pins it
+# with the reference's LITERAL CASE ladder, transcribed tier by tier —
+# an independent cross-check of the closed form.
+# ---------------------------------------------------------------------------
+
+
+def _f30_proxy_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.proxy import (backoff_crawl_delay_col,
+                                  proxy_threshold_col)
+    register_views(spark, sf_dir)
+    f = spark.sql(FRONTIER_CTE + "SELECT uh, first_ip FROM frontier")
+    # deterministic ban counts spanning every tier incl. the 1024 cap
+    b = (F.col("uh") * 37 % 1100).cast("long")
+    return (f.withColumn("n_banned", b)
+            .withColumn("pool_threshold", proxy_threshold_col(b))
+            .withColumn("crawl_delay_ms", backoff_crawl_delay_col(
+                F.lit(250).cast("long") + F.col("uh") % 7 * 100, b))
+            .select(F.col("uh").cast("long").alias("uh"),
+                    F.col("n_banned"),
+                    F.col("pool_threshold").cast("long"),
+                    F.col("crawl_delay_ms").cast("long"))
+            .orderBy("uh"))
+
+
+_register("f30_proxy_backoff", _f30_proxy_backoff, FRONTIER_CTE + """
+, b AS (
+  SELECT uh, CAST(uh * 37 % 1100 AS BIGINT) AS n_banned,
+         CAST(250 + uh % 7 * 100 AS BIGINT) AS base_delay
+  FROM frontier
+)
+SELECT CAST(uh AS BIGINT) AS uh, n_banned,
+  CAST(CASE
+    WHEN n_banned <= 0 THEN 1
+    WHEN n_banned = 1 THEN 2
+    WHEN n_banned < 3 THEN GREATEST(3 - n_banned, 1)
+    WHEN n_banned = 3 THEN 4
+    WHEN n_banned < 7 THEN GREATEST(7 - n_banned, 1)
+    WHEN n_banned = 7 THEN 8
+    WHEN n_banned < 15 THEN GREATEST(15 - n_banned, 1)
+    WHEN n_banned = 15 THEN 16
+    WHEN n_banned < 31 THEN GREATEST(31 - n_banned, 1)
+    WHEN n_banned = 31 THEN 32
+    WHEN n_banned < 63 THEN GREATEST(63 - n_banned, 1)
+    WHEN n_banned = 63 THEN 64
+    WHEN n_banned < 127 THEN GREATEST(127 - n_banned, 1)
+    WHEN n_banned = 127 THEN 128
+    WHEN n_banned < 255 THEN GREATEST(255 - n_banned, 1)
+    WHEN n_banned = 255 THEN 256
+    WHEN n_banned < 511 THEN GREATEST(511 - n_banned, 1)
+    WHEN n_banned = 511 THEN 512
+    WHEN n_banned < 1023 THEN GREATEST(1023 - n_banned, 1)
+    ELSE 1024 END AS BIGINT) AS pool_threshold,
+  CAST(GREATEST(base_delay, LEAST(n_banned * 500, 60000)) AS BIGINT)
+    AS crawl_delay_ms
+FROM b ORDER BY uh
+""")
+
+
+def _f31_proxy_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy rotation winner per wave row (SpiderProxy.cpp:664-720):
+    start slot = urlIp % slots, dead/banned/threshold skips, min
+    in-flight count then oldest-last-use tie-break — the Arrow-batched
+    wave assignment over a deterministic 16-proxy table with planted
+    dead entries and bans."""
+    from .functions.proxy import ProxyEntry, assign_wave_proxies
+    register_views(spark, sf_dir)
+    wave = spark.sql(FRONTIER_CTE + """
+SELECT uh, first_ip, CAST(250 AS BIGINT) AS crawl_delay_ms
+FROM frontier WHERE uh % 5 = 0""")
+    proxies = [ProxyEntry(ip=0x0A000001 + i, port=3128 + i,
+                          dead=(i % 7 == 3)) for i in range(16)]
+    # hosts in this wave are multiples of 5 — give them 0..6 bans each
+    # (index 3 is a DEAD proxy, so its ban must not count toward
+    # n_banned: num_banned_proxies filters to alive ips)
+    bans = spark.createDataFrame(
+        [(167772160 + h, 0x0A000001 + p)
+         for h in range(0, 50, 5) for p in range(h % 7)],
+        "url_ip long, proxy_ip long")
+    out = assign_wave_proxies(wave, proxies, bans)
+    return (out.select(F.col("uh").cast("long"),
+                       F.col("first_ip").cast("long"),
+                       F.col("n_banned").cast("long"),
+                       F.col("crawl_delay_ms").cast("long"),
+                       F.col("proxy_ip").cast("long"),
+                       F.col("proxy_port").cast("int"))
+            .orderBy("uh"))
+
+# (golden-registered below, once _register_golden exists)
+
+# ---------------------------------------------------------------------------
 # F9 — url-filter ladder (first-match-wins, Spider.cpp:2202-2269).  Spark
 # side runs the PRODUCTION rule compiler (pipeline/filters.compile_rule_match
 # over parsed UrlFilterRule expressions — the same when()-chain the crawl
@@ -768,6 +861,7 @@ def _f4_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("f4_shard_assignment", _f4_shard, "first_ip")
+_register_golden("f31_proxy_rotation", _f31_proxy_rotation, "uh")
 
 
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
