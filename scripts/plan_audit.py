@@ -54,6 +54,13 @@ WHITELIST: dict[str, dict[str, str]] = {
             "cluster/dedup post-filter windows it composes run over the "
             "same bounded result page (see q_result_cluster_filter).",
     },
+    "q_search_input_page": {
+        "unpartitioned_window":
+            "composes execute_search_input -> serve_results, i.e. the "
+            "SAME bounded serve path as q_serve_page: the rank window "
+            "runs after orderBy+limit(k) and the cluster/dedup "
+            "post-filter windows see only the <=k-row result page.",
+    },
     "q_result_dedup_summary": {
         "unpartitioned_window":
             "same bounded result page (limit(256)) — greedy dup-summary "
