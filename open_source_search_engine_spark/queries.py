@@ -3222,3 +3222,45 @@ FROM sub WHERE term = 'data'
 ORDER BY score DESC, doc_id
 LIMIT 25
 """)
+
+
+# ---------------------------------------------------------------------------
+def _docid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Titledb docid assignment end-to-end: every url's 38-bit probable
+    docid with the domain hash8 in bits 6-13 (Titledb.h:46-58), then the
+    Msg22 availDocId collision machine inside the 64-slot block
+    (Msg22.cpp:515-612) against a planted set of already-live docids —
+    every doc_id%3 page's own pd is taken (forcing the ad2 slot walk),
+    doc_id%9 pages additionally have pd+1 taken, and the lowest doc_id's
+    whole block is full (the availDocId==0 failure -> NULL).  Cogrouped
+    per block: disjoint 64-slot key ranges, hash-even at 10^10 urls."""
+    from .functions.docids import assign_docids, probable_docid_udf
+
+    register_views(spark, sf_dir)
+    docs = (spark.table("documents").select("doc_id")
+            .withColumn("url", F.concat(
+                F.lit("http://site"), (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com/doc-"), F.col("doc_id").cast("string")))
+            .withColumn("domain", F.concat(
+                F.lit("example"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com"))))
+    with_pd = docs.withColumn("pd", probable_docid_udf()("url", "domain"))
+    taken = (
+        with_pd.filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("pd").alias("docid"))
+        .unionAll(with_pd.filter(F.col("doc_id") % 9 == 0)
+                  .select((F.col("pd") + 1).alias("docid")))
+        .unionAll(with_pd.orderBy("doc_id").limit(1)
+                  .select(F.shiftleft(F.shiftright("pd", 6), 6).alias("d1"))
+                  .select(F.explode(F.sequence(F.lit(0), F.lit(63)))
+                          .alias("off"), "d1")
+                  .select((F.col("d1") + F.col("off")).alias("docid"))))
+    assigned = assign_docids(docs, taken)
+    return (docs.select("doc_id", "url")
+            .join(assigned, "url")
+            .select("doc_id", "url", "probable_docid", "assigned_docid")
+            .orderBy("doc_id"))
+
+
+_register_golden("docid_assign", _docid_assign, "doc_id")

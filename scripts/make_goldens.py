@@ -19,6 +19,8 @@ from __future__ import annotations
 import os
 import sys
 
+import pyarrow.parquet as pq
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from open_source_search_engine_spark.queries import (  # noqa: E402
@@ -37,10 +39,13 @@ def main() -> None:
     for name, fn, _order in GOLDEN_QUERIES:
         if only and name not in only:
             continue
-        pdf = fn(spark, SF_DIR).toPandas()
+        # toArrow keeps the Spark types exactly — toPandas would coerce a
+        # nullable long column to float64 and the golden parquet would no
+        # longer schema-match the live Spark result.
+        tbl = fn(spark, SF_DIR).toArrow()
         path = os.path.join(out_dir, f"{name}.parquet")
-        pdf.to_parquet(path, index=False)
-        print(f"{name}: {len(pdf)} rows -> {path}")
+        pq.write_table(tbl, path)
+        print(f"{name}: {tbl.num_rows} rows -> {path}")
 
 
 if __name__ == "__main__":
