@@ -3264,3 +3264,54 @@ def _docid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("docid_assign", _docid_assign, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+def _cluster_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusterdb cluster-rec build + field extraction end-to-end: each
+    doc's 96-bit rec packs (docid 38 | adult 1 | lang 6 | hostHash32&26bit
+    | half | live) exactly as makeClusterRecKey (Clusterdb.cpp:149-177,
+    XmlDoc.cpp:13885-13896 passes the doc's adult flag + langid + host
+    hash32), then the Msg51-side getters read every field back
+    (Clusterdb.h:73-99).  One Arrow-batched kernel pass, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .functions.clusterdb import (cluster_docid, cluster_has_adult,
+                                      cluster_language, cluster_site_hash26,
+                                      host_hash32, make_cluster_rec_key)
+
+    register_views(spark, sf_dir)
+    docs = (spark.table("documents").select("doc_id")
+            .withColumn("host", F.concat(
+                F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com")))
+            .withColumn("is_adult", F.col("doc_id") % 11 == 0)
+            .withColumn("langid", (F.col("doc_id") % 13).cast("int")))
+
+    out_t = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n1", T.LongType()),
+        T.StructField("n0", T.LongType()),
+        T.StructField("site_hash26", T.LongType()),
+        T.StructField("lang_out", T.LongType()),
+        T.StructField("adult_out", T.BooleanType()),
+    ])
+
+    def _recs(batches):
+        for pdf in batches:
+            hh = host_hash32(pdf["host"])
+            n1, n0 = make_cluster_rec_key(
+                pdf["doc_id"].to_numpy(), pdf["is_adult"].to_numpy(),
+                pdf["langid"].to_numpy(), hh)
+            yield pd.DataFrame({
+                "doc_id": cluster_docid(n1, n0),
+                "n1": n1, "n0": n0,
+                "site_hash26": cluster_site_hash26(n0),
+                "lang_out": cluster_language(n0),
+                "adult_out": cluster_has_adult(n0)})
+
+    return docs.mapInPandas(_recs, schema=out_t).orderBy("doc_id")
+
+
+_register_golden("q_cluster_recs", _cluster_recs, "doc_id")

@@ -157,7 +157,8 @@ def filter_results(results: DataFrame, *,
                    family_filter: bool = False,
                    lang_filter: str | None = None,
                    dedup_percent: int = 0,
-                   dedup_url: bool = False) -> DataFrame:
+                   dedup_url: bool = False,
+                   site_key_hash26: bool = False) -> DataFrame:
     """Annotate a ranked result frame with ``cluster_level``.
 
     ``results`` needs: ``rank`` (0 = best, unique per query), ``url``,
@@ -189,7 +190,23 @@ def filter_results(results: DataFrame, *,
     if do_site_clustering:
         ok = df.filter(F.col("cluster_level") == CR_OK)
         rest = df.filter(F.col("cluster_level") != CR_OK)
-        w = Window.partitionBy(*grp, host_of(F.col("url"))).orderBy("rank")
+        if site_key_hash26:
+            # Reference-exact Msg51 key: the 26-bit truncation of the
+            # host hash32 stored in the cluster rec (Clusterdb.h:81-84)
+            # — distinct hosts colliding in 26 bits DO cluster together,
+            # a quirk the pure-Catalyst host-string default avoids.
+            import pandas as pd
+            from pyspark.sql import types as T
+            from ..functions.clusterdb import site_hash26
+
+            @F.pandas_udf(T.LongType())
+            def _h26(hosts: pd.Series) -> pd.Series:
+                return pd.Series(site_hash26(hosts))
+
+            site_key = _h26(host_of(F.col("url")))
+        else:
+            site_key = host_of(F.col("url"))
+        w = Window.partitionBy(*grp, site_key).orderBy("rank")
         ok = ok.withColumn(
             "cluster_level",
             F.when(F.row_number().over(w) > max_per_site, CR_CLUSTERED)
