@@ -3315,3 +3315,51 @@ def _cluster_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("q_cluster_recs", _cluster_recs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+def _spiderdb_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiderdb key128 pack + unpack end-to-end (Spider.cpp:642-674
+    makeKey; Spider.h:437-460 getters): every frontier row's request AND
+    latest-reply key, returned in the Rdb SCAN order — proof the parquet
+    sort columns (first_ip, uh48, is_request) reproduce the reference's
+    byte order (the S4 range-scan contract).  One Arrow kernel pass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .functions.ghash import uh48_bytes
+    from .functions.spiderkeys import key_uh48, make_spiderdb_key
+
+    register_views(spark, sf_dir)
+    fr = spark.sql(FRONTIER_CTE + """
+        SELECT uh, first_ip, url, CAST(uh % 97 = 0 AS BOOLEAN) AS is_reply
+        FROM frontier""")
+
+    out_t = T.StructType([
+        T.StructField("first_ip", T.LongType()),
+        T.StructField("uh48", T.LongType()),
+        T.StructField("is_request", T.BooleanType()),
+        T.StructField("n1", T.LongType()),
+        T.StructField("n0", T.LongType()),
+        T.StructField("uh48_out", T.LongType()),
+    ])
+
+    def _keys(batches):
+        for pdf in batches:
+            uh = uh48_bytes(pdf["url"].str.encode("utf-8"))
+            is_req = ~pdf["is_reply"].to_numpy(dtype=bool)
+            n1, n0 = make_spiderdb_key(
+                pdf["first_ip"].to_numpy(), uh, is_req,
+                np.zeros(len(pdf), dtype=np.int64))
+            yield pd.DataFrame({
+                "first_ip": pdf["first_ip"].to_numpy(),
+                "uh48": uh, "is_request": is_req,
+                "n1": n1, "n0": n0,
+                "uh48_out": key_uh48(n1, n0)})
+
+    return (fr.mapInPandas(_keys, schema=out_t)
+            .orderBy("first_ip", "uh48", "is_request"))
+
+
+_register_golden("q_spiderdb_keys", _spiderdb_keys,
+                 "first_ip, uh48, is_request")
