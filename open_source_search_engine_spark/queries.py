@@ -3363,3 +3363,74 @@ def _spiderdb_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register_golden("q_spiderdb_keys", _spiderdb_keys,
                  "first_ip, uh48, is_request")
+
+
+# ---------------------------------------------------------------------------
+def _posdb_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real Posdb shard records: the rank-carrying index build
+    (wordpos/density/diversity/wordspam hashgroups) packed into 18-byte
+    key144 postings exactly as Posdb::makeKey lays them out
+    (Posdb.cpp:307-393), then read back through the Posdb.h getters —
+    termId48 = hash64Lower of the term (hash.h:139, the reference's
+    term id), docid/siterank/langid straddling the n2/n1/n0 words.
+    Returned in ascending key order == (termId, docId, wordPos): the
+    bucketed-postings byte layout."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from .functions.ghash import hash64_lower_batch
+    from .functions.posdbkeys import (TERMID_MASK, make_posdb_key,
+                                      pkey_doc_id, pkey_term_id,
+                                      pkey_word_pos)
+    from .search.posdbrank import build_posdb_index
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.lower("text"), r"\s+")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.array_join(F.slice(toks, 1, 4), " "),
+        F.lit("</title></head><body><p>"),
+        F.array_join(F.slice(toks, 5, F.size(toks)), " "),
+        F.lit(".</p></body></html>"))
+    hdocs = docs.select("doc_id", html.alias("content"),
+                        (F.col("doc_id") % 10).cast("int")
+                        .alias("site_rank"), "lang")
+    idx = build_posdb_index(hdocs).join(
+        hdocs.select("doc_id", "site_rank"), "doc_id")
+
+    out_t = T.StructType([
+        T.StructField("n2", T.LongType()),
+        T.StructField("n1", T.LongType()),
+        T.StructField("n0", T.IntegerType()),
+        T.StructField("term_id", T.LongType()),
+        T.StructField("doc_id_out", T.LongType()),
+        T.StructField("word_pos", T.LongType()),
+    ])
+
+    def _pack(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tid = (hash64_lower_batch(list(pdf["term"]))
+                   & np.uint64(TERMID_MASK)).astype(np.int64)
+            n2, n1, n0 = make_posdb_key(
+                tid, pdf["doc_id"].to_numpy(),
+                pdf["pos"].to_numpy(), pdf["density"].to_numpy(),
+                pdf["diversity"].to_numpy(), pdf["wordspam"].to_numpy(),
+                pdf["site_rank"].to_numpy(),
+                pdf["hashgroup"].to_numpy(),
+                np.zeros(len(pdf), dtype=np.int64),
+                is_synonym=pdf["is_syn"].to_numpy(dtype=bool))
+            yield pd.DataFrame({
+                "n2": n2, "n1": n1, "n0": n0,
+                "term_id": pkey_term_id(n2),
+                "doc_id_out": pkey_doc_id(n2, n1),
+                "word_pos": pkey_word_pos(n1)})
+
+    return (idx.mapInPandas(_pack, schema=out_t)
+            .orderBy("term_id", "doc_id_out", "word_pos", "n1", "n0"))
+
+
+_register_golden("q_posdb_keys", _posdb_keys,
+                 "term_id, doc_id_out, word_pos, n1, n0")
