@@ -3434,3 +3434,22 @@ def _posdb_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register_golden("q_posdb_keys", _posdb_keys,
                  "term_id, doc_id_out, word_pos, n1, n0")
+
+
+def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek 2020 §4.3): add-one bigram
+    LM trained on the corpus, every doc scored by integer-exact
+    cross-entropy (micro-nat NLL sums — associative BIGINT, partitioning-
+    invariant), then per-language head/middle/tail perplexity terciles.
+    The training-data tier's quality-bucket step; no reference analogue
+    (the engine ranks pages, it does not LM-score them)."""
+    from .training.lmscore import (ccnet_buckets, lm_cross_entropy,
+                                   train_bigram_lm)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text", "lang")
+    uni, bi, vocab = train_bigram_lm(docs)
+    scores = lm_cross_entropy(docs, uni, bi, vocab)
+    return ccnet_buckets(scores, docs).orderBy("doc_id")
+
+
+_register_golden("text_lm_perplexity", _lm_perplexity, "doc_id")
