@@ -85,6 +85,44 @@ def committed_dirs(state_dir: str, table: str, m: Manifest) -> list[str]:
     return sorted(out)
 
 
+def read_table(spark, state_dir: str, table: str,
+               as_of_round: int | None = None):
+    """Time-travel read — the Iceberg ``VERSION AS OF`` analogue: the
+    table's committed rows as of the END of round ``as_of_round``
+    (inclusive); ``None`` = the latest committed snapshot.  Returns None
+    when nothing visible is committed.
+
+    Mechanics: round dirs are pruned by the manifest (dir-level partition
+    pruning — rounds after the target never reach the scan), then the
+    row-level ``round`` column filters inside compacted generations
+    (negative ``round=-G`` dirs, whose rows keep their logical round).
+    Like Iceberg after ``expire_snapshots``, a compaction folds per-round
+    request/reply history into the keep-rule winners — time travel across
+    a compaction boundary is logical (round-column filter over the folded
+    rows), while pre-compaction reads reconstruct the snapshot exactly.
+    """
+    m = load_manifest(state_dir)
+    if m is None:
+        return None
+    prefix = table + "/"
+    dirs = []
+    for key, n in m.rows.items():
+        if not key.startswith(prefix) or n == 0:
+            continue
+        rnd = int(key[len(prefix):])
+        # negative rounds are compacted generations (folded history);
+        # they always participate and are filtered row-level below
+        if as_of_round is not None and rnd > as_of_round and rnd >= 0:
+            continue
+        dirs.append(round_dir(state_dir, table, rnd))
+    if not dirs:
+        return None
+    df = spark.read.parquet(*sorted(dirs))
+    if as_of_round is not None and "round" in df.columns:
+        df = df.filter(df["round"] <= as_of_round)
+    return df
+
+
 def verify_integrity(state_dir: str) -> list[str]:
     """State fsck (Repair.cpp analogue): every manifest-referenced round
     dir must exist with its recorded files present.  Returns a list of

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 # stage order = evaluation priority for the reported reason
 REASONS = ["gopher_shape", "gopher_repetition", "dup_ngram", "pii", "lang",
-           "contaminated", "boilerplate_only", "near_dup"]
+           "lm_tail", "contaminated", "boilerplate_only", "near_dup"]
 
 
 #: every switchable curation gate, in evaluation order.  ``curate``'s
@@ -40,6 +40,7 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
            max_pii: int | None = None,
            eval_docs: DataFrame | None = None,
            decontam_n: int = 13,
+           lm_ref_docs: DataFrame | None = None,
            gates: tuple[str, ...] = GATES) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, keep, reason).
 
@@ -52,7 +53,13 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
       (``pii.pii_profile``; a production run redacts the survivors with
       ``pii_redact`` when it materializes text);
     - ``eval_docs``: drop documents sharing a word ``decontam_n``-gram
-      with this evaluation set (``decontam.decontaminate``)."""
+      with this evaluation set (``decontam.decontaminate``);
+    - ``lm_ref_docs``: CCNet LM-perplexity gate (``lmscore``) — train a
+      bigram LM on this trusted reference corpus, bucket docs into
+      per-language perplexity terciles, and drop the 'tail' bucket
+      (CCNet keeps head+middle; Wenzek 2020 §4.3).  Uses the approx-
+      threshold bucketing (no per-language global sort — the 100 TB
+      path)."""
     from .dedup import dedup_keepers
     from .gopher import dup_ngram_coverage, gopher_quality, gopher_repetition
     from .lines import line_dedup, segment_text
@@ -107,11 +114,32 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
         gated = gated.join(dec, "doc_id", "left")
     else:
         gated = gated.withColumn("decontam_pass", F.lit(True))
+    if lm_ref_docs is not None:
+        from .lmscore import (bucket_by_thresholds, bucket_thresholds,
+                              lm_cross_entropy, train_bigram_lm)
+        uni, bi, v = train_bigram_lm(lm_ref_docs.select("doc_id", "text"))
+        scores = lm_cross_entropy(base, uni, bi, v)
+        # bucket within the language (CCNet computes terciles per
+        # language): the corpus' declared lang column when present, else
+        # the trigram language-ID prediction.  A predicted singleton
+        # language would bucket against itself alone — the declared
+        # label keeps gibberish inside its real language's terciles.
+        if "lang" in docs.columns:
+            lang_src = docs.select("doc_id", "lang")
+        else:
+            lang_src = language_id(base).select(
+                "doc_id", F.col("pred_lang").alias("lang"))
+        th = bucket_thresholds(scores, lang_src)
+        buck = bucket_by_thresholds(scores, lang_src, th).select(
+            "doc_id", (F.col("bucket") != "tail").alias("lm_pass"))
+        gated = gated.join(buck, "doc_id", "left")
+    else:
+        gated = gated.withColumn("lm_pass", F.lit(True))
     gated = gated.fillna(False)
     quality_ok = (F.col("gopher_pass") & F.col("rep_pass")
                   & F.col("dupngram_pass") & F.col("pii_pass")
-                  & F.col("lang_pass") & F.col("decontam_pass")
-                  & F.col("line_pass"))
+                  & F.col("lang_pass") & F.col("lm_pass")
+                  & F.col("decontam_pass") & F.col("line_pass"))
 
     survivors = base.join(
         gated.filter(quality_ok).select("doc_id"), "doc_id")
@@ -127,6 +155,7 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
               .when(~F.col("dupngram_pass"), "dup_ngram")
               .when(~F.col("pii_pass"), "pii")
               .when(~F.col("lang_pass"), "lang")
+              .when(~F.col("lm_pass"), "lm_tail")
               .when(~F.col("decontam_pass"), "contaminated")
               .when(~F.col("line_pass"), "boilerplate_only")
               .when(~F.col("dedup_keep"), "near_dup"))

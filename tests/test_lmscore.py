@@ -41,7 +41,10 @@ DOCS = [
     (1, "the quick brown fox jumps over the lazy dog", "en"),
     (2, "the quick brown fox jumps over the lazy cat", "en"),
     (3, "colorless green ideas sleep furiously tonight again", "en"),
-    (4, "zzz qqq xxx vvv kkk jjj", "en"),                  # gibberish
+    # gibberish with SEEN prefixes and unseen continuations — the worst
+    # case under an add-one bigram LM (p = 1/(c1+V) < 1/V): strictly
+    # higher cross-entropy than fully-unseen text like doc 3
+    (4, "the zzz the qqq the xxx the vvv", "en"),
     (5, "the the the the the the the the", "en"),
     (6, "one", "en"),                                      # n_scored = 0
     (7, "", "en"),                                         # empty
@@ -132,6 +135,23 @@ def test_threshold_path_agrees_with_exact_on_interior_docs(spark):
     assert approx[6] == "tail" and approx[7] == "tail"
     agree = sum(1 for d in exact if exact[d] == approx[d])
     assert agree >= len(exact) - 3      # only boundary docs may differ
+
+
+def test_curate_lm_gate_drops_tail(spark):
+    """curate(lm_ref_docs=...) adds the CCNet perplexity gate: the
+    planted gibberish doc lands in the tail bucket with reason
+    'lm_tail'; the most corpus-like doc survives."""
+    from open_source_search_engine_spark.training.pipeline import curate
+
+    docs = _spark_docs(spark)
+    ref = docs.filter("doc_id in (1, 2, 5, 8, 9, 10)")   # fluent docs
+    out = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curate(docs, lm_ref_docs=ref, gates=()).collect()}
+    assert out[4] == (False, "lm_tail")       # gibberish -> tail
+    assert out[5][0] and out[5][1] is None    # repeated seen bigram -> head
+    # terciles: roughly a third of each language is dropped, no more
+    dropped = [d for d, (k, _) in out.items() if not k]
+    assert 0 < len(dropped) <= len(DOCS) // 2
 
 
 def test_no_python_in_data_path(spark):
