@@ -3453,3 +3453,20 @@ def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("text_lm_perplexity", _lm_perplexity, "doc_id")
+
+
+def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-α corpus mixing (XLM-R §3.1 / GPT-3 §2.2 weighted
+    sampling): per-source rates q ∝ p^0.3 solved over the bounded
+    source aggregate, materialized as deterministic hash-coin
+    keep/repeat decisions per doc (training/mixing.py).  The mega-source
+    flattening step a pretraining mix runs after curation."""
+    from .training.mixing import temperature_sample
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text", "source")
+    return (temperature_sample(docs, alpha=0.3, seed=42)
+            .orderBy("doc_id", "copy"))
+
+
+_register_golden("training_temperature_mix", _temperature_mix,
+                 "doc_id, copy")
