@@ -33,16 +33,25 @@ def _norm(v):
     return round(v, 6) if isinstance(v, float) else v
 
 
+def _row_key(row):
+    """None-safe sort key: NULLs first within a column (some operators
+    emit NULL by design — e.g. docid_assign's full-block NULL avail_docid,
+    text_lm_perplexity's unscored ce_milli — and Python can't compare
+    None with a value)."""
+    return tuple((v is not None, v if v is not None else 0) for v in row)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, duck, name):
     sdf = QUERIES[name](spark, SF)
     scols = sorted(sdf.columns)
-    sdata = sorted(tuple(_norm(r[c]) for c in scols) for r in sdf.collect())
+    sdata = sorted((tuple(_norm(r[c]) for c in scols)
+                    for r in sdf.collect()), key=_row_key)
     res = duck.execute(ORACLES[name])
     colidx = {d[0]: i for i, d in enumerate(res.description)}
     ocols = sorted(colidx)
-    odata = sorted(tuple(_norm(r[colidx[c]]) for c in ocols)
-                   for r in res.fetchall())
+    odata = sorted((tuple(_norm(r[colidx[c]]) for c in ocols)
+                    for r in res.fetchall()), key=_row_key)
     assert scols == ocols, f"{name}: column names diverge"
     assert len(sdata) == len(odata), f"{name}: row count diverges"
     assert sdata == odata, f"{name}: values diverge"
