@@ -266,6 +266,41 @@ def generate_corpus(
                           "media_ref": None, "offset": off})
         docs.append({"doc_id": u, "spans": spans})
 
+    # --- sitemap.xml coverage (rng-stream-free, like the <base href>
+    # fixture): two deterministic domains publish a real sitemap whose
+    # <loc> entries point at existing pages (one wrapped in CDATA), and
+    # the domain root links to it with <link href=...>.  Exercises the
+    # Linkdb.cpp:3651-3721 TAG_LOC/text-content harvest path and the
+    # fact that .xml outlinks are spiderable (XmlDoc.cpp:15297's
+    # commented-out hasXmlExtension) end to end.
+    docs_by_id = {d["doc_id"]: d for d in docs}
+    sm_domains = sorted(d for d in domains
+                        if zlib.crc32(d.encode()) % 3 == 1)[:2]
+    if not sm_domains:
+        sm_domains = [domains[0]]
+    for d in sm_domains:
+        h = host_of_domain[d][0]
+        sm_url = f"http://{h}/sitemap.xml"
+        targets = sorted(u for u in existing
+                         if u.startswith(f"http://{h}/"))[:5]
+        locs = []
+        for i, tu in enumerate(targets):
+            if i == 0:
+                locs.append(f"<loc><![CDATA[{tu}]]></loc>")
+            else:
+                locs.append(f"<loc>{tu}</loc>")
+        docs.append({"doc_id": sm_url,
+                     "spans": [{"kind": "text", "text": "".join(locs),
+                                "media_ref": None, "offset": 0}]})
+        existing.add(sm_url)
+        urls.append(sm_url)
+        root_doc = docs_by_id.get(f"http://{h}/")
+        if root_doc is not None:
+            root_doc["spans"].append(
+                {"kind": "text", "text": f'<link href="{sm_url}">',
+                 "media_ref": None,
+                 "offset": len(root_doc["spans"])})
+
     # --- seeds (with normalization traps, FIXTURES §3) --------------------
     seeds: list[dict] = []
     t = BASE_TIME_S

@@ -2,14 +2,24 @@
 
 Mirrors the reference's link extraction:
 
-- tags harvested: ``<a href>``, ``<link href>``, ``<area href>``
-  (``Linkdb.cpp:3643-3654``); ``<img src>`` spans arrive as ``media_ref``
-  spans in the interleaved docs table (``Images.cpp:160-178``)
+- tags harvested (``Linkdb.cpp:3643-3665``): ``<a href>``, ``<link
+  href>``, ``<area href>``, ``<enclosure href>``, ``<weblog url>``, and
+  the TEXT-CONTENT forms ``<link>url</link>`` (rss), ``<loc>url</loc>``
+  (sitemap.xml), ``<UrlFrom>``, ``<feedburner:origlink>`` — not
+  self-closing, url as the immediately following text node, CDATA
+  wrappers stripped (``Linkdb.cpp:3698-3721``); ``<img src>`` spans
+  arrive as ``media_ref`` spans in the interleaved docs table
+  (``Images.cpp:160-178``)
+- ``javascript:`` hrefs recover the popup url from the ``onclick``
+  attribute's first ``'/``-quoted token (``Linkdb.cpp:3740-3769``)
 - ``rel=nofollow`` links skipped (``Linkdb.cpp:4247-4249``)
 - self-links skipped (``XmlDoc.cpp:15258-15264`` same-uh48 check)
 - host must be >2 chars, scheme http(s) (``XmlDoc.cpp:15270-15291``)
-- media / script / style / json extensions are never spidered
-  (``XmlDoc.cpp:15293-15303``) — media refs feed thumbnails only
+- frontier exclusion is the EXACT reference gate (``XmlDoc.cpp:
+  15293-15303``): versioned bad-extension table + script extension +
+  CDN/shortener domains + oembed paths (``functions.urlgates``) — note
+  .xml IS spiderable (``hasXmlExtension`` is commented out in the
+  reference), which is what lets harvested sitemap/rss URLs crawl
 - relative hrefs resolve against the page URL (``Url::set`` with base),
   or against the document's ``<base href>`` when one is present with a
   valid absolute URL (``XmlDoc::getBaseUrl``, XmlDoc.cpp:16137-16165,
@@ -27,37 +37,68 @@ from __future__ import annotations
 import html
 import re
 
+from .urlgates import is_url_unwanted
 from .urlnorm import ParsedUrl, normalize_url
 
-# href="..." inside <a ...>, <link ...>, <area ...>; attribute quoting with
+# link-carrying tags (Linkdb.cpp:3651-3665); attribute quoting with
 # ' or " or bare
 _LINK_TAG_RE = re.compile(
-    r"<(a|link|area)\b([^>]*)>", re.IGNORECASE | re.DOTALL
+    r"<(a|area|link|loc|enclosure|weblog|urlfrom|feedburner:origlink)"
+    r"(?=[\s/>])([^>]*)>",
+    re.IGNORECASE | re.DOTALL,
 )
 _HREF_RE = re.compile(
     r"""\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+# <weblog url=...> uses the url attribute (Linkdb.cpp:3663)
+_URL_ATTR_RE = re.compile(
+    r"""\burl\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+_ONCLICK_RE = re.compile(
+    r"""\bonclick\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
 )
 _REL_NOFOLLOW_RE = re.compile(
     r"""\brel\s*=\s*("[^"]*nofollow[^"]*"|'[^']*nofollow[^']*'|nofollow)""",
     re.IGNORECASE,
 )
 
-# extension blacklist (XmlDoc.cpp:15293-15303 + Url.cpp media list) — these
-# are excluded from the frontier exactly like the reference excludes media
-BAD_EXTENSIONS = frozenset(
-    """gif jpg jpeg png bmp ico tif tiff webp svg
-       mpg mpeg avi mov mp3 mp4 m4a m4v wav wmv flv mkv ogg webm
-       css js json xml rss pdf ps doc xls ppt zip gz tgz bz2 rar 7z
-       exe dmg iso bin swf""".split()
-)
+# tags whose url may be the tag's TEXT content (Linkdb.cpp:3698-3703)
+_TEXT_CONTENT_TAGS = frozenset(
+    {"link", "loc", "urlfrom", "feedburner:origlink"})
 
 
-def _has_bad_extension(path: str) -> bool:
-    dot = path.rfind(".")
-    slash = path.rfind("/")
-    if dot <= slash:
-        return False
-    return path[dot + 1:].lower() in BAD_EXTENSIONS
+def _text_content_url(text: str, m: re.Match, tag: str) -> str:
+    """Linkdb.cpp:3698-3721 — ``<link>url</link>`` / ``<loc>url</loc>``:
+    the open tag must not be self-closing, the url is the immediately
+    following text node, the matching back tag must come next; a
+    ``<![CDATA[...]]>`` wrapper is stripped."""
+    if m.group(2).rstrip().endswith("/"):        # <loc/> self-closing
+        return ""
+    rest = text[m.end():]
+    cm = re.match(
+        rf"\s*<!\[CDATA\[(.*?)\]\]>\s*</{re.escape(tag)}\s*>",
+        rest, re.IGNORECASE | re.DOTALL)
+    if cm:
+        return cm.group(1).strip()               # CDATA is literal text
+    tm = re.match(rf"([^<]*)</{re.escape(tag)}\s*>", rest, re.IGNORECASE)
+    if tm:
+        return html.unescape(tm.group(1)).strip()
+    return ""
+
+
+def _onclick_url(attrs: str) -> str:
+    """Linkdb.cpp:3740-3769 — a ``javascript:`` href usually passes the
+    real url to a popup: recover the first ``'``-quoted token starting
+    with ``/`` from the onclick attribute."""
+    m = _ONCLICK_RE.search(attrs)
+    if not m:
+        return ""
+    oc = m.group(2) or m.group(3) or m.group(4) or ""
+    i = oc.find("'/")
+    if i < 0:
+        return ""
+    j = oc.find("'", i + 1)
+    return oc[i + 1: j if j >= 0 else len(oc)]
 
 
 def resolve_href(href: str, base: ParsedUrl) -> str | None:
@@ -156,7 +197,11 @@ def extract_outlinks(
             "tld": p.tld,
             "path_cgi": p.path_with_cgi,
             "is_www": p.host.startswith("www."),
-            "is_media": is_media or _has_bad_extension(p.path),
+            # the exact XmlDoc.cpp:15293-15303 frontier gate (versioned
+            # extension table, script ext, CDN domains, oembed paths) —
+            # .xml/.rss stay spiderable like the reference
+            "is_media": is_media or is_url_unwanted(p.host, p.domain,
+                                                    p.path),
             "parent_domain": base.domain,   # feeds siteNumInlinks (sniTable)
         })
 
@@ -169,19 +214,30 @@ def extract_outlinks(
             continue
         text = _get(span, "text") or ""
         for m in _LINK_TAG_RE.finditer(text):
+            tag = m.group(1).lower()
             attrs = m.group(2)
             if _REL_NOFOLLOW_RE.search(attrs):
                 continue
-            hm = _HREF_RE.search(attrs)
-            if not hm:
-                continue
-            href = hm.group(2) or hm.group(3) or hm.group(4) or ""
+            attr_re = _URL_ATTR_RE if tag == "weblog" else _HREF_RE
+            hm = attr_re.search(attrs)
             # HTML attribute values carry entities (&amp; &#47; ...) that
             # must decode BEFORE URL resolution — the reference decodes in
             # the parser (Entities.cpp:1-60 + entities.json, Xml.cpp); a
             # raw href="a?x=1&amp;y=2" otherwise resolves to a wrong URL.
             # html.unescape implements the same HTML5 named+numeric table.
-            _emit(html.unescape(href), False)
+            href = html.unescape(
+                hm.group(2) or hm.group(3) or hm.group(4) or "").strip() \
+                if hm else ""
+            if not href and tag in _TEXT_CONTENT_TAGS:
+                # rss <link>url</link> / sitemap <loc>url</loc> form
+                href = _text_content_url(text, m, tag)
+            if not href:
+                continue
+            if href.lower().startswith("javascript:"):
+                href = _onclick_url(attrs)
+                if not href:
+                    continue
+            _emit(href, False)
     return out
 
 

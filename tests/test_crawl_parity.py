@@ -144,6 +144,32 @@ def test_crawl_discovers_beyond_seeds(oracle_out, small_corpus):
     assert len(oracle_out.crawl_order) > 50
 
 
+def test_sitemap_loc_urls_crawled(oracle_out, spark_out, small_corpus):
+    """The corpus' sitemap.xml fixtures (root <link href=sitemap.xml> →
+    <loc> text-content harvest, Linkdb.cpp:3651-3721) must actually
+    crawl: the sitemap itself is fetched (.xml is spiderable —
+    XmlDoc.cpp:15297 commented-out hasXmlExtension) and its <loc>
+    targets land in url_seen.  Spark-vs-oracle equality over these rows
+    is already pinned by test_crawl_order_exact/test_url_seen_set."""
+    c, _ = small_corpus
+    sitemaps = [u for u in c.urls if u.endswith("/sitemap.xml")]
+    assert sitemaps, "corpus must carry sitemap fixtures"
+    crawled = {r["url_norm"] for r in oracle_out.crawl_order}
+    assert set(sitemaps) <= crawled
+    # every <loc> target of every sitemap doc is discovered
+    loc_targets = set()
+    for d in c.docs:
+        if d["doc_id"] in sitemaps:
+            import re as _re
+            for span in d["spans"]:
+                loc_targets |= set(
+                    _re.findall(r"<loc>(?:<!\[CDATA\[)?([^<\]]+)",
+                                span["text"] or ""))
+    assert loc_targets
+    seen = {r["url_norm"] for r in oracle_out.url_seen}
+    assert loc_targets <= seen
+
+
 def test_crawl_completion_detection(spark, tmp_path_factory):
     """F26: with a drain-style ladder (no respider rules inside the
     horizon), the crawl must reach finished=True — every discovered URL

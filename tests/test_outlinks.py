@@ -5,7 +5,7 @@ resolution, per-page first-wins dedup, span-order preservation."""
 from __future__ import annotations
 
 from open_source_search_engine_spark.functions.outlinks import (
-    BAD_EXTENSIONS, extract_outlinks)
+    extract_outlinks)
 
 
 def _spans(*texts):
@@ -44,12 +44,86 @@ def test_self_link_and_fragment_skipped():
 
 def test_media_extensions_flagged(subtests=None):
     spans = _spans('<a href="http://a.example.com/pic.jpg">i</a>'
-                   '<a href="http://a.example.com/page.html">p</a>')
+                   '<a href="http://a.example.com/page.html">p</a>'
+                   '<a href="http://a.example.com/sitemap.xml">s</a>'
+                   '<a href="http://a.example.com/app.js">j</a>')
     out = extract_outlinks(BASE, spans)
     flags = {o["url_norm"]: o["is_media"] for o in out}
     assert flags["http://a.example.com/pic.jpg"] is True
     assert flags["http://a.example.com/page.html"] is False
-    assert "jpg" in BAD_EXTENSIONS and "css" in BAD_EXTENSIONS
+    # .xml IS spiderable — the reference comments out hasXmlExtension()
+    # (XmlDoc.cpp:15297) precisely so sitemaps/feeds can be crawled
+    assert flags["http://a.example.com/sitemap.xml"] is False
+    assert flags["http://a.example.com/app.js"] is True   # script ext
+
+
+class TestFeedAndSitemapForms:
+    """The rss/sitemap/xml link forms of Linkdb.cpp:3651-3721."""
+
+    def test_sitemap_loc_text_content(self):
+        spans = _spans('<loc>http://a.example.com/page1.html</loc>'
+                       '<loc>http://a.example.com/page2.html</loc>')
+        urls = [o["url_norm"] for o in extract_outlinks(BASE, spans)]
+        assert urls == ["http://a.example.com/page1.html",
+                        "http://a.example.com/page2.html"]
+
+    def test_rss_link_text_content_and_cdata(self):
+        spans = _spans(
+            '<link>http://a.example.com/entry1</link>'
+            '<link><![CDATA[http://a.example.com/entry2]]></link>')
+        urls = [o["url_norm"] for o in extract_outlinks(BASE, spans)]
+        assert urls == ["http://a.example.com/entry1",
+                        "http://a.example.com/entry2"]
+
+    def test_self_closing_and_malformed_skipped(self):
+        # <loc/> self-closing (Linkdb.cpp:3710 node[len-2]=='/') and a
+        # <loc> whose next node is a tag, not text, both yield nothing
+        spans = _spans('<loc/>',
+                       '<loc><em>http://a.example.com/x</em></loc>')
+        assert extract_outlinks(BASE, spans) == []
+
+    def test_link_href_attr_still_wins(self):
+        # when <link href=...> carries the attr, the text form is unused
+        spans = _spans(
+            '<link href="http://a.example.com/from-attr">ignored</link>')
+        urls = [o["url_norm"] for o in extract_outlinks(BASE, spans)]
+        assert urls == ["http://a.example.com/from-attr"]
+
+    def test_weblog_url_attr_and_enclosure_href(self):
+        spans = _spans(
+            '<weblog url="http://a.example.com/blog1">'
+            '<enclosure href="http://a.example.com/ep.html">')
+        urls = [o["url_norm"] for o in extract_outlinks(BASE, spans)]
+        assert urls == ["http://a.example.com/blog1",
+                        "http://a.example.com/ep.html"]
+
+    def test_urlfrom_and_feedburner_origlink(self):
+        spans = _spans(
+            '<urlfrom>http://a.example.com/cited</urlfrom>'
+            '<feedburner:origlink>http://a.example.com/orig'
+            '</feedburner:origlink>')
+        urls = [o["url_norm"] for o in extract_outlinks(BASE, spans)]
+        assert urls == ["http://a.example.com/cited",
+                        "http://a.example.com/orig"]
+
+    def test_harvested_sitemap_urls_enter_frontier(self):
+        # end-to-end point of the loc form: a sitemap.xml's <loc> URLs
+        # are NOT media-flagged — they become spiderable requests
+        spans = _spans('<loc>http://a.example.com/deep/page.html</loc>')
+        out = extract_outlinks("http://a.example.com/sitemap.xml", spans)
+        assert out and out[0]["is_media"] is False
+
+
+def test_javascript_onclick_recovery():
+    """Linkdb.cpp:3740-3769: javascript: hrefs recover the popup url from
+    the onclick attribute's first '/-quoted token."""
+    spans = _spans(
+        '<a href="javascript:pop()" '
+        'onclick="window.open(\'/real/page.html\',\'w\')">x</a>'
+        '<a href="javascript:void(0)">no-onclick</a>'
+        '<a href="javascript:go()" onclick="doit(this)">no-url</a>')
+    urls = [o["url_norm"] for o in extract_outlinks(BASE, spans)]
+    assert urls == ["http://www.example.com/real/page.html"]
 
 
 def test_relative_resolution():
