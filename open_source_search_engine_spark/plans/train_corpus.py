@@ -10,7 +10,11 @@ Stages (each the production operator, see STATUS.md):
   1. CrawlRunner.run        — frontier rounds to exhaustion (F1-F29)
   2. CrawlRunner.indexed_docs — crawl -> corpus hand-off
   3. training.pipeline.curate — shape/repetition/lang/line-dedup/near-dup
-  4. training.packing.pack_sequences — per-site concat-and-chunk
+     (--lm-gate adds the CCNet perplexity-tail gate, LM trained on the
+     crawl's own survivors of the earlier gates)
+  4. training.mixing.temperature_sample — per-source q ∝ p^α flattening
+     (--mix-alpha; off by default, 1.0 = identity)
+  5. training.packing.pack_sequences — per-site concat-and-chunk
 Writes: kept docs, packed spans, attrition summary (one parquet each)
 and prints the per-stage attrition + packing efficiency.
 """
@@ -37,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--gates", default=None,
                     help="comma-separated curation gates "
                          "(default: all; see training.pipeline.GATES)")
+    ap.add_argument("--lm-gate", action="store_true",
+                    help="add the CCNet LM perplexity-tail gate")
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature-mix alpha (e.g. 0.3); default off")
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args(argv)
 
@@ -62,7 +70,8 @@ def main(argv: list[str] | None = None) -> int:
     kept, spans, attrition, stats = build_training_corpus(
         runner, context_len=args.context_len,
         lang_keep=tuple(args.lang.split(",")),
-        gates=tuple(args.gates.split(",")) if args.gates else None)
+        gates=tuple(args.gates.split(",")) if args.gates else None,
+        lm_gate=args.lm_gate, mix_alpha=args.mix_alpha)
 
     kept.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     spans.write.mode("overwrite").parquet(os.path.join(out_dir, "spans"))
@@ -82,13 +91,23 @@ def main(argv: list[str] | None = None) -> int:
 
 def build_training_corpus(runner, context_len: int = 256,
                           lang_keep: tuple[str, ...] = ("en",),
-                          gates: tuple[str, ...] | None = None):
+                          gates: tuple[str, ...] | None = None,
+                          lm_gate: bool = False,
+                          mix_alpha: float | None = None):
     """crawl state -> (kept_docs, packed_spans, attrition, pack_stats).
     Separated from main() so tests drive it on an in-memory runner.
 
     Curation runs over tag-stripped text (a production pipeline curates
     extracted text, not markup); ``gates`` selects the curation recipe
-    (default: every gate — see ``training.pipeline.GATES``)."""
+    (default: every gate — see ``training.pipeline.GATES``).
+
+    ``lm_gate`` adds the CCNet perplexity-tail gate with the LM trained
+    on the crawl corpus itself (self-perplexity terciles — CCNet trains
+    on external Wikipedia; callers with a trusted corpus pass it to
+    ``training.pipeline.curate`` directly).  ``mix_alpha`` runs the kept
+    docs through ``training.mixing.temperature_sample`` — upsampled
+    copies re-enter the stream as distinct doc ids (uh48·16+copy, the
+    epoch repetition the packer then lays out)."""
     from urllib.parse import urlparse
 
     from pyspark.sql import functions as F
@@ -108,10 +127,17 @@ def build_training_corpus(runner, context_len: int = 256,
         _host("url").alias("source"),
         F.trim(F.regexp_replace("text", r"<[^>]*>", " ")).alias("text"))
     verdict = curate(docs, lang_keep=lang_keep,
-                     gates=GATES if gates is None else gates)
+                     gates=GATES if gates is None else gates,
+                     lm_ref_docs=docs if lm_gate else None)
     attrition = attrition_summary(verdict)
     kept = (docs.join(verdict.filter("keep").select("doc_id"), "doc_id")
             .select("doc_id", "source", "text"))
+    if mix_alpha is not None:
+        from ..training.mixing import temperature_sample
+        mix = temperature_sample(kept, alpha=mix_alpha)
+        kept = (kept.join(mix.select("doc_id", "copy"), "doc_id")
+                .select((F.col("doc_id") * 16 + F.col("copy"))
+                        .alias("doc_id"), "source", "text"))
     spans = pack_sequences(kept, context_len=context_len,
                            group_col="source")
     return kept, spans, attrition, packing_stats(spans, context_len)

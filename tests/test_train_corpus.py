@@ -71,3 +71,25 @@ class TestTrainCorpus:
         stats = built[3]
         for r in stats.collect():
             assert 0 <= r.pad_tokens < 64
+
+    def test_lm_gate_and_mix_compose(self, runner):
+        """--lm-gate + --mix-alpha: the optional stages compose — the
+        LM-tail reason shows up in attrition, the mixed corpus has
+        unique per-copy doc ids, packing conservation still holds."""
+        from open_source_search_engine_spark.plans.train_corpus import (
+            build_training_corpus,
+        )
+        kept, spans, attrition, stats = build_training_corpus(
+            runner, context_len=64, lang_keep=("en",),
+            gates=("repetition", "dup_ngram", "line_dedup", "near_dup"),
+            lm_gate=True, mix_alpha=0.3)
+        stages = {r.stage for r in attrition.collect()}
+        assert "lm_tail" in stages          # terciles always drop a tail
+        ids = [r.doc_id for r in kept.select("doc_id").collect()]
+        assert len(ids) == len(set(ids))    # per-copy ids unique
+        span_toks = spans.agg(
+            F.sum(F.col("tok_end") - F.col("tok_start"))).first()[0]
+        doc_toks = kept.select(
+            (F.size(F.split(F.trim("text"), r"\s+")) + 1)
+            .alias("n")).agg(F.sum("n")).first()[0]
+        assert span_toks == doc_toks
