@@ -182,7 +182,10 @@ def run_bench() -> dict:
                 "q2_posting_intersect_topk", "events_tumbling_window",
                 "embed_topk_bruteforce", "dedup_minhash_sig",
                 "text_quality_catalyst", "linkgraph_pagerank",
-                "dedup_lines", "text_gopher_repetition"]:
+                "dedup_lines", "text_gopher_repetition",
+                # round-3 additions (totals vs r2 compare on the shared
+                # 12-query prefix; these two time the new operators)
+                "text_lm_perplexity", "training_temperature_mix"]:
         # best of two, like the frontier headline: run 1 absorbs the
         # remaining per-plan one-time costs (codegen compile, worker-side
         # Arrow state) this sandbox pays unusually slowly
