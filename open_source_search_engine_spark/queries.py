@@ -2106,6 +2106,126 @@ LIMIT 50
 """)
 
 
+def _q1_meta_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-attribute meta-term fields (XmlDoc_Indexing.cpp:1856-1966
+    hashLanguage/hashCountry/hashIsAdult; Query.cpp:2707-2760 documents
+    the gblang:/gbcountry:/gbisadult: user syntax):
+    'data (gblang:de OR gbcountry:fr) gbisadult:0' — the language id
+    comes from the real Lang.cpp abbr table over the corpus lang column,
+    the country from the guessCountryTLD URL ladder over a deterministic
+    synthetic URL, and the adult bit from the AdultCheck points
+    threshold over needle-augmented text."""
+    from .functions.country import country_id_col
+    from .functions.langcodes import lang_id_from_detector_col
+    from .search.postings import build_postings
+    from .search.queryparse import search_query
+    from .training.adult import is_adult_col
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    d = F.col("doc_id")
+    url = (F.when(d % 6 == 0, F.format_string("http://d%d.example/a", d))
+           .when(d % 6 == 1, F.format_string("http://de.d%d.example/a", d))
+           .when(d % 6 == 2, F.format_string("http://d%d.fr/a", d))
+           .when(d % 6 == 3, F.format_string("http://d%d.co.jp/a", d))
+           .when(d % 6 == 4, F.format_string("http://fr.d%d.co.uk/a", d))
+           .otherwise(F.format_string("http://xx.d%d.info/a", d)))
+    aug = F.concat(F.col("text"),
+                   F.when(d % 11 == 0, F.lit(" porn xxx"))
+                   .when(d % 11 == 1, F.lit(" nude escort"))
+                   .when(d % 11 == 2, F.lit(" sussex news"))
+                   .when(d % 11 == 3, F.lit(" adult smut"))
+                   .otherwise(F.lit("")))
+    meta = docs.select(
+        d.cast("long").alias("doc_id"),
+        lang_id_from_detector_col("lang").alias("lang_id"),
+        country_id_col(url).alias("country_id"),
+        is_adult_col(aug).alias("is_adult"))
+    postings = build_postings(docs)
+    return search_query(postings,
+                        "data (gblang:de OR gbcountry:fr) gbisadult:0",
+                        k=50, doc_meta=meta)
+
+
+def _q1_meta_fields_oracle() -> str:
+    """DuckDB recomputes every dimension from first principles: the
+    Lang.cpp abbr table as a VALUES join (zh → zh_cn per the detector
+    alias), the country guess from the code table + label extracts
+    (doc_country_id pattern), the adult points from the needle CASE."""
+    from .functions.country import COUNTRY_CODES, COUNTRY_ID
+    from .functions.langcodes import LANG_ABBR, LANG_ID
+    lang_values = ", ".join(
+        f"('{a}', {i})" for i, a in enumerate(LANG_ABBR) if i)
+    lang_values += f", ('zh', {LANG_ID['zh_cn']})"
+    cc_values = ", ".join(f"('{c}', {i})"
+                          for i, c in enumerate(COUNTRY_CODES) if i)
+    de_id = LANG_ID["de"]
+    fr_cid = COUNTRY_ID["fr"]
+    return f"""
+WITH langmap(code, lid) AS (VALUES {lang_values}),
+codes(cc, cid) AS (VALUES {cc_values}),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, COUNT(*) AS tf FROM tok WHERE term = 'data'
+  GROUP BY doc_id
+), u AS (
+  SELECT doc_id, lang, lower(text || CASE
+           WHEN doc_id % 11 = 0 THEN ' porn xxx'
+           WHEN doc_id % 11 = 1 THEN ' nude escort'
+           WHEN doc_id % 11 = 2 THEN ' sussex news'
+           WHEN doc_id % 11 = 3 THEN ' adult smut'
+           ELSE '' END) AS t,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'http://d' || doc_id || '.example/a'
+           WHEN 1 THEN 'http://de.d' || doc_id || '.example/a'
+           WHEN 2 THEN 'http://d' || doc_id || '.fr/a'
+           WHEN 3 THEN 'http://d' || doc_id || '.co.jp/a'
+           WHEN 4 THEN 'http://fr.d' || doc_id || '.co.uk/a'
+           ELSE 'http://xx.d' || doc_id || '.info/a'
+         END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, lang, t,
+         regexp_extract(regexp_extract(url, '^[a-z]+://([^/:?]+)', 1),
+                        '^([^.]{{2}})\\.', 1) AS first2,
+         regexp_extract(regexp_extract(url, '^[a-z]+://([^/:?]+)', 1),
+                        '\\.([^.]{{2}})$', 1) AS last2
+  FROM u
+), meta AS (
+  SELECT p.doc_id,
+         coalesce(lm.lid, 0) AS lang_id,
+         coalesce(cp.cid, ct.cid, 0) AS country_id,
+         (CASE WHEN position('porn' IN p.t) > 0 THEN 2 ELSE 0 END +
+          CASE WHEN position('xxx' IN p.t) > 0 THEN 2 ELSE 0 END +
+          CASE WHEN position('smut' IN p.t) > 0 THEN 2 ELSE 0 END +
+          CASE WHEN position('erotic' IN p.t) > 0 THEN 2 ELSE 0 END +
+          CASE WHEN position('escort' IN p.t) > 0 THEN 1 ELSE 0 END +
+          CASE WHEN position('nude' IN p.t) > 0 THEN 1 ELSE 0 END +
+          CASE WHEN position('adult' IN p.t) > 0 THEN 1 ELSE 0 END +
+          CASE WHEN position('sex' IN p.t) > 0 THEN 1 ELSE 0 END +
+          CASE WHEN position('adultery' IN p.t) > 0 THEN -1 ELSE 0 END +
+          CASE WHEN position('sussex' IN p.t) > 0 THEN -1 ELSE 0 END +
+          CASE WHEN position('essex' IN p.t) > 0 THEN -1 ELSE 0 END +
+          CASE WHEN position('middlesex' IN p.t) > 0 THEN -1 ELSE 0 END
+         ) AS pts
+  FROM parts p
+  LEFT JOIN langmap lm ON p.lang = lm.code
+  LEFT JOIN codes cp ON p.first2 = cp.cc
+  LEFT JOIN codes ct ON p.last2 = ct.cc
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(t.tf * 10 AS BIGINT) AS score
+FROM tf t JOIN meta m ON m.doc_id = t.doc_id
+WHERE (m.lang_id = {de_id} OR m.country_id = {fr_cid}) AND m.pts < 2
+ORDER BY score DESC, doc_id
+LIMIT 50
+"""
+
+
+_register("q1_meta_field_search", _q1_meta_fields, _q1_meta_fields_oracle())
+
+
 def _q1_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synonym expansion (Synonyms.cpp synsets; Conf::m_synonymWeight 0.9,
     Parms.cpp:4369-4374) fed by the DICTIONARY fixture — the

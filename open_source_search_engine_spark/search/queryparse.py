@@ -38,10 +38,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FIELDS = frozenset({"site", "lang", "title", "url", "gbdocid",
-                    "link", "sitelink", "ip"})  # Query.cpp field table (subset:
+                    "link", "sitelink", "ip",
+                    "gblang", "gbcountry", "gbisadult", "gbpermalink",
+                    "gbhasthumbnail"})  # Query.cpp field table (subset:
 #   link:X    = docs that link to page X        (FIELD_LINK, Linkdb)
 #   sitelink:X = docs that link to any page on site X (FIELD_SITELINK)
 #   gbdocid:N = the doc with docid N            (FIELD_DOCID)
+#   gblang:/gbcountry:/gbisadult:/gbpermalink:/gbhasthumbnail: = the
+#   doc-attribute meta terms XmlDoc indexes at hash time
+#   (XmlDoc_Indexing.cpp:1856-1966 hashLanguage/hashLanguageString/
+#   hashCountry/hashIsAdult/hashPermalink, :431 gbhasthumbnail)
 
 # numeric-field operators (Query.cpp:1667-1782): gbsortby:/gbrevsortby:
 # re-rank by a numeric doc field low-to-high / high-to-low; gbmin:/gbmax:/
@@ -405,6 +411,48 @@ def _field_docs(ctx: ExecContext, node: FieldTerm) -> DataFrame:
                 .filter((F.col("hashgroup") == "title")
                         & (F.col("term") == node.value))
                 .select("doc_id", zero).distinct())
+    if node.field == "gblang":
+        # gblang: accepts BOTH indexed forms — the numeric langId string
+        # (hashLanguage, XmlDoc_Indexing.cpp:1856-1872) and the Lang.cpp
+        # abbreviation (hashLanguageString, :1884-1902).  An abbr that
+        # getLangIdFromAbbr can't resolve means the term was never
+        # indexed → matches nothing (langUnknown is queryable only as
+        # gblang:xx / gblang:0).
+        from ..functions.langcodes import lang_id_from_abbr
+        if ctx.doc_meta is None or "lang_id" not in ctx.doc_meta.columns:
+            return _nothing(ctx)
+        if node.value.isdigit():
+            want = int(node.value)
+        else:
+            want = lang_id_from_abbr(node.value)
+            if want == 0 and node.value not in ("xx",):
+                return _nothing(ctx)
+        return (ctx.doc_meta.filter(F.col("lang_id") == want)
+                .select("doc_id", zero))
+    if node.field == "gbcountry":
+        # gbcountry: the CountryCode abbreviation of getCountryId
+        # (hashCountry, XmlDoc_Indexing.cpp:1905-1930)
+        from ..functions.country import COUNTRY_ID
+        if ctx.doc_meta is None or "country_id" not in ctx.doc_meta.columns:
+            return _nothing(ctx)
+        want = COUNTRY_ID.get(node.value)
+        if want is None:
+            return _nothing(ctx)
+        return (ctx.doc_meta.filter(F.col("country_id") == want)
+                .select("doc_id", zero))
+    if node.field in ("gbisadult", "gbpermalink", "gbhasthumbnail"):
+        # boolean meta terms — the reference hashes exactly "1" or "0"
+        # (hashIsAdult/hashPermalink; gbhasthumbnail
+        # XmlDoc_Indexing.cpp:431), so any other value matches nothing
+        col = {"gbisadult": "is_adult", "gbpermalink": "is_permalink",
+               "gbhasthumbnail": "has_thumbnail"}[node.field]
+        if (ctx.doc_meta is None or col not in ctx.doc_meta.columns
+                or node.value not in ("0", "1")):
+            return _nothing(ctx)
+        want = node.value == "1"
+        return (ctx.doc_meta
+                .filter(F.col(col).cast("boolean") == want)
+                .select("doc_id", zero))
     if node.field in ("url", "site", "ip"):
         # FIELD_URL / FIELD_SITE / FIELD_IP (Query.cpp field table):
         # url: exact scheme-stripped match; site: the doc's site prefix
