@@ -304,7 +304,12 @@ def test_twitchy_backoff_parity(spark, tmp_path_factory):
     from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
 
     cfg = CrawlConfig(max_rounds=12, auto_backoff=True)
-    c = generate_corpus(seed=17, n_domains=6, n_urls=120)
+    # seed choice: the corpus must (a) hit the throttled outcome, (b) show
+    # a visible schedule difference with backoff on, and (c) schedule 2+
+    # post-throttle fetches per round on a twitchy IP so the raised
+    # spacing is observable.  Seed 17 lost (b)/(c) when the sitemap
+    # fixture domains joined the corpus; 11 exercises all three.
+    c = generate_corpus(seed=11, n_domains=6, n_urls=120)
     assert c.throttled, "fixture must exercise the throttled outcome"
     want = run_oracle(c, cfg)
     cd = str(tmp_path_factory.mktemp("twcorpus"))
