@@ -892,6 +892,26 @@ _register_golden("multimodal_frame_sample", _multimodal_frames,
                  "media_id, frame_idx")
 
 
+def _image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (training/imagedup.py): real
+    decode → integer dHash over every image/video payload, then the SAME
+    Manku c-of-k block-LSH Hamming join as the text SimHash path — one
+    Arrow map stage plus a bucketed candidate join, never all-pairs.
+    The fixture plants a 2x-upscaled, corner-brightened twin for every
+    15th image so recovered pairs sit at small nonzero Hamming."""
+    from .training.imagedup import image_neardup_pairs, plant_image_twins
+    from .training.multimodal import media_from_documents
+    register_views(spark, sf_dir)
+    media = plant_image_twins(
+        media_from_documents(spark.table("documents")), every=15)
+    return (image_neardup_pairs(media, max_hamming=6)
+            .orderBy("doc_a", "doc_b"))
+
+
+_register_golden("dedup_image_dhash_pairs", _image_dhash_pairs,
+                 "doc_a, doc_b")
+
+
 def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (training-data dedup family):
     blocked candidate pairs scored by integer-quantized dot product.  Each
