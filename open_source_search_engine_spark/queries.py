@@ -1265,6 +1265,24 @@ _register_golden("dedup_embed_cosine_pairs_lsh", _embed_neardup_lsh,
 _register_golden("dedup_semantic_keepers", _semdedup_verdicts, "vec_id")
 
 
+def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    hashed unigram+bigram bag-of-words models for target (source=src0)
+    vs the raw pool, integer-quantized log importance weights, Gumbel
+    top-k sampling without replacement.  Bucket aggregate is bounded at
+    n_buckets rows; the top-k boundary is a one-row collect broadcast as
+    a literal — no global sort."""
+    from .training.dsir import dsir_select
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+        (F.col("source") == "src0").alias("is_target"))
+    return dsir_select(docs, k=100).orderBy("doc_id")
+
+
+_register_golden("dsir_importance_select", _dsir_select, "doc_id")
+
+
 def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: result summaries/titles — best query-term window per doc
     (Summary.cpp getBestWindow analogue, pure Catalyst)."""

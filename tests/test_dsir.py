@@ -1,0 +1,139 @@
+"""DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169).
+
+Pins: (1) the hashed n-gram bucket kernel against a pure-Python oracle
+(unigrams + bigrams, bigrams never crossing documents), (2) docs written
+in the target vocabulary outscore off-target docs, (3) end-to-end weights
+match an independent single-process recompute, (4) exactly k docs are
+selected and they are the Gumbel top-k, (5) determinism across runs,
+(6) no row-at-a-time Python in the plan."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.functions.ghash import hash64b_bytes
+from open_source_search_engine_spark.training.dedup import _SH1
+from open_source_search_engine_spark.training.dsir import (
+    _LOG_SCALE, dsir_select, hashed_ngram_buckets)
+
+B = 64  # tiny bucket space so collisions are exercised
+
+
+def _oracle_buckets(text, n_buckets=B):
+    toks = text.split()
+    th = [int(h) for h in hash64b_bytes([t.encode() for t in toks])]
+    out = {}
+    for h in th:
+        out[h % n_buckets] = out.get(h % n_buckets, 0) + 1
+    with np.errstate(over="ignore"):     # intended uint64 wraparound
+        for a, b in zip(th, th[1:]):
+            bb = int((np.uint64(a) * _SH1 + np.uint64(b))
+                     % np.uint64(n_buckets))
+            out[bb] = out.get(bb, 0) + 1
+    return out
+
+
+def test_bucket_kernel_matches_oracle(spark):
+    docs = [(0, "the quick brown fox the quick"),
+            (1, "lorem ipsum dolor"),
+            (2, ""),
+            (3, "solo"),
+            (4, "the quick")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in hashed_ngram_buckets(df, B).collect():
+        got.setdefault(r["doc_id"], {})[r["bucket"]] = r["cnt"]
+    for did, text in docs:
+        assert got.get(did, {}) == _oracle_buckets(text), did
+
+
+def test_bigrams_do_not_cross_documents(spark):
+    # "a b" in one doc vs split across two docs: the split corpus must
+    # not contain the "a b" bigram bucket
+    one = spark.createDataFrame([(0, "alpha beta")],
+                                "doc_id long, text string")
+    split = spark.createDataFrame([(0, "alpha"), (1, "beta")],
+                                  "doc_id long, text string")
+    n_one = sum(r["cnt"] for r in hashed_ngram_buckets(one, B).collect())
+    n_split = sum(r["cnt"] for r in hashed_ngram_buckets(split, B).collect())
+    assert n_one == 3          # 2 unigrams + 1 bigram
+    assert n_split == 2        # 2 unigrams, no bigram
+
+
+def _corpus(spark):
+    """20 docs: 6 'wiki'-style targets, 10 raw web-style, 4 raw docs
+    written in the target vocabulary (the ones DSIR should pull in)."""
+    tgt_vocab = "protein enzyme genome cell nucleus membrane"
+    web_vocab = "click here buy now free offer deal sale"
+    rows = []
+    for i in range(6):
+        rows.append((i, f"{tgt_vocab} study {i}", True))
+    for i in range(10):
+        rows.append((100 + i, f"{web_vocab} page {i}", False))
+    for i in range(4):
+        rows.append((200 + i, f"{tgt_vocab} report {i}", False))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean")
+
+
+def test_target_like_docs_outscore(spark):
+    out = {r["doc_id"]: r for r in dsir_select(_corpus(spark), k=4).collect()}
+    g_w = [out[200 + i]["weight_q"] for i in range(4)]
+    w_w = [out[100 + i]["weight_q"] for i in range(10)]
+    assert min(g_w) > max(w_w)
+
+
+def test_weights_match_independent_recompute(spark):
+    docs = [(r["doc_id"], r["text"], r["is_target"])
+            for r in _corpus(spark).collect()]
+    n_buckets = 4096
+    per_doc, t_tot, r_tot = {}, 0, 0
+    tb, rb = {}, {}
+    for did, text, is_t in docs:
+        bc = _oracle_buckets(text, n_buckets)
+        per_doc[did] = bc
+        for b, c in bc.items():
+            rb[b] = rb.get(b, 0) + c
+            r_tot += c
+            if is_t:
+                tb[b] = tb.get(b, 0) + c
+                t_tot += c
+    want = {}
+    for did, bc in per_doc.items():
+        w = 0
+        for b, c in bc.items():
+            lr = (math.log(tb.get(b, 0) + 1) - math.log(t_tot + n_buckets)
+                  - math.log(rb.get(b, 0) + 1) + math.log(r_tot + n_buckets))
+            w += c * int(round(lr * _LOG_SCALE))
+        want[did] = w
+    got = {r["doc_id"]: r["weight_q"]
+           for r in dsir_select(_corpus(spark), k=4).collect()}
+    assert got == want
+
+
+def test_gumbel_topk_selection(spark):
+    rows = dsir_select(_corpus(spark), k=5).collect()
+    sel = [r for r in rows if r["selected"]]
+    assert len(sel) == 5
+    ordered = sorted(rows, key=lambda r: (-r["key_q"], r["doc_id"]))
+    assert sorted(r["doc_id"] for r in ordered[:5]) == \
+        sorted(r["doc_id"] for r in sel)
+
+
+def test_deterministic_across_runs(spark):
+    a = sorted(map(tuple, dsir_select(_corpus(spark), k=4).collect()))
+    b = sorted(map(tuple, dsir_select(_corpus(spark), k=4).collect()))
+    assert a == b
+    c = sorted(map(tuple, dsir_select(_corpus(spark), k=4,
+                                      seed=99).collect()))
+    assert [t[:2] for t in a] == [t[:2] for t in c]   # weights seed-free
+    assert a != c                                     # keys move
+
+
+def test_plan_no_row_python(spark):
+    df = dsir_select(_corpus(spark), k=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
