@@ -1283,6 +1283,26 @@ def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_golden("dsir_importance_select", _dsir_select, "doc_id")
 
 
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality filter (Brown 2020 App. A / Joulin 2016
+    hashing trick, fit as closed-form NB over hashed unigram+bigram
+    buckets): train reference (source=src0) vs random (src1/src2),
+    score EVERY document with an integer-quantized log-odds and a MAP
+    keep verdict.  Model is a bounded broadcast table; train is one
+    map-side-combined aggregate."""
+    from .training.qclassifier import quality_classify
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text",
+        F.when(F.col("source") == "src0", F.lit(True))
+        .when(F.col("source").isin("src1", "src2"), F.lit(False))
+        .alias("label"))
+    return quality_classify(docs).orderBy("doc_id")
+
+
+_register_golden("text_quality_classifier", _quality_classifier, "doc_id")
+
+
 def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: result summaries/titles — best query-term window per doc
     (Summary.cpp getBestWindow analogue, pure Catalyst)."""
