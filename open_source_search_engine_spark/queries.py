@@ -1303,6 +1303,20 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_golden("text_quality_classifier", _quality_classifier, "doc_id")
 
 
+def _shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (seeded tabulation-hash
+    permutation): every doc's exact 0-based position in the shuffled
+    training stream, via the range-sharded two-pass prefix sum — the
+    only unpartitioned window runs over the bounded partials table."""
+    from .training.shuffle import shuffle_positions
+    return (shuffle_positions(_docs_long(spark, sf_dir), seed=7)
+            .orderBy("doc_id"))
+
+
+_register_golden("training_shuffle_positions", _shuffle_positions,
+                 "doc_id")
+
+
 def _summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: result summaries/titles — best query-term window per doc
     (Summary.cpp getBestWindow analogue, pure Catalyst)."""
