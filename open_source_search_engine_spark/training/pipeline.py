@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 # stage order = evaluation priority for the reported reason
 REASONS = ["gopher_shape", "gopher_repetition", "dup_ngram", "pii", "lang",
-           "lm_tail", "contaminated", "boilerplate_only", "near_dup"]
+           "lm_tail", "classifier_reject", "contaminated",
+           "boilerplate_only", "near_dup"]
 
 
 #: every switchable curation gate, in evaluation order.  ``curate``'s
@@ -41,6 +42,7 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
            eval_docs: DataFrame | None = None,
            decontam_n: int = 13,
            lm_ref_docs: DataFrame | None = None,
+           classifier_labels: DataFrame | None = None,
            gates: tuple[str, ...] = GATES) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, keep, reason).
 
@@ -59,7 +61,11 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
       per-language perplexity terciles, and drop the 'tail' bucket
       (CCNet keeps head+middle; Wenzek 2020 §4.3).  Uses the approx-
       threshold bucketing (no per-language global sort — the 100 TB
-      path)."""
+      path);
+    - ``classifier_labels``: (doc_id, label boolean) train split for the
+      fastText-style quality classifier (``qclassifier``, Brown 2020
+      App. A — reference vs random-crawl); docs the trained model MAP-
+      rejects are dropped with reason 'classifier_reject'."""
     from .dedup import dedup_keepers
     from .gopher import dup_ngram_coverage, gopher_quality, gopher_repetition
     from .lines import line_dedup, segment_text
@@ -135,10 +141,19 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
         gated = gated.join(buck, "doc_id", "left")
     else:
         gated = gated.withColumn("lm_pass", F.lit(True))
+    if classifier_labels is not None:
+        from .qclassifier import nb_score, nb_train
+        model = nb_train(base.join(classifier_labels, "doc_id"))
+        clf = nb_score(base, model).select(
+            "doc_id", F.col("predict").alias("clf_pass"))
+        gated = gated.join(clf, "doc_id", "left")
+    else:
+        gated = gated.withColumn("clf_pass", F.lit(True))
     gated = gated.fillna(False)
     quality_ok = (F.col("gopher_pass") & F.col("rep_pass")
                   & F.col("dupngram_pass") & F.col("pii_pass")
                   & F.col("lang_pass") & F.col("lm_pass")
+                  & F.col("clf_pass")
                   & F.col("decontam_pass") & F.col("line_pass"))
 
     survivors = base.join(
@@ -156,6 +171,7 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
               .when(~F.col("pii_pass"), "pii")
               .when(~F.col("lang_pass"), "lang")
               .when(~F.col("lm_pass"), "lm_tail")
+              .when(~F.col("clf_pass"), "classifier_reject")
               .when(~F.col("decontam_pass"), "contaminated")
               .when(~F.col("line_pass"), "boilerplate_only")
               .when(~F.col("dedup_keep"), "near_dup"))

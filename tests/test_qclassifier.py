@@ -104,6 +104,23 @@ def test_deterministic(spark):
     assert a == b
 
 
+def test_curate_classifier_gate(spark):
+    """curate(classifier_labels=...) drops MAP-rejected docs with reason
+    'classifier_reject'; good-vocab held-outs survive the gate."""
+    from open_source_search_engine_spark.training.pipeline import curate
+
+    docs = _corpus(spark).select("doc_id", "text")
+    labels = _corpus(spark).filter("label IS NOT NULL").select(
+        "doc_id", "label")
+    out = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in curate(docs, classifier_labels=labels,
+                           gates=()).collect()}
+    assert out[300] == (False, "classifier_reject")
+    assert out[301] == (False, "classifier_reject")
+    assert out[200][0] and out[200][1] is None
+    assert out[201][0] and out[201][1] is None
+
+
 def test_plan_no_row_python(spark):
     docs = _corpus(spark)
     model = nb_train(docs.filter("label IS NOT NULL"))
