@@ -184,8 +184,10 @@ def run_bench() -> dict:
                 "text_quality_catalyst", "linkgraph_pagerank",
                 "dedup_lines", "text_gopher_repetition",
                 # round-3 additions (totals vs r2 compare on the shared
-                # 12-query prefix; these two time the new operators)
-                "text_lm_perplexity", "training_temperature_mix"]:
+                # 12-query prefix; these time the new operators)
+                "text_lm_perplexity", "training_temperature_mix",
+                "dedup_semantic_keepers", "dsir_importance_select",
+                "text_quality_classifier"]:
         # best of two, like the frontier headline: run 1 absorbs the
         # remaining per-plan one-time costs (codegen compile, worker-side
         # Arrow state) this sandbox pays unusually slowly

@@ -39,6 +39,15 @@ WHITELIST: dict[str, dict[str, str]] = {
             "and its one remaining global window is bounded at "
             "global_cap rows by construction (runs after the caps).",
     },
+    "training_shuffle_positions": {
+        "unpartitioned_window":
+            "the global prefix-sum window runs over the RANGE PARTIALS "
+            "table only — one row per hash range (n_ranges=1024 here; "
+            "10^4 rows for a 10^10-doc corpus), never over per-doc rows. "
+            "Hash keys are uniform so ranges are balanced by "
+            "construction; the per-doc rank window IS partitioned (by "
+            "rng).  Same two-pass shape as pack_sequences.",
+    },
     "q_result_cluster_filter": {
         "unpartitioned_window":
             "result post-filtering (Msg51/Msg40 post-query loop) runs "
