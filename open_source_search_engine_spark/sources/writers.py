@@ -62,3 +62,35 @@ def read_postings_bucketed(spark, table: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return spark.table(table)
+
+
+def write_training_shards(docs: DataFrame, out_dir: str,
+                          shard_size: int, seed: int = 0,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Materialize the training corpus as deterministic shuffled shards:
+    shard ``i`` holds exactly the docs at shuffled positions
+    ``[i*shard_size, (i+1)*shard_size)`` — the layout a data loader
+    expects (fixed-size files, global order reproducible from the seed
+    alone, any run/cluster size producing byte-identical shard
+    membership; see ``training.shuffle``).
+
+    Writes ``out_dir`` partitioned by shard (partition pruning gives a
+    loader O(1) access to any shard) with rows pre-sorted by position,
+    and returns the shard manifest (shard, n_docs, pos_min, pos_max) —
+    bounded at n_docs/shard_size rows."""
+    from pyspark.sql import functions as F
+
+    from ..training.shuffle import shuffle_positions
+
+    pos = shuffle_positions(docs, seed=seed, id_col=id_col)
+    placed = (docs.join(pos.withColumnRenamed("doc_id", id_col), id_col)
+              .withColumn("shard",
+                          (F.col("position") / shard_size).cast("long")))
+    (placed.repartition("shard")
+     .sortWithinPartitions("position")
+     .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
+    return (placed.groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("position").alias("pos_min"),
+                 F.max("position").alias("pos_max"))
+            .orderBy("shard"))

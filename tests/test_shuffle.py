@@ -62,3 +62,29 @@ def test_no_per_doc_global_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_write_training_shards(spark, tmp_path):
+    from open_source_search_engine_spark.sources.writers import (
+        write_training_shards)
+
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(_docs(spark), out, shard_size=64,
+                                     seed=7).collect()
+    # 200 docs / 64 -> shards 0..3, last partial
+    assert [r["shard"] for r in manifest] == [0, 1, 2, 3]
+    assert [r["n_docs"] for r in manifest] == [64, 64, 64, 8]
+    assert manifest[1]["pos_min"] == 64 and manifest[1]["pos_max"] == 127
+    # shard is a disk partition column: reading one shard prunes to it
+    back = spark.read.parquet(out)
+    one = back.filter("shard = 2")
+    got = sorted(r["position"] for r in one.collect())
+    assert got == list(range(128, 192))
+    # membership identical across a re-run (determinism of the layout)
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(_docs(spark), out2, shard_size=64, seed=7)
+    a = {(r["doc_id"], r["shard"])
+         for r in spark.read.parquet(out).select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"])
+         for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a == b
