@@ -14,7 +14,9 @@ Stages (each the production operator, see STATUS.md):
      crawl's own survivors of the earlier gates)
   4. training.mixing.temperature_sample — per-source q ∝ p^α flattening
      (--mix-alpha; off by default, 1.0 = identity)
-  5. training.packing.pack_sequences — per-site concat-and-chunk
+  5. training.shuffle — deterministic global corpus shuffle
+     (--shuffle-seed; off by default = per-site stratified packing)
+  6. training.packing.pack_sequences — concat-and-chunk
 Writes: kept docs, packed spans, attrition summary (one parquet each)
 and prints the per-stage attrition + packing efficiency.
 """
@@ -45,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="add the CCNet LM perplexity-tail gate")
     ap.add_argument("--mix-alpha", type=float, default=None,
                     help="temperature-mix alpha (e.g. 0.3); default off")
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="global-shuffle the stream before packing "
+                         "(deterministic hash permutation); default off "
+                         "= per-source stratified packing")
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args(argv)
 
@@ -71,7 +77,8 @@ def main(argv: list[str] | None = None) -> int:
         runner, context_len=args.context_len,
         lang_keep=tuple(args.lang.split(",")),
         gates=tuple(args.gates.split(",")) if args.gates else None,
-        lm_gate=args.lm_gate, mix_alpha=args.mix_alpha)
+        lm_gate=args.lm_gate, mix_alpha=args.mix_alpha,
+        shuffle_seed=args.shuffle_seed)
 
     kept.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     spans.write.mode("overwrite").parquet(os.path.join(out_dir, "spans"))
@@ -93,7 +100,8 @@ def build_training_corpus(runner, context_len: int = 256,
                           lang_keep: tuple[str, ...] = ("en",),
                           gates: tuple[str, ...] | None = None,
                           lm_gate: bool = False,
-                          mix_alpha: float | None = None):
+                          mix_alpha: float | None = None,
+                          shuffle_seed: int | None = None):
     """crawl state -> (kept_docs, packed_spans, attrition, pack_stats).
     Separated from main() so tests drive it on an in-memory runner.
 
@@ -107,7 +115,14 @@ def build_training_corpus(runner, context_len: int = 256,
     ``training.pipeline.curate`` directly).  ``mix_alpha`` runs the kept
     docs through ``training.mixing.temperature_sample`` — upsampled
     copies re-enter the stream as distinct doc ids (uh48·16+copy, the
-    epoch repetition the packer then lays out)."""
+    epoch repetition the packer then lays out).
+
+    ``shuffle_seed`` adds the deterministic global corpus shuffle
+    (``training.shuffle``) between mixing and packing: each doc's id is
+    remapped to its exact shuffled stream position, so the packer lays
+    chunks out in shuffled order as ONE global stream (group_col off) —
+    the layout a trainer consumes.  Off by default to keep the
+    per-source stratified layout."""
     from urllib.parse import urlparse
 
     from pyspark.sql import functions as F
@@ -138,8 +153,16 @@ def build_training_corpus(runner, context_len: int = 256,
         kept = (kept.join(mix.select("doc_id", "copy"), "doc_id")
                 .select((F.col("doc_id") * 16 + F.col("copy"))
                         .alias("doc_id"), "source", "text"))
-    spans = pack_sequences(kept, context_len=context_len,
-                           group_col="source")
+    if shuffle_seed is not None:
+        from ..training.shuffle import shuffle_positions
+        pos = shuffle_positions(kept, seed=shuffle_seed)
+        kept = (kept.join(pos.select("doc_id", "position"), "doc_id")
+                .select(F.col("position").alias("doc_id"), "source",
+                        "text"))
+        spans = pack_sequences(kept, context_len=context_len)
+    else:
+        spans = pack_sequences(kept, context_len=context_len,
+                               group_col="source")
     return kept, spans, attrition, packing_stats(spans, context_len)
 
 

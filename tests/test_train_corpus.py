@@ -93,3 +93,31 @@ class TestTrainCorpus:
             (F.size(F.split(F.trim("text"), r"\s+")) + 1)
             .alias("n")).agg(F.sum("n")).first()[0]
         assert span_toks == doc_toks
+
+    def test_shuffle_stage_composes(self, runner):
+        """--shuffle-seed: kept ids become the exact 0..n-1 shuffled
+        stream positions, packing covers one global stream, token
+        conservation holds, and the layout is seed-deterministic."""
+        from open_source_search_engine_spark.plans.train_corpus import (
+            build_training_corpus,
+        )
+        kept, spans, attrition, stats = build_training_corpus(
+            runner, context_len=64, lang_keep=("en",),
+            gates=("repetition", "dup_ngram", "line_dedup", "near_dup"),
+            shuffle_seed=7)
+        ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+        assert ids == list(range(len(ids)))        # dense positions
+        assert [r.group for r in stats.collect()] == [""]  # one stream
+        span_toks = spans.agg(
+            F.sum(F.col("tok_end") - F.col("tok_start"))).first()[0]
+        doc_toks = kept.select(
+            (F.size(F.split(F.trim("text"), r"\s+")) + 1)
+            .alias("n")).agg(F.sum("n")).first()[0]
+        assert span_toks == doc_toks
+        kept2, _, _, _ = build_training_corpus(
+            runner, context_len=64, lang_keep=("en",),
+            gates=("repetition", "dup_ngram", "line_dedup", "near_dup"),
+            shuffle_seed=7)
+        a = sorted(map(tuple, kept.select("doc_id", "text").collect()))
+        b = sorted(map(tuple, kept2.select("doc_id", "text").collect()))
+        assert a == b
