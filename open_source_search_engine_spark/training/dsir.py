@@ -111,24 +111,30 @@ def hashed_ngram_buckets(docs: DataFrame,
 def dsir_bucket_logratio(buckets: DataFrame, doc_flags: DataFrame,
                          n_buckets: int = N_BUCKETS) -> DataFrame:
     """(bucket, logratio_q): quantized ``log p_b - log q_b`` with add-one
-    smoothing, p fit on target docs and q on the whole raw pool.  The
-    aggregate is bounded by ``n_buckets`` rows regardless of corpus size;
-    the two totals are a one-row collect."""
+    smoothing, p fit on target docs and q on the whole raw pool.
+
+    The aggregate is bounded by ``n_buckets`` rows regardless of corpus
+    size, so the model fit is ONE bounded collect (the BPE/IVF pattern):
+    the log ratios are computed on the driver and handed back as a local
+    broadcast-sized frame — downstream consumers never re-trigger the
+    corpus tokenization that fed the aggregate."""
     flagged = buckets.join(doc_flags, "doc_id")
-    agg = (flagged.groupBy("bucket")
-           .agg(F.sum(F.when(F.col("is_target"), F.col("cnt"))
-                      .otherwise(F.lit(0))).alias("t_cnt"),
-                F.sum("cnt").alias("r_cnt")))
-    totals = agg.agg(F.sum("t_cnt"), F.sum("r_cnt")).collect()[0]
-    t_total = int(totals[0] or 0)
-    r_total = int(totals[1] or 0)
+    rows = (flagged.groupBy("bucket")
+            .agg(F.sum(F.when(F.col("is_target"), F.col("cnt"))
+                       .otherwise(F.lit(0))).alias("t_cnt"),
+                 F.sum("cnt").alias("r_cnt"))
+            .collect())                      # bounded: <= n_buckets rows
+    t_total = sum(r["t_cnt"] for r in rows)
+    r_total = sum(r["r_cnt"] for r in rows)
     log_tz = math.log(t_total + n_buckets)
     log_rz = math.log(r_total + n_buckets)
-    return agg.select(
-        "bucket",
-        F.round((F.log(F.col("t_cnt") + 1) - F.lit(log_tz)
-                 - F.log(F.col("r_cnt") + 1) + F.lit(log_rz))
-                * _LOG_SCALE).cast("long").alias("logratio_q"))
+    out = [(int(r["bucket"]),
+            int(round((math.log(r["t_cnt"] + 1) - log_tz
+                       - math.log(r["r_cnt"] + 1) + log_rz)
+                      * _LOG_SCALE)))
+           for r in rows]
+    return buckets.sparkSession.createDataFrame(
+        out, "bucket int, logratio_q long")
 
 
 def _gumbel_key_q(seed: int):
@@ -160,7 +166,9 @@ def dsir_select(docs: DataFrame, target_col: str = "is_target",
     boundary is collected (one row) and broadcast as a literal threshold —
     no global single-partition sort."""
     flags = docs.select("doc_id", F.col(target_col).alias("is_target"))
-    buckets = hashed_ngram_buckets(docs, n_buckets)
+    # the bucket rows feed the model fit (one action) AND the final
+    # weight aggregate — persist so the Arrow tokenization pass runs once
+    buckets = hashed_ngram_buckets(docs, n_buckets).persist()
     ratios = dsir_bucket_logratio(buckets, flags, n_buckets)
     weights = (buckets.join(F.broadcast(ratios), "bucket")
                .groupBy("doc_id")
@@ -172,7 +180,8 @@ def dsir_select(docs: DataFrame, target_col: str = "is_target",
                           F.coalesce("weight_q", F.lit(0)).cast("long"))
               .withColumn("key_q", (F.col("weight_q")
                                     + _gumbel_key_q(seed)(F.col("doc_id"))
-                                    ).cast("long")))
+                                    ).cast("long"))
+              .persist())                   # boundary collect + final read
     boundary = (scored.orderBy(F.desc("key_q"), "doc_id")
                 .limit(k).orderBy(F.asc("key_q"), F.desc("doc_id"))
                 .limit(1).collect())

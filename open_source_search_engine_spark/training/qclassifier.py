@@ -40,30 +40,34 @@ def nb_train(docs: DataFrame, label_col: str = "label",
     ``docs``: (doc_id long, text, <label_col> boolean) — True = the
     high-quality reference class."""
     labels = docs.select("doc_id", F.col(label_col).alias("label"))
-    counts = (hashed_ngram_buckets(docs, n_buckets)
-              .join(labels, "doc_id")
-              .groupBy("bucket")
-              .agg(F.sum(F.when(F.col("label"), F.col("cnt"))
-                         .otherwise(F.lit(0))).alias("pos"),
-                   F.sum(F.when(~F.col("label"), F.col("cnt"))
-                         .otherwise(F.lit(0))).alias("neg")))
-    totals = counts.agg(F.sum("pos"), F.sum("neg")).collect()[0]
-    pos_total = int(totals[0] or 0)
-    neg_total = int(totals[1] or 0)
-    n_pos_docs = labels.filter("label").count()
-    n_neg_docs = labels.filter("NOT label").count()
+    # the per-bucket aggregate is bounded at n_buckets rows: fit the
+    # model with ONE bounded collect (the BPE/IVF pattern) so the corpus
+    # tokenization runs exactly once at train time
+    rows = (hashed_ngram_buckets(docs, n_buckets)
+            .join(labels, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.when(F.col("label"), F.col("cnt"))
+                       .otherwise(F.lit(0))).alias("pos"),
+                 F.sum(F.when(~F.col("label"), F.col("cnt"))
+                       .otherwise(F.lit(0))).alias("neg"))
+            .collect())
+    pos_total = sum(r["pos"] for r in rows)
+    neg_total = sum(r["neg"] for r in rows)
+    doc_counts = {r["label"]: r["n"] for r in
+                  labels.groupBy("label").agg(F.count("*").alias("n"))
+                  .collect()}
+    n_pos_docs = doc_counts.get(True, 0)
+    n_neg_docs = doc_counts.get(False, 0)
     log_pz = math.log(pos_total + n_buckets)
     log_nz = math.log(neg_total + n_buckets)
     bias = math.log(n_pos_docs + 1) - math.log(n_neg_docs + 1)
-    weights = counts.select(
-        "bucket",
-        F.round((F.log(F.col("pos") + 1) - F.lit(log_pz)
-                 - F.log(F.col("neg") + 1) + F.lit(log_nz))
-                * _LOG_SCALE).cast("long").alias("weight_q"))
-    spark = docs.sparkSession
-    bias_row = spark.createDataFrame(
-        [(-1, int(round(bias * _LOG_SCALE)))], "bucket int, weight_q long")
-    return weights.unionByName(bias_row)
+    out = [(int(r["bucket"]),
+            int(round((math.log(r["pos"] + 1) - log_pz
+                       - math.log(r["neg"] + 1) + log_nz) * _LOG_SCALE)))
+           for r in rows]
+    out.append((-1, int(round(bias * _LOG_SCALE))))
+    return docs.sparkSession.createDataFrame(
+        out, "bucket int, weight_q long")
 
 
 def nb_score(docs: DataFrame, model: DataFrame,
