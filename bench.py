@@ -308,9 +308,18 @@ def run_scaling(n_small: int = 4, reps: int = 3) -> dict:
     state by 2-3x.  The JVM persists across SparkSessions within one
     process, so we (1) pre-warm the heap with the same-size job at
     local[32], then (2) measure each level warm: one throwaway run + best
-    of ``reps`` measured runs."""
+    of ``reps`` measured runs.
+
+    Partitioning is FIXED across the two levels (shuffle_partitions=64,
+    a multiple of both core counts): on a real cluster the job config is
+    identical at N and 4N executors — partitions are sized to the DATA,
+    and growing the cluster only adds task parallelism.  Tying partitions
+    to the core count (the r2 protocol) conflated two variables: the
+    low-core side ran 24M-row shuffle partitions (spill/GC territory)
+    and understated N-side throughput.  Fixed 64 is faster at BOTH
+    levels (r3, idle box: local[4] 93->75 s, local[16] 32->21 s)."""
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
-    # 96M (not 48M): sized so the 4N run is ~35 s — well past the fixed
+    # 96M (not 48M): sized so the 4N run is ~20+ s — well past the fixed
     # per-job costs that scatter a ~14 s measurement across the gate
     # (BENCH/BASELINE.md "Input sizing")
     n_rows = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", "96000000"))
@@ -318,7 +327,7 @@ def run_scaling(n_small: int = 4, reps: int = 3) -> dict:
 
     def measure(cpus: int, n_runs: int) -> list[float]:
         spark = get_spark(app=f"scale{cpus}", master=f"local[{cpus}]",
-                          shuffle_partitions=cpus)
+                          shuffle_partitions=64)
         times = []
         for _ in range(n_runs):
             t0 = time.time()
