@@ -146,8 +146,13 @@ def run_bench() -> dict:
         n = wave.count()
         return time.time() - t0, n
 
+    # the frontier job shuffles 5M+ rows: size its partitions to the
+    # data (64 — same setting the scaling protocol fixes), not to the
+    # core count; restore the catalog default afterwards
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
     frontier_run()
     (dt, wave_rows) = min(frontier_run() for _ in range(2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     timings["frontier_schedule"] = round(dt, 3)
     urls_per_sec = n_rows / dt
 
