@@ -912,6 +912,26 @@ _register_golden("dedup_image_dhash_pairs", _image_dhash_pairs,
                  "doc_a, doc_b")
 
 
+def _audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-fingerprint audio near-dup pairs (training/audiodup.py):
+    real WAV decode → Haitsma-Kalker-style 64-bit band-energy hash over
+    every audio payload, then the SAME Manku c-of-k block-LSH Hamming
+    join as the text/image paths.  The fixture plants a volume-scaled,
+    one-window-perturbed twin for every 15th audio clip so recovered
+    pairs sit at small nonzero Hamming."""
+    from .training.audiodup import audio_neardup_pairs, plant_audio_twins
+    from .training.multimodal import media_from_documents
+    register_views(spark, sf_dir)
+    media = plant_audio_twins(
+        media_from_documents(spark.table("documents")), every=15)
+    return (audio_neardup_pairs(media, max_hamming=6)
+            .orderBy("doc_a", "doc_b"))
+
+
+_register_golden("dedup_audio_fp_pairs", _audio_fp_pairs,
+                 "doc_a, doc_b")
+
+
 def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (training-data dedup family):
     blocked candidate pairs scored by integer-quantized dot product.  Each
