@@ -192,7 +192,8 @@ def run_bench() -> dict:
                 # 12-query prefix; these time the new operators)
                 "text_lm_perplexity", "training_temperature_mix",
                 "dedup_semantic_keepers", "dsir_importance_select",
-                "text_quality_classifier"]:
+                "text_quality_classifier", "dedup_image_dhash_pairs",
+                "dedup_audio_fp_pairs"]:
         # best of two, like the frontier headline: run 1 absorbs the
         # remaining per-plan one-time costs (codegen compile, worker-side
         # Arrow state) this sandbox pays unusually slowly
