@@ -932,6 +932,37 @@ _register_golden("dedup_audio_fp_pairs", _audio_fp_pairs,
                  "doc_a, doc_b")
 
 
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report — the first readout of any curation run
+    (doc/token/char totals per (lang, source) cell, the table the
+    temperature-mixing and domain-quota stages consume).  Pure Catalyst,
+    one map-side-combined aggregate; the result is bounded by the
+    (lang, source) cardinality regardless of corpus size."""
+    register_views(spark, sf_dir)
+    return (spark.table("documents")
+            .groupBy("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.size(F.split(F.trim("text"), r"\s+"))
+                       .cast("long")).alias("n_tokens"),
+                 F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+                 F.min(F.col("n_chars").cast("long")).alias("min_chars"),
+                 F.max(F.col("n_chars").cast("long")).alias("max_chars"))
+            .orderBy("lang", "source"))
+
+
+_register("corpus_stats_report", _corpus_stats, """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""")
+
+
 def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (training-data dedup family):
     blocked candidate pairs scored by integer-quantized dot product.  Each
