@@ -77,3 +77,40 @@ def test_filter_parser_never_crashes_unexpectedly(expr):
     except ValueError:
         return
     assert isinstance(atoms, list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abc xyz", max_size=30), min_size=1,
+                max_size=20))
+def test_dsir_bucket_counts_conserve_ngrams(texts):
+    """Hashed-bucket counts sum to exactly (unigrams + bigrams) per doc:
+    tokens + max(tokens-1, 0) — nothing dropped or double-counted by
+    the flat Arrow kernel's boundary masking."""
+    from open_source_search_engine_spark.training.dsir import (
+        _bucket_batch_kernel)
+    import pandas as pd
+    batch = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = pd.concat(list(_bucket_batch_kernel(64)(iter([batch]))),
+                    ignore_index=True)
+    got = out.groupby("doc_id")["cnt"].sum().to_dict()
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        want = n + max(n - 1, 0)
+        assert got.get(i, 0) == want, (i, t)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=400),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_shuffle_key_is_total_and_deterministic(n, seed):
+    """The shuffle key ranks every doc id deterministically: same seed →
+    same order; keys are nonneg int63 (signed order == unsigned)."""
+    import numpy as np
+    from open_source_search_engine_spark.functions.ghash import (
+        hash64b_bytes)
+    ids = list(range(n))
+    h1 = hash64b_bytes([f"{d}\x1f{seed}".encode() for d in ids])
+    h2 = hash64b_bytes([f"{d}\x1f{seed}".encode() for d in ids])
+    assert (h1 == h2).all()
+    keys = (h1 >> np.uint64(1)).astype(np.int64)
+    assert (keys >= 0).all()
