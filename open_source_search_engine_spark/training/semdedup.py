@@ -126,17 +126,28 @@ def _greedy_kernel(eps_q: int):
     return _scan
 
 
+AVG_CLUSTER_TARGET = 512     # paper regime: k ~ n / bounded-cluster-size
+
+
 def semdedup(emb: DataFrame, eps: float = 0.92,
-             n_clusters: int = 16) -> DataFrame:
+             n_clusters: int | None = None) -> DataFrame:
     """Full SemDeDup verdict table: every vector with its cluster, its
     centroid similarity, whether it survives, and which keeper displaced
     it.  ``eps`` is the paper's similarity threshold (they sweep
     0.90-0.95 for web text).
 
+    ``n_clusters=None`` scales k with the corpus like the paper does
+    (50k clusters for 1e9 points): k = max(16, n / AVG_CLUSTER_TARGET),
+    keeping the per-cluster O(k_i^2) greedy kernel bounded at any corpus
+    size for one count() action.  Pass an explicit k to pin it.
+
     Plan: centroid train (bounded deterministic sample) → one Arrow
     assign pass → one Arrow normalize/quantize pass → ONE shuffle keyed
     on cluster id → per-cluster greedy kernel.  Nothing all-pairs."""
-    cents = ivf_centroids(emb, n_clusters)
+    if n_clusters is None:
+        n_clusters = max(16, -(-emb.count() // AVG_CLUSTER_TARGET))
+    cents = ivf_centroids(emb, n_clusters,
+                          sample=max(512, 2 * n_clusters))
     assigned = ivf_assign(emb, cents)
     quant = _normalized_quantized(emb, cents, assigned)
     eps_q = int(round(eps * _COS_SCALE))
@@ -145,7 +156,7 @@ def semdedup(emb: DataFrame, eps: float = 0.92,
 
 
 def semdedup_keepers(emb: DataFrame, eps: float = 0.92,
-                     n_clusters: int = 16) -> DataFrame:
+                     n_clusters: int | None = None) -> DataFrame:
     """Just the surviving vec_ids (the corpus the trainer keeps)."""
     return (semdedup(emb, eps, n_clusters)
             .filter(F.col("kept")).select("vec_id"))

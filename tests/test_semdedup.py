@@ -142,3 +142,16 @@ def test_assignment_consistency(spark):
     got = {r["vec_id"]: r["bucket"]
            for r in semdedup(emb, n_clusters=3).collect()}
     assert got == want
+
+
+def test_auto_cluster_scaling(spark):
+    """n_clusters=None scales k with the corpus (k = n/512 floor 16) and
+    the verdict still covers every vector exactly once."""
+    from open_source_search_engine_spark.training.semdedup import (
+        AVG_CLUSTER_TARGET)
+    rng = np.random.RandomState(17)
+    mat = rng.standard_normal((40, DIM))
+    out = semdedup(_emb_df(spark, mat), eps=0.92).collect()
+    assert len(out) == 40
+    assert len({r["vec_id"] for r in out}) == 40
+    assert len({r["bucket"] for r in out}) <= 16   # small corpus -> k=16
