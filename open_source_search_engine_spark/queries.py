@@ -2937,6 +2937,40 @@ def _q1_phrase_posdb_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_golden("q1_phrase_posdb_rank", _q1_phrase_posdb_rank, "doc_id")
 
 
+def _q2_wiki_phrase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiki-phrase query weighting through the FULL Posdb ranker: the
+    ENCYCLOPEDIA-TITLE fixture (Wiki.cpp:29-167 wikititles load,
+    search.wikiphrases.load_wiki_titles) marks the query run 'hash
+    table' as one wiki phrase (Wiki::getNumWordsInWikiPhrase,
+    Wiki.cpp:175 greedy longest run), so that pair targets its QUERY
+    spacing and is scored as a unit while 'scan' stays independent
+    (PosdbTable.cpp m_wikiPhraseIds handling)."""
+    from .search.posdbrank import build_posdb_index, parsed_rank_search
+    from .search.wikiphrases import load_wiki_titles
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.array_join(F.slice(toks, 1, 4), " "),
+        F.lit("</title></head><body><p>"),
+        F.array_join(F.slice(toks, 5, F.size(toks)), " "),
+        F.lit(".</p></body></html>"))
+    hdocs = docs.select(
+        "doc_id", html.alias("content"),
+        (F.col("doc_id") % 10).cast("int").alias("site_rank"), "lang")
+    idx = build_posdb_index(hdocs)
+    out = parsed_rank_search(idx, hdocs, "hash table scan",
+                             num_docs=docs.count(), k=25, qlang="en",
+                             wiki_titles=load_wiki_titles())
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.round("score", 6).alias("score"))
+            .orderBy("doc_id"))
+
+
+_register_golden("q2_wiki_phrase_rank", _q2_wiki_phrase_rank, "doc_id")
+
+
 def _q_thumbnail_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail candidate selection (Images.cpp:118-230): blacklist
     substrings, <50px declared dims, domain validity, the site-reuse
