@@ -86,6 +86,18 @@ _SCRIPT_RANGES = (
     (0x0530, 0x058F, _ARMENIAN),
     (0x0590, 0x05FF, _HEBREW),
     (0x0600, 0x06FF, _ARABIC), (0x0750, 0x077F, _ARABIC),
+    # Presentation-form blocks carry their REAL script in the compiled
+    # scripts.dat (probed: FB01→Latin, FB14→Armenian, FB2A→Hebrew,
+    # FB50/FDF2/FE70/FEDB/FEFC→Arabic), so a shaped-Arabic page keeps
+    # whole words instead of breaking at every standard↔presentation
+    # boundary.  FD3E-FD3F (ornate parens) and FEFF are script=Common in
+    # the table but never reach the script check (not word chars / Cf
+    # ignorable), so the coarse ranges below are behavior-exact.
+    (0xFB00, 0xFB06, _LATIN),
+    (0xFB13, 0xFB17, _ARMENIAN),
+    (0xFB1D, 0xFB4F, _HEBREW),
+    (0xFB50, 0xFDFF, _ARABIC),
+    (0xFE70, 0xFEFC, _ARABIC),
     (0x0900, 0x097F, _DEVANAGARI),
     (0x0E00, 0x0E7F, _THAI),
     (0x3040, 0x309F, _HIRAGANA),

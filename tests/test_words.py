@@ -200,6 +200,48 @@ class TestUCPropTableVectors:
         assert alnum_words("é̂s") == ["e", "́̂s"]
 
 
+class TestPresentationForms:
+    """Presentation-form blocks (VERDICT r2 item 8).  Every expectation
+    was probed against the reference's COMPILED scripts.dat
+    (UCPropTable::deserialize layout, valueSize=1 tableBits=10):
+    U+FB01→Latin(30), U+FB14→Armenian(2), U+FB2A→Hebrew(22),
+    U+FB50/U+FEDB/U+FEFC→Arabic(1), U+FD3E/U+FEFF→Common(0)."""
+
+    def test_arabic_presentation_joins_standard(self):
+        # standard kaf U+0643 + final-form kaf U+FEDA: same script in
+        # scripts.dat, so NO break (a COMMON fallback would split here)
+        assert alnum_words("كﻚ") == ["كﻚ"]
+        assert alnum_words("ﻚك") == ["ﻚك"]
+
+    def test_arabic_presentation_word_stays_whole(self):
+        # fully shaped word, Pres-B forms: one token
+        w = "ﻛﺘﺎﺏ"
+        assert alnum_words(w) == [w]
+
+    def test_arabic_presentation_script_change_breaks(self):
+        # Arabic pres form then Greek: script change still splits
+        assert alnum_words("ﺏγ") == ["ﺏ", "γ"]
+
+    def test_arabic_presentation_start_of_text_quirk(self):
+        # a doc starting with a non-Latin-script word emits the
+        # zero-length quirk word (Words.cpp:341-356) — pres forms are
+        # Arabic, so the quirk fires exactly like for U+0643
+        toks = [t for t in segment("ﻛ") if t.kind == "alnum"]
+        assert [t.text for t in toks] == ["", "ﻛ"]
+
+    def test_hebrew_presentation_joins_standard(self):
+        # U+FB2A (shin with shin dot) is Hebrew in scripts.dat
+        assert alnum_words("שׁא") == ["שׁא"]
+
+    def test_latin_ligature_joins_ascii(self):
+        # U+FB01 'fi' is Latin → treated as common, joins ascii
+        assert alnum_words("ﬁsh") == ["ﬁsh"]
+
+    def test_armenian_ligature_joins_standard(self):
+        # U+FB14 Armenian men-yech ligature + U+0561 ayb: one word
+        assert alnum_words("ﬔա") == ["ﬔա"]
+
+
 class TestTags:
     def test_tag_tokens(self):
         toks = segment("<p>hi <b>x</b></p>", has_tags=True)
