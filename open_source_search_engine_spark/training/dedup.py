@@ -383,7 +383,17 @@ def simhash_near_dups(fps: DataFrame, max_hamming: int = 3,
     _simhash_block_tables), bucket-join per table key, verify with
     bit_count.  Recall is exact at the threshold; precision comes from the
     popcount verify.  At 100 TB keep max_hamming <= 6 so keys stay >= 20
-    bits wide and buckets stay O(cluster size), not O(corpus)."""
+    bits wide and buckets stay O(cluster size), not O(corpus).
+
+    The signature table is persisted before the self-join: both join
+    sides read the same lineage, and for every real caller that lineage
+    ends in an expensive Arrow map stage (text simhash, image decode →
+    dHash, audio decode → spectral hash) which would otherwise run once
+    PER SIDE (no ReusedExchange fires across the explode).  The cached
+    relation is (doc_id, simhash) — 16 bytes/doc, disk-spillable, tiny
+    next to the corpus it fingerprints."""
+    from pyspark import StorageLevel
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     blocks, tables = _simhash_block_tables(max_hamming, blocks_per_key)
     block_cols = [
         F.shiftrightunsigned("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
