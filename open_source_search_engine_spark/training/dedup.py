@@ -235,7 +235,16 @@ def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5) -> DataFrame:
     fraction of matching minhashes; keep pairs >= threshold.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    ``sigs`` is persisted first for the same reason simhash_near_dups
+    persists its fingerprints: the band self-join reads the lineage once
+    per side with no ReusedExchange, and the usual lineage ends in the
+    minhash Arrow map over the full corpus text — the one stage worth
+    never running twice.  The cached relation is (doc_id, 128 minhashes),
+    ~0.5 KB/doc, disk-spillable.
     """
+    from pyspark import StorageLevel
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
         "doc_id", "sig",
         F.posexplode(
