@@ -390,6 +390,30 @@ def test_simhash_catalog_candidate_count_subquadratic(spark):
     assert biggest < n // 8, f"mega-bucket survived: {biggest} docs (n={n})"
 
 
+def test_lsh_self_joins_read_cached_signatures(spark):
+    """Both LSH pair joins must read their signature relation from cache:
+    no ReusedExchange fires across the explode+self-join, so without the
+    persist the Arrow map feeding the signatures (text simhash, image
+    dHash, audio spectral hash, minhash over full text) runs once PER
+    JOIN SIDE — measured 14.3 s -> 2.5 s on dedup_audio_fp_pairs at
+    sf0.1.  Assert the physical plan shows a cache scan on each side."""
+    from open_source_search_engine_spark.training.dedup import (
+        N_HASHES, lsh_candidate_pairs, simhash_near_dups)
+
+    fps = spark.createDataFrame([(1, 7), (2, 5), (3, 7)],
+                                ["doc_id", "simhash"])
+    plan = (simhash_near_dups(fps, max_hamming=6)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+    sigs = spark.createDataFrame(
+        [(1, list(range(N_HASHES))), (2, list(range(N_HASHES)))],
+        ["doc_id", "sig"])
+    plan = (lsh_candidate_pairs(sigs, threshold=0.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
 def test_ngram_jaccard_lsh_recall_vs_exact(spark):
     """dedup_ngram_jaccard_pairs_lsh (MinHash-LSH blocked, no label
     columns) must recover essentially every pair the exact all-pairs
