@@ -963,13 +963,15 @@ ORDER BY lang, source
 """)
 
 
-def _embed_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection (training-data dedup family):
-    blocked candidate pairs scored by integer-quantized dot product.  Each
-    block's all-pairs Gram matrix is one NumPy (BLAS) matmul inside
-    ``applyInPandas`` — the per-pair Catalyst lambda was ~20x slower.  The
-    fixture blocks on ``label``; at 100 TB the block key is an LSH bucket
-    (training/simsearch.lsh_buckets) — the within-block kernel is identical."""
+def _embed_neardup_allpairs_fixture(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """FIXTURE/ORACLE-ONLY (not a catalog key since r4): label-blocked
+    all-pairs embedding-cosine scoring.  Quadratic in the block, so it can
+    never be the plan a driver bench selects at a bigger sf — the catalog
+    name ``dedup_embed_cosine_pairs`` now resolves to the banded sign-LSH
+    plan below (VERDICT r3 item 2).  Kept as the exact side for recall
+    tests: each block's all-pairs Gram matrix is one NumPy (BLAS) matmul
+    inside ``applyInPandas`` over integer-quantized vectors."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1017,29 +1019,21 @@ def _embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("va", "vb"))
 
 
-_register("dedup_embed_cosine_pairs", _embed_neardup_spark, """
-WITH pairs AS (
-  SELECT a.vec_id AS va, b.vec_id AS vb,
-         (SELECT SUM(CAST(ROUND(CAST(a.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)
-                     * CAST(ROUND(CAST(b.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT))
-          FROM range(1, 65) t(i)) AS dot_q
-  FROM embeddings a, embeddings b
-  WHERE a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT CAST(va AS BIGINT) AS va, CAST(vb AS BIGINT) AS vb,
-       CAST(dot_q AS BIGINT) AS dot_q
-FROM pairs WHERE dot_q >= 150000 ORDER BY va, vb
-""")
+# Since r4 the PLAIN name is the LSH-blocked scale plan (same fn as the
+# _lsh twin, kept for key stability), so no driver sf increase can ever
+# select an O(n^2) plan.  The label-blocked all-pairs form above is the
+# recall-test oracle only.  (VERDICT r3 item 2.)
+_register_golden("dedup_embed_cosine_pairs", _embed_neardup_lsh, "va, vb")
 
 
-def _token_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram(1) Jaccard near-dup pairs over blocked candidates (same
-    source+lang) — JVM-side array set ops; scaled-integer score for exact
-    cross-engine hashing.  FIXTURE-ONLY blocking: within-block all-pairs is
-    quadratic in the block, and an "en/web" block at 100 TB IS the corpus —
-    the scale path is dedup_ngram_jaccard_pairs_lsh below (MinHash-LSH
-    bucket block over the same unigram space, exact-Jaccard verified), the
-    same split dedup_embed_cosine_pairs/_lsh uses."""
+def _token_jaccard_allpairs_fixture(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """FIXTURE/ORACLE-ONLY (not a catalog key since r4): (source, lang)-
+    blocked all-pairs unigram-Jaccard — quadratic in the block, and an
+    "en/web" block at 100 TB IS the corpus.  The catalog name
+    ``dedup_ngram_jaccard_pairs`` now resolves to the MinHash-LSH plan
+    below (VERDICT r3 item 2); this exact form remains the recall-test
+    side (tests/test_training_ops.py::test_ngram_jaccard_lsh_recall...)."""
     register_views(spark, sf_dir)
     toks = spark.table("documents").select(
         "doc_id", "source", "lang",
@@ -1062,22 +1056,9 @@ def _token_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register("dedup_ngram_jaccard_pairs", _token_jaccard_spark, """
-WITH t AS (
-  SELECT doc_id, source, lang,
-         list_distinct(string_split(text, ' ')) AS toks
-  FROM documents
-)
-SELECT CAST(a.doc_id AS BIGINT) AS da, CAST(b.doc_id AS BIGINT) AS db,
-       CAST(ROUND(10000.0 * len(list_intersect(a.toks, b.toks))
-                  / len(list_distinct(a.toks || b.toks))) AS BIGINT)
-         AS jacc_x10000
-FROM t a, t b
-WHERE a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-  AND CAST(ROUND(10000.0 * len(list_intersect(a.toks, b.toks))
-                 / len(list_distinct(a.toks || b.toks))) AS BIGINT) >= 8000
-ORDER BY da, db
-""")
+# r4: plain name = the LSH-blocked scale plan (registered after
+# _token_jaccard_lsh_spark below); the quadratic form above is kept only
+# as the recall-test oracle side.
 
 
 def _token_jaccard_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,6 +1100,9 @@ def _token_jaccard_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_golden("dedup_ngram_jaccard_pairs_lsh", _token_jaccard_lsh_spark,
+                 "da, db")
+# plain name → same LSH plan (see _token_jaccard_allpairs_fixture note)
+_register_golden("dedup_ngram_jaccard_pairs", _token_jaccard_lsh_spark,
                  "da, db")
 
 

@@ -240,8 +240,15 @@ def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5) -> DataFrame:
     persists its fingerprints: the band self-join reads the lineage once
     per side with no ReusedExchange, and the usual lineage ends in the
     minhash Arrow map over the full corpus text — the one stage worth
-    never running twice.  The cached relation is (doc_id, 128 minhashes),
-    ~0.5 KB/doc, disk-spillable.
+    never running twice.  The cached relation is (doc_id, N_HASHES=64
+    minhashes), ~0.25 KB/doc, disk-spillable.
+
+    Cache ownership: ``persist`` registers on the CALLER's ``sigs``
+    DataFrame (a deliberate side effect — any other reader of the same
+    signatures also hits the cache).  A long-lived session that calls
+    this repeatedly should release the entry after materializing the
+    pairs with ``memutil.safe_unpersist(sigs)``; one-shot catalog/bench
+    runs let session teardown reclaim it.
     """
     from pyspark import StorageLevel
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -398,7 +405,10 @@ def simhash_near_dups(fps: DataFrame, max_hamming: int = 3,
     sides read the same lineage, and for every real caller that lineage
     ends in an expensive Arrow map stage (text simhash, image decode →
     dHash, audio decode → spectral hash) which would otherwise run once
-    PER SIDE (no ReusedExchange fires across the explode).  The cached
+    PER SIDE (no ReusedExchange fires across the explode).  As in
+    :func:`lsh_candidate_pairs`, the persist lands on the caller's
+    ``fps`` — long-lived callers release it with
+    ``memutil.safe_unpersist(fps)`` after materializing.  The cached
     relation is (doc_id, simhash) — 16 bytes/doc, disk-spillable, tiny
     next to the corpus it fingerprints."""
     from pyspark import StorageLevel

@@ -11,7 +11,15 @@ correct:
                                materialization),
   * unpartitioned ``Window`` — a window function whose partition spec is
                                empty funnels the whole input through ONE
-                               task, the classic single-node bottleneck.
+                               task, the classic single-node bottleneck,
+  * label-blocked all-pairs    — a grouped-pandas kernel whose grouping
+                               keys are only fixture LABEL columns
+                               (label/source/lang): a block like "en/web"
+                               at 100 TB IS the corpus, so a quadratic
+                               within-block kernel behind such keys is an
+                               O(n^2) plan in disguise.  Pair-dedup
+                               catalog names must stay pointed at
+                               LSH-derived block keys (VERDICT r3 item 2).
 
 Known-bounded exceptions are whitelisted with a justification; anything
 else is a failure.  tests/test_plan_audit.py runs the same audit in CI.
@@ -93,6 +101,15 @@ def audit_plan(plan: str) -> list[str]:
     # itself warns "Moving all data to a single partition" for these.)
     # WindowGroupLimit prints [partition spec], [order spec], fn, k —
     # there a global window shows as an EMPTY first group.
+    # FlatMapGroupsInPandas [<keys>], ... — flag when every grouping key
+    # is a fixture label column: the within-group kernel then scales with
+    # the label block, which at corpus scale is the corpus itself.  LSH
+    # block keys (band/bucket/bkey/block...) make the group size a dial.
+    for m in re.finditer(r"\bFlatMapGroupsInPandas\w* \[([^\]]*)\]", plan):
+        keys = [re.sub(r"#\d+L?", "", k).strip().lower()
+                for k in m.group(1).split(",") if k.strip()]
+        if keys and all(k in ("label", "source", "lang") for k in keys):
+            hazards.append("label_blocked_allpairs")
     for m in re.finditer(r"\bWindow(GroupLimit)? \[[^\n]*", plan):
         line, is_limit = m.group(0), bool(m.group(1))
         groups = re.findall(r"\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]", line)

@@ -48,6 +48,43 @@ def test_detector_catches_cartesian(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_detector_catches_label_blocked_allpairs(spark):
+    """The quadratic-in-disguise shape: applyInPandas grouped ONLY by
+    fixture label columns (VERDICT r3 item 2)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(1, "web", "en"), (2, "web", "en")], ["doc_id", "source", "lang"])
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["doc_id"]]
+
+    bad = df.groupBy("source", "lang").applyInPandas(
+        _kernel, schema="doc_id long")
+    assert "label_blocked_allpairs" in audit_plan(_plan(bad))
+    # LSH-style block keys are fine even when a label column rides along
+    ok = (df.withColumn("bucket", df.doc_id % 4)
+          .groupBy("bucket").applyInPandas(_kernel, schema="doc_id long"))
+    assert "label_blocked_allpairs" not in audit_plan(_plan(ok))
+
+
+def test_pair_dedup_catalog_names_resolve_to_lsh_plans(spark):
+    """No driver sf increase may ever select an O(n^2) pair plan: the
+    PLAIN pair-dedup names must be the LSH-blocked plans (their physical
+    plans group on derived band/bucket keys, not label columns)."""
+    from open_source_search_engine_spark.queries import QUERIES
+    sf_dir = "/root/testdata/sf0.001"
+    assert (QUERIES["dedup_ngram_jaccard_pairs"]
+            is QUERIES["dedup_ngram_jaccard_pairs_lsh"])
+    for key in ("dedup_ngram_jaccard_pairs", "dedup_embed_cosine_pairs"):
+        plan = _plan(QUERIES[key](spark, sf_dir))
+        assert "label_blocked_allpairs" not in audit_plan(plan), key
+    # the embed plan's quadratic kernel must be keyed on (band, bucket)
+    embed_plan = _plan(QUERIES["dedup_embed_cosine_pairs"](spark, sf_dir))
+    m = [g for g in embed_plan.splitlines() if "FlatMapGroupsInPandas" in g]
+    assert m and "band" in m[0] and "bucket" in m[0], embed_plan
+
+
 @pytest.mark.slow
 def test_catalog_plans_are_hazard_free(spark):
     from open_source_search_engine_spark.queries import QUERIES

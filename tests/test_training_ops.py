@@ -400,18 +400,26 @@ def test_lsh_self_joins_read_cached_signatures(spark):
     from open_source_search_engine_spark.training.dedup import (
         N_HASHES, lsh_candidate_pairs, simhash_near_dups)
 
+    def _assert_cached_per_side(df):
+        # Pin on the OPTIMIZED logical plan: each join side must resolve
+        # to an InMemoryRelation (the cache), which is stable across AQE
+        # and physical-node renames.  The executedPlan substring count
+        # alone is Spark-version-coupled (ADVICE r3): a renamed/collapsed
+        # physical cache-scan node could pass or fail spuriously.
+        qe = df._jdf.queryExecution()
+        opt = qe.optimizedPlan().toString()
+        assert opt.count("InMemoryRelation") >= 2, opt
+        phys = qe.executedPlan().toString()
+        assert phys.count("InMemoryTableScan") >= 2, phys
+
     fps = spark.createDataFrame([(1, 7), (2, 5), (3, 7)],
                                 ["doc_id", "simhash"])
-    plan = (simhash_near_dups(fps, max_hamming=6)
-            ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    _assert_cached_per_side(simhash_near_dups(fps, max_hamming=6))
 
     sigs = spark.createDataFrame(
         [(1, list(range(N_HASHES))), (2, list(range(N_HASHES)))],
         ["doc_id", "sig"])
-    plan = (lsh_candidate_pairs(sigs, threshold=0.5)
-            ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    _assert_cached_per_side(lsh_candidate_pairs(sigs, threshold=0.5))
 
 
 def test_ngram_jaccard_lsh_recall_vs_exact(spark):
