@@ -237,6 +237,34 @@ def test_ivf_topk_contains_planted_neighbor(spark):
     assert 1 in ivf  # the planted near-duplicate survives list pruning
 
 
+@pytest.mark.slow
+def test_ivf_recall_vs_bruteforce(spark):
+    """VERDICT r3 item 5: recall@10 of the Lloyd-refined IVF vs exact
+    brute force at sf0.1, pinned at the measured floors (the whole path
+    is deterministic — fixed-order sample, no RNG).  Seed-only centroids
+    measured 0.45 at nprobe=2; the refinement buys 0.53 (nprobe=2) and
+    0.65 (nprobe=4, the recall/scan dial)."""
+    from open_source_search_engine_spark.training.simsearch import (
+        brute_force_topk, ivf_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb = emb.cache()
+    qids = [0, 17, 101, 555, 999, 1500]
+    truths = {q: {r["vec_id"] for r in brute_force_topk(emb, q, k=10)
+                  .collect()} for q in qids}
+
+    def recall(nprobe):
+        hit = sum(len(truths[q] & {r["vec_id"] for r in
+                                   ivf_topk(emb, q, k=10, nprobe=nprobe)
+                                   .collect()}) for q in qids)
+        return hit / (10 * len(qids))
+
+    try:
+        assert recall(2) >= 0.53
+        assert recall(4) >= 0.65
+    finally:
+        emb.unpersist()
+
+
 def test_pq_topk_recovers_planted_neighbor(spark):
     import numpy as np
     from open_source_search_engine_spark.training.simsearch import (
