@@ -13,6 +13,19 @@ Schema (flat, one row per (term, alt)):
     alt  : string   alternate form, lowercase
     rank : int32    position within the headword's synset (emit order)
 
+Round 4 grows the fixture from the ~230-headword hand-authored core to a
+few-thousand-entry set the way the reference's blob actually gets its
+bulk: a Wiktionary dump carries the *inflected wordforms* beside every
+lemma (merge/merges/merged/merging), and Gigablast's synset lookup
+returns those forms as 0.9-weight alternates just like thesaurus
+synonyms.  We close each hand-authored synset over deterministic regular
+English morphology (-s/-es, -ed, -ing with standard orthography) plus an
+irregular-forms override table for the lemmas we ship, and add the
+REVERSE wordform headwords (``merging`` -> merge + its synset) so a
+query on an inflected form reaches the lemma's synset exactly like
+``g_wiktionary.getSynSet`` does.  Hand-authored alternates always come
+first in rank order, so the round-3 synset prefixes are unchanged.
+
 Regenerate with:  python scripts/make_synsets.py
 Output:           fixtures/synsets/synsets.parquet
 """
@@ -271,9 +284,152 @@ SYNSETS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Irregular inflections for lemmas that appear in SYNSETS (head or alt).
+# A real Wiktionary dump ships these per-lemma; the regular-orthography
+# closure below would otherwise coin "childs"/"runned".
+IRREGULAR: dict[str, tuple[str, ...]] = {
+    "man": ("men",), "woman": ("women",), "child": ("children",),
+    "foot": ("feet",), "tooth": ("teeth",), "mouse": ("mice",),
+    "run": ("runs", "ran", "running"), "begin": ("begins", "began", "begun", "beginning"),
+    "break": ("breaks", "broke", "broken", "breaking"),
+    "build": ("builds", "built", "building"),
+    "buy": ("buys", "bought", "buying"),
+    "catch": ("catches", "caught", "catching"),
+    "choose": ("chooses", "chose", "chosen", "choosing"),
+    "cut": ("cuts", "cutting"), "drink": ("drinks", "drank", "drunk", "drinking"),
+    "eat": ("eats", "ate", "eaten", "eating"),
+    "fall": ("falls", "fell", "fallen", "falling"),
+    "fight": ("fights", "fought", "fighting"),
+    "find": ("finds", "found", "finding"),
+    "forbid": ("forbids", "forbade", "forbidden", "forbidding"),
+    "forget": ("forgets", "forgot", "forgotten", "forgetting"),
+    "get": ("gets", "got", "gotten", "getting"),
+    "give": ("gives", "gave", "given", "giving"),
+    "grow": ("grows", "grew", "grown", "growing"),
+    "hear": ("hears", "heard", "hearing"),
+    "hide": ("hides", "hid", "hidden", "hiding"),
+    "hold": ("holds", "held", "holding"),
+    "keep": ("keeps", "kept", "keeping"),
+    "know": ("knows", "knew", "known", "knowing"),
+    "learn": ("learns", "learned", "learnt", "learning"),
+    "lie": ("lies", "lied", "lying"),
+    "lose": ("loses", "lost", "losing"),
+    "make": ("makes", "made", "making"),
+    "pay": ("pays", "paid", "paying"),
+    "rise": ("rises", "rose", "risen", "rising"),
+    "say": ("says", "said", "saying"),
+    "see": ("sees", "saw", "seen", "seeing"),
+    "sell": ("sells", "sold", "selling"),
+    "send": ("sends", "sent", "sending"),
+    "shrink": ("shrinks", "shrank", "shrunk", "shrinking"),
+    "sleep": ("sleeps", "slept", "sleeping"),
+    "speak": ("speaks", "spoke", "spoken", "speaking"),
+    "stop": ("stops", "stopped", "stopping"),
+    "take": ("takes", "took", "taken", "taking"),
+    "teach": ("teaches", "taught", "teaching"),
+    "tell": ("tells", "told", "telling"),
+    "think": ("thinks", "thought", "thinking"),
+    "throw": ("throws", "threw", "thrown", "throwing"),
+    "wake": ("wakes", "woke", "woken", "waking"),
+    "win": ("wins", "won", "winning"),
+    "dig": ("digs", "dug", "digging"),
+    "drop": ("drops", "dropped", "dropping"),
+    "grab": ("grabs", "grabbed", "grabbing"),
+    "jog": ("jogs", "jogged", "jogging"),
+    "nap": ("naps", "napped", "napping"),
+    "plan": ("plans", "planned", "planning"),
+    "quit": ("quits", "quitting"),
+    "ship": ("ships", "shipped", "shipping"),
+    "slip": ("slips", "slipped", "slipping"),
+    "spot": ("spots", "spotted", "spotting"),
+    "chat": ("chats", "chatted", "chatting"),
+    "stir": ("stirs", "stirred", "stirring"),
+    "chop": ("chops", "chopped", "chopping"),
+    "trim": ("trims", "trimmed", "trimming"),
+    "tug": ("tugs", "tugged", "tugging"),
+    "pat": ("pats", "patted", "patting"),
+    "hop": ("hops", "hopped", "hopping"),
+    "spin": ("spins", "spun", "spinning"),
+    "dim": ("dims", "dimmed", "dimming"),
+    "ban": ("bans", "banned", "banning"),
+    "bar": ("bars", "barred", "barring"),
+    "let": ("lets", "letting"),
+    "fit": ("fits", "fitted", "fitting"),
+    "swim": ("swims", "swam", "swum", "swimming"),
+    "sit": ("sits", "sat", "sitting"),
+    "set": ("sets", "setting"),
+    "put": ("puts", "putting"),
+    "shut": ("shuts", "shutting"),
+}
+
+
+def inflections(word: str) -> tuple[str, ...]:
+    """Deterministic inflected forms of one lowercase lemma.
+
+    Irregulars come from the override table; everything else follows
+    regular English orthography (sibilant ``-es``, consonant-``y`` ->
+    ``-ies``/``-ied``, silent-``e`` drop before ``-ing``).  Multiword or
+    non-ASCII-alpha entries get no forms (same gate as the reference's
+    single-word synonym path)."""
+    if word in IRREGULAR:
+        return IRREGULAR[word]
+    if not word.isascii() or not word.isalpha() or len(word) < 3:
+        return ()
+    out: list[str] = []
+    # -s / -es (noun plural == verb 3rd person for regulars)
+    if word.endswith(("s", "x", "z", "ch", "sh")):
+        out.append(word + "es")
+    elif word.endswith("y") and word[-2] not in "aeiou":
+        out.append(word[:-1] + "ies")
+    else:
+        out.append(word + "s")
+    # -ed
+    if word.endswith("e"):
+        out.append(word + "d")
+    elif word.endswith("y") and word[-2] not in "aeiou":
+        out.append(word[:-1] + "ied")
+    else:
+        out.append(word + "ed")
+    # -ing
+    if word.endswith("e") and not word.endswith(("ee", "ye", "oe")):
+        out.append(word[:-1] + "ing")
+    else:
+        out.append(word + "ing")
+    return tuple(dict.fromkeys(out))
+
+
+def expanded_synsets() -> dict[str, tuple[str, ...]]:
+    """SYNSETS closed over morphology: hand-authored alternates keep
+    their rank prefix, wordforms of the headword and of each alternate
+    follow, and every wordform gains a reverse headword entry pointing
+    back at its lemma + the lemma's synset (first-wins on collisions)."""
+    out: dict[str, list[str]] = {}
+
+    def add(term: str, forms) -> None:
+        lst = out.setdefault(term, [])
+        for f in forms:
+            if f and f != term and f not in lst:
+                lst.append(f)
+
+    for head, hand in SYNSETS.items():
+        add(head, hand)                       # authored prefix, in order
+        add(head, inflections(head))          # lemma's own wordforms
+        for alt in hand:                      # each alternate's wordforms
+            add(head, inflections(alt))
+    # reverse wordform headwords: merging -> merge + merge's synset
+    for head, hand in SYNSETS.items():
+        for form in inflections(head):
+            if form in out:     # authored headword or an earlier lemma's
+                continue        # wordform — never shadow; first wins
+            add(form, (head,))
+            add(form, (f for f in inflections(head) if f != form))
+            add(form, hand)
+    return {t: tuple(a) for t, a in out.items()}
+
+
 def build_table() -> pa.Table:
     terms, alts, ranks = [], [], []
-    for term, forms in SYNSETS.items():
+    for term, forms in expanded_synsets().items():
         for i, alt in enumerate(forms):
             terms.append(term)
             alts.append(alt)
@@ -292,8 +448,9 @@ def main() -> None:
     out = os.path.join(out_dir, "synsets.parquet")
     table = build_table()
     pq.write_table(table, out, compression="zstd")
-    print(f"wrote {out}: {table.num_rows} rows, "
-          f"{len(SYNSETS)} headwords")
+    n_heads = len(set(table["term"].to_pylist()))
+    print(f"wrote {out}: {table.num_rows} rows, {n_heads} headwords "
+          f"({len(SYNSETS)} hand-authored lemmas + wordform closure)")
 
 
 if __name__ == "__main__":
