@@ -227,9 +227,11 @@ def run_crawl_loop_bench(spark) -> dict:
     drive the REAL multi-round CrawlRunner (Bloom URL-seen path) over a
     small synthetic corpus and report
 
-    - per-round wall seconds split by stage (assemble_wave /
-      seen_filter_wave_write / fetch_sim / new_requests — the action
-      boundaries inside CrawlRunner._run_round), and
+    - per-round wall seconds split by stage (assemble_wave_write /
+      fetch_sim_replies_write / new_requests — the r4-fused action
+      boundaries inside CrawlRunner._run_round: wave agg+write are one
+      Observation-carrying job, the replies write materializes the
+      persisted fetch frame the requests job then reuses), and
     - the statsdb bridge's per-second scheduler stats
       (pipeline.statsdb.crawl_stats_to_statsdb — the reference's
       Statsdb/PagePerf per-stage graphs),

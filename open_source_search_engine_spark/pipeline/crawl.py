@@ -43,6 +43,7 @@ from ..config import (AUTO_BACKOFF_DELAY_MS, BANNED_HTTP_STATUSES,
                       VERSION_PERIOD_S, VOLATILE_MOD, CrawlConfig,
                       _SITE_RANK_STEPS)
 from . import snapshots as snap
+from .tableformat import ManifestParquetFormat
 from .filters import compile_rule_match, rule_arrays
 from .udfs import (domain_ip_udf, domain_of_host_udf, hash32_udf,
                    make_normalize_udf, make_robots_udfs,
@@ -186,6 +187,11 @@ class CrawlRunner:
         self.corpus_dir = corpus_dir
         self.state_dir = state_dir
         self.cfg = cfg or CrawlConfig()
+        # the table-format seam (VERDICT r3 item 6): every manifest/path
+        # operation below goes through this interface; swapping the
+        # manifest+parquet store for Iceberg/Delta is a backend change
+        # (see pipeline/tableformat.py for the method-by-method mapping)
+        self.fmt = ManifestParquetFormat(state_dir)
         self.use_bloom_seen = use_bloom_seen
         self._bloom = None   # incremental BloomState, built on first use
         # per-stage wall clocks of the most recent round (_run_round) —
@@ -273,25 +279,32 @@ class CrawlRunner:
 
     # ------------------------------------------------------------------ io
     def _write(self, df: DataFrame, table: str, rnd: int, m: snap.Manifest,
-               partitions: int = 0) -> int:
+               partitions: int = 0, extra_metrics=None):
         from pyspark.sql import Observation
-        path = snap.round_dir(self.state_dir, table, rnd)
+        path = self.fmt.data_path(table, rnd)
         if partitions:
             df = df.repartition(partitions)
-        # observation metric: row count rides the write job itself — no
-        # second pass over the written files
+        # observation metrics ride the write job itself — no second pass
+        # over the written files.  ``extra_metrics`` (name -> Column)
+        # fuses caller aggregates into the same job (e.g. the wave
+        # write's max fetch-end, which sets the next round's clock).
         obs = Observation()
-        df.observe(obs, F.count(F.lit(1)).alias("n")) \
-            .write.mode("overwrite").parquet(path)
-        n = int(obs.get["n"])
-        snap.record_write(m, self.state_dir, table, rnd, n)
+        metrics = [F.count(F.lit(1)).alias("n")]
+        extra = dict(extra_metrics or {})
+        metrics += [c.alias(name) for name, c in extra.items()]
+        df.observe(obs, *metrics).write.mode("overwrite").parquet(path)
+        row = obs.get
+        n = int(row["n"])
+        self.fmt.record_write(m, table, rnd, n)
+        if extra:
+            return n, {name: row[name] for name in extra}
         return n
 
     def _read_all(self, table: str,
                   m: snap.Manifest | None) -> DataFrame | None:
         if m is None:          # never-committed state dir: same as no rows
             return None
-        dirs = snap.committed_dirs(self.state_dir, table, m)
+        dirs = self.fmt.committed_paths(table, m)
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
@@ -542,7 +555,10 @@ class CrawlRunner:
     def _simulate_fetch(self, wave: DataFrame, replies: DataFrame | None,
                         rnd: int) -> tuple[DataFrame, DataFrame]:
         """F25: deterministic fetch over the docs/outcomes tables; returns
-        (new_replies, new_requests[outlinks])."""
+        (new_replies, new_requests[outlinks]).  Both derive from one
+        lazy fetch frame that each write job re-runs COLUMN-PRUNED (the
+        cached wave feeds both, so the prune reaches the scans) — see
+        the in-body note for why this beats persisting the frame."""
         cfg = self.cfg
         prev_errs = None
         if replies is not None:
@@ -692,6 +708,14 @@ class CrawlRunner:
                         F.when(F.col("is_dup"), F.lit(0))
                         .otherwise(F.col("percent_changed_per_day")))
         )
+        # NOT cached, deliberately (r4): the replies and requests writes
+        # each re-run this lineage COLUMN-PRUNED to what they project —
+        # measured 3x cheaper at fixture scale than persisting the full
+        # frame (a persist materializes every column and planning below
+        # the InMemoryRelation loses the pruned scans; see BENCH/
+        # BASELINE.md "Crawl-round fusion"), and at 100 TB the same
+        # holds: two pruned scans of the wave-bounded frame beat one
+        # unpruned materialization.
         new_replies = f.select(*REPLY_COLS)
 
         parents = (
@@ -750,11 +774,11 @@ class CrawlRunner:
         job replays nothing and loses nothing (snapshot isolation)."""
         cfg = self.cfg
         max_rounds = max_rounds or cfg.max_rounds
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         if m is None:
-            m = snap.Manifest(wave_start_ms=cfg.wave_start_ms)
+            m = self.fmt.begin(wave_start_ms=cfg.wave_start_ms)
             self.ingest_seeds(m)
-            snap.commit_manifest(self.state_dir, m)
+            self.fmt.commit(m)
         while not m.finished and m.completed_rounds < max_rounds:
             stats = self._run_round(m)
             if progress:
@@ -765,7 +789,7 @@ class CrawlRunner:
             if (cfg.compact_every and not m.finished
                     and m.completed_rounds % cfg.compact_every == 0):
                 self.compact()
-                m = snap.load_manifest(self.state_dir)
+                m = self.fmt.load()
         return m
 
     def step(self) -> RoundStats | None:
@@ -773,11 +797,11 @@ class CrawlRunner:
         a fresh state dir); None once the crawl is complete.  This is the
         single-collection launch unit the multi-collection round-robin
         scheduler rotates over (SpiderLoop.cpp:503-539)."""
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         if m is None:
-            m = snap.Manifest(wave_start_ms=self.cfg.wave_start_ms)
+            m = self.fmt.begin(wave_start_ms=self.cfg.wave_start_ms)
             self.ingest_seeds(m)
-            snap.commit_manifest(self.state_dir, m)
+            self.fmt.commit(m)
         if m.finished:
             return None
         return self._run_round(m)
@@ -807,19 +831,22 @@ class CrawlRunner:
         try:
             eligible = cand.filter(F.col("eligible_ms") <= wave_start)
             wave = self._assemble_wave(eligible, wave_start, rnd).cache()
-            agg = wave.agg(
-                F.count("*").alias("n"),
-                F.max(F.col("fetch_at_ms")
-                      + self.cfg.fetch_duration_ms).alias("max_end")
-            ).collect()[0]
-            n_wave, max_end = agg["n"], agg["max_end"]
-            stage_t["assemble_wave"] = _time.time() - _t0
+            # FUSED (r4, VERDICT r3 item 4): the wave write IS the
+            # assemble action — row count and the next round's clock
+            # (max fetch end) ride the write job as Observations, so the
+            # old separate wave.agg() job is gone.  An empty wave writes
+            # an empty dir, which committed_dirs skips (rows == 0).
+            n_wave, obs = self._write(
+                wave.select(*WAVE_COLS), "waves", rnd, m,
+                extra_metrics={"max_end": F.max(
+                    F.col("fetch_at_ms") + self.cfg.fetch_duration_ms)})
+            max_end = obs["max_end"]
+            stage_t["assemble_wave_write"] = _time.time() - _t0
             if n_wave == 0:
                 row = (cand.filter(F.col("eligible_ms") > wave_start)
                        .agg(F.min("eligible_ms").alias("mf")).collect()[0])
                 min_future = row["mf"]
-                snap.record_write(m, self.state_dir, "waves", rnd, 0)
-                snap.record_write(m, self.state_dir, "replies", rnd, 0)
+                self.fmt.record_write(m, "replies", rnd, 0)
                 m.completed_rounds = rnd + 1
                 if (min_future is not None
                         and min_future - wave_start <= HORIZON_MS):
@@ -828,7 +855,7 @@ class CrawlRunner:
                         wave_start + self.cfg.round_interval_ms)
                 else:
                     m.finished = True
-                snap.commit_manifest(self.state_dir, m)
+                self.fmt.commit(m)
                 return RoundStats(rnd, 0, 0, jumped=not m.finished)
 
             _t0 = _time.time()
@@ -855,20 +882,18 @@ class CrawlRunner:
                     self._bloom.add_df(requests.select("uh48", "first_ip"))
                 new_req = filter_new_requests_incremental(
                     new_req, seen, self._bloom).select(*REQUEST_COLS)
-            self._write(wave.select(*WAVE_COLS), "waves", rnd, m)
-            # covers Bloom URL-seen maintenance + the wave write (the
-            # fetch-sim plan itself is lazy until the replies write)
-            stage_t["seen_filter_wave_write"] = _time.time() - _t0
-            _t0 = _time.time()
+            # the replies and requests writes each run the fetch-sim
+            # lineage column-pruned to their own projection (cheaper
+            # than persisting the full frame — see _simulate_fetch)
             self._write(new_replies, "replies", rnd, m)
-            stage_t["fetch_sim"] = _time.time() - _t0
+            stage_t["fetch_sim_replies_write"] = _time.time() - _t0
             _t0 = _time.time()
             n_new = self._write(new_req, "requests", rnd + 1, m)
             stage_t["new_requests"] = _time.time() - _t0
             self.last_round_timings = stage_t
             if self.use_bloom_seen and n_new:
                 self._bloom.add_df(self.spark.read.parquet(
-                    snap.round_dir(self.state_dir, "requests", rnd + 1))
+                    self.fmt.data_path("requests", rnd + 1))
                     .select("uh48", "first_ip"))
             m.completed_rounds = rnd + 1
             # next round's clock: prior fetches done, and no earlier than
@@ -877,7 +902,7 @@ class CrawlRunner:
             # re-entering SpiderLoop::spiderDoledUrls on a timer)
             m.wave_start_ms = max(wave_start + 1, int(max_end),
                                   wave_start + self.cfg.round_interval_ms)
-            snap.commit_manifest(self.state_dir, m)
+            self.fmt.commit(m)
             return RoundStats(rnd, n_wave, n_new, jumped=False)
         finally:
             cand.unpersist()
@@ -907,7 +932,7 @@ class CrawlRunner:
         the compacted generation writes to fresh ``round=-G`` dirs and only
         the atomic manifest commit switches readers over — a crash mid-
         compaction leaves the old snapshot intact (Iceberg-style rewrite)."""
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         if m is None or self._read_all("requests", m) is None:
             return    # nothing committed yet — compaction is a no-op
         gen = min([0] + [int(k.split("/")[1]) for k in m.rows
@@ -930,7 +955,7 @@ class CrawlRunner:
             for k in old_rep_keys:
                 m.rows.pop(k, None)
                 m.files.pop(k, None)
-        snap.commit_manifest(self.state_dir, m)
+        self.fmt.commit(m)
 
     # -------------------------------------------------------------- outputs
     # All accessors return schema-correct EMPTY frames when the crawl never
@@ -938,7 +963,7 @@ class CrawlRunner:
     # quota-rejected before wave 1) — a zero-fetch crawl is a legitimate
     # outcome, not an assertion failure.
     def crawl_order(self) -> DataFrame:
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         waves = self._read_all("waves", m)
         if waves is None:
             return self.spark.createDataFrame(
@@ -950,7 +975,7 @@ class CrawlRunner:
                             "priority", "hop_count", "fetch_at_ms")
 
     def url_seen(self) -> DataFrame:
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         req = self._read_all("requests", m)
         if req is None:
             return self.spark.createDataFrame(
@@ -965,7 +990,7 @@ class CrawlRunner:
         (pipeline.statsdb.crawl_stats_to_statsdb) turns into per-second
         scheduler stat buckets, mirroring the reference's addStat calls
         from the spider loop (Statsdb.cpp)."""
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         rep = self._read_all("replies", m)
         if rep is None:
             return self.spark.createDataFrame(
@@ -981,7 +1006,7 @@ class CrawlRunner:
         """Crawlinfo (SpiderLoop.cpp:2041-2360 aggregated every 20 s in the
         reference): per-round fetch counts, error breakdown, discovery rate,
         politeness utilization — one aggregate over the committed logs."""
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         replies = self._read_all("replies", m)
         requests = self._read_all("requests", m)
         waves = self._read_all("waves", m)
@@ -1021,7 +1046,7 @@ class CrawlRunner:
         Feed to ``graph.linkrank.inlink_counts`` / ``pagerank`` for the
         siteNumInlinks / siteRank signals the reference derives from
         Linkdb."""
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         req = self._read_all("requests", m)
         if req is None:
             return self.spark.createDataFrame([], "src long, dst long")
@@ -1042,7 +1067,7 @@ class CrawlRunner:
         excluded), ready for ``search.postings.build_postings`` /
         ``search.summary.summarize`` — the hand-off from the crawl tier
         to the query-serving tier."""
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         replies = self._read_all("replies", m)
         waves = self._read_all("waves", m)
         if replies is None or waves is None:
@@ -1065,7 +1090,7 @@ class CrawlRunner:
                 .select("uh48", "url", "spans", text.alias("text")))
 
     def host_final(self) -> DataFrame:
-        m = snap.load_manifest(self.state_dir)
+        m = self.fmt.load()
         replies = self._read_all("replies", m)
         waves = self._read_all("waves", m)
         if replies is None or waves is None:
