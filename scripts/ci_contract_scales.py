@@ -39,6 +39,15 @@ HEAVY_KEYS = [
     "text_dup_ngram_coverage", "training_pack_sequences", "pii_scrub",
     "decontaminate_eval_overlap", "words_segment_tokens",
     "text_sentence_segment", "linkgraph_pagerank", "domain_quota_sample",
+    # round-4 (VERDICT r3 #3): the round-3 training tier, previously only
+    # sampled by the driver at one scale
+    "dedup_semantic_keepers", "dsir_importance_select",
+    "text_quality_classifier", "text_lm_perplexity",
+    "training_temperature_mix", "dedup_image_dhash_pairs",
+    "dedup_audio_fp_pairs", "training_shuffle_positions",
+    "dedup_minhash_lsh_pairs", "dedup_simhash_pairs",
+    "dedup_embed_cosine_pairs_lsh", "embed_ann_lsh", "embed_ann_ivf",
+    "embed_ann_pq",
 ]
 
 SCALES = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -54,7 +63,12 @@ def main() -> int:
                                                          QUERIES)
     golden = {name for name, _, _ in GOLDEN_QUERIES}
     keys = [k for k in HEAVY_KEYS if k in QUERIES and k not in golden]
-    skipped = [k for k in HEAVY_KEYS if k in golden or k not in QUERIES]
+    # golden-backed keys: their oracle IS an sf0.01 materialization, so
+    # the value check only exists at sf0.01; at sf0.1 they are EXECUTED
+    # (rows + wall logged, rows>0 asserted) to catch scale-dependent
+    # plan/row blow-ups the one-scale driver gate can't see (r3 #3)
+    golden_keys = [k for k in HEAVY_KEYS if k in QUERIES and k in golden]
+    missing = [k for k in HEAVY_KEYS if k not in QUERIES]
 
     lines: list[str] = []
 
@@ -62,15 +76,18 @@ def main() -> int:
         print(s, flush=True)
         lines.append(s)
 
-    emit(f"# dual-scale contract check: {len(keys)} keys x {len(SCALES)} "
-         f"scales (golden-backed skipped: {sorted(skipped)})")
+    emit(f"# dual-scale contract check: {len(keys)} SQL-oracle keys x "
+         f"{len(SCALES)} scales; {len(golden_keys)} golden-backed keys "
+         f"(value-pinned at sf0.01, execute+rows at sf0.1); "
+         f"missing: {sorted(missing)}")
     ok = True
     for sf in SCALES:
         emit(f"\n== {sf} ==")
+        check = keys if sf.endswith("0.1") else keys + golden_keys
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf)
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts",
-                                          "check_contract.py"), *keys],
+                                          "check_contract.py"), *check],
             env=env, capture_output=True, text=True)
         for ln in p.stdout.splitlines():
             if ln.startswith(("OK", "FAIL")) or "green" in ln:
@@ -79,6 +96,26 @@ def main() -> int:
             ok = False
             emit(f"EXIT {p.returncode}")
             emit(p.stderr[-2000:])
+
+    # golden-backed keys at sf0.1: execute in-process, log rows + wall
+    emit("\n== /root/testdata/sf0.1 (golden-backed: execute+rows) ==")
+    import time
+
+    from open_source_search_engine_spark.session import get_spark
+    spark = get_spark(app="ci-scales-golden", master="local[32]",
+                      shuffle_partitions=32)
+    for k in golden_keys:
+        t0 = time.time()
+        try:
+            n = QUERIES[k](spark, "/root/testdata/sf0.1").count()
+            good = n > 0
+            emit(f"{'OK' if good else 'FAIL'}        {k}  "
+                 f"{{\"sf01_rows\": null, \"sf1_rows\": {n}, "
+                 f"\"sec\": {time.time() - t0:.1f}}}")
+            ok &= good
+        except Exception as exc:      # noqa: BLE001 — log and fail the key
+            ok = False
+            emit(f"FAIL      {k}  {type(exc).__name__}: {exc}")
     emit(f"\nRESULT: {'ALL GREEN' if ok else 'FAILURES'}")
     if args.out:
         with open(os.path.join(REPO, args.out), "w") as f:
