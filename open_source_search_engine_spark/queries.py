@@ -1294,10 +1294,26 @@ def _semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def _semdedup_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the DISTRIBUTED clustering tier (r4): n_clusters
+    above SMALL_K_MAX forces ``dkmeans.two_level_assign`` — coarse
+    distributed Lloyd over integer-quantized partial sums, per-cell
+    sub-centroids applied via cogroup — so the driver-gate pins the
+    k~n paper-regime path, not just the ANN-sized quantizer.  Output is
+    partition-count-deterministic by construction (integer partial
+    sums), which is what makes a golden safe here."""
+    from .training.semdedup import semdedup
+    register_views(spark, sf_dir)
+    return (semdedup(spark.table("embeddings"), eps=0.92, n_clusters=300)
+            .orderBy("vec_id"))
+
+
 _register_golden("dedup_pipeline_keepers", _dedup_keepers, "doc_id")
 _register_golden("dedup_embed_cosine_pairs_lsh", _embed_neardup_lsh,
                  "va, vb")
 _register_golden("dedup_semantic_keepers", _semdedup_verdicts, "vec_id")
+_register_golden("dedup_semantic_keepers_distributed",
+                 _semdedup_distributed, "vec_id")
 
 
 def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,8 @@ HEAVY_KEYS = [
     "text_sentence_segment", "linkgraph_pagerank", "domain_quota_sample",
     # round-4 (VERDICT r3 #3): the round-3 training tier, previously only
     # sampled by the driver at one scale
-    "dedup_semantic_keepers", "dsir_importance_select",
+    "dedup_semantic_keepers", "dedup_semantic_keepers_distributed",
+    "dsir_importance_select",
     "text_quality_classifier", "text_lm_perplexity",
     "training_temperature_mix", "dedup_image_dhash_pairs",
     "dedup_audio_fp_pairs", "training_shuffle_positions",
