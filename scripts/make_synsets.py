@@ -277,12 +277,220 @@ SYNSETS: dict[str, tuple[str, ...]] = {
     "back": ("rear", "reverse", "behind"),
     "inside": ("interior", "within", "inner"),
     "outside": ("exterior", "outer", "without"),
+    # --- round-4 breadth batch: verbs ----------------------------------
+    "accept": ("take", "receive", "approve"),
+    "admit": ("confess", "acknowledge", "concede"),
+    "announce": ("declare", "proclaim", "reveal"),
+    "arrive": ("come", "appear", "reach"),
+    "attack": ("assault", "strike", "raid"),
+    "avoid": ("evade", "dodge", "shun"),
+    "call": ("phone", "summon", "name"),
+    "cancel": ("annul", "revoke", "scrap"),
+    "check": ("verify", "inspect", "test"),
+    "climb": ("ascend", "scale", "mount"),
+    "collect": ("gather", "amass", "accumulate"),
+    "compare": ("contrast", "liken", "match"),
+    "connect": ("attach", "link", "couple"),
+    "copy": ("duplicate", "imitate", "replicate"),
+    "count": ("tally", "number", "enumerate"),
+    "cover": ("wrap", "shield", "conceal"),
+    "defend": ("protect", "guard", "shield"),
+    "deliver": ("convey", "distribute", "hand"),
+    "demand": ("insist", "require", "claim"),
+    "describe": ("depict", "portray", "characterize"),
+    "divide": ("split", "separate", "partition"),
+    "examine": ("inspect", "scrutinize", "review"),
+    "expect": ("anticipate", "await", "foresee"),
+    "explain": ("clarify", "describe", "illustrate"),
+    "follow": ("pursue", "trail", "succeed"),
+    "gather": ("collect", "assemble", "convene"),
+    "guess": ("estimate", "surmise", "suppose"),
+    "improve": ("enhance", "better", "upgrade"),
+    "invite": ("summon", "request", "welcome"),
+    "judge": ("assess", "evaluate", "appraise"),
+    "lead": ("guide", "direct", "steer"),
+    "lend": ("loan", "advance"),
+    "manage": ("handle", "direct", "administer"),
+    "measure": ("gauge", "quantify", "assess"),
+    "mention": ("note", "cite", "remark"),
+    "notice": ("observe", "perceive", "note"),
+    "obtain": ("acquire", "secure", "procure"),
+    "offer": ("propose", "present", "tender"),
+    "own": ("possess", "hold", "have"),
+    "perform": ("execute", "conduct", "accomplish"),
+    "persuade": ("convince", "coax", "sway"),
+    "praise": ("commend", "applaud", "laud"),
+    "prevent": ("avert", "thwart", "hinder"),
+    "promise": ("pledge", "vow", "swear"),
+    "protect": ("shield", "guard", "defend"),
+    "prove": ("demonstrate", "verify", "confirm"),
+    "provide": ("supply", "furnish", "deliver"),
+    "raise": ("lift", "elevate", "boost"),
+    "reach": ("attain", "achieve", "arrive"),
+    "reduce": ("lessen", "decrease", "curtail"),
+    "remove": ("delete", "eliminate", "extract"),
+    "repair": ("fix", "mend", "restore"),
+    "repeat": ("reiterate", "echo", "recur"),
+    "replace": ("substitute", "supplant", "swap"),
+    "reply": ("respond", "answer", "retort"),
+    "report": ("announce", "relate", "recount"),
+    "return": ("revert", "restore", "recur"),
+    "save": ("rescue", "preserve", "conserve"),
+    "share": ("divide", "apportion", "split"),
+    "shout": ("yell", "scream", "bellow"),
+    "solve": ("resolve", "unravel", "crack"),
+    "spend": ("expend", "disburse"),
+    "spread": ("scatter", "disperse", "strew"),
+    "steal": ("pilfer", "swipe", "thieve"),
+    "suggest": ("propose", "recommend", "advise"),
+    "supply": ("provide", "furnish", "stock"),
+    "travel": ("journey", "roam", "voyage"),
+    "visit": ("call", "attend", "frequent"),
+    "wait": ("linger", "remain", "pause"),
+    "warn": ("caution", "alert", "advise"),
+    "wash": ("cleanse", "rinse", "scrub"),
+    "wear": ("don", "sport"),
+    "write": ("compose", "draft", "record"),
+    # --- round-4 breadth batch: nouns ----------------------------------
+    "animal": ("beast", "creature"),
+    "boat": ("ship", "vessel", "craft"),
+    "box": ("container", "crate", "carton"),
+    "bridge": ("span", "overpass"),
+    "building": ("structure", "edifice"),
+    "clothes": ("garments", "attire", "apparel"),
+    "coast": ("shore", "seaboard"),
+    "corner": ("angle", "nook"),
+    "crowd": ("throng", "mob", "multitude"),
+    "door": ("entrance", "gateway", "portal"),
+    "dream": ("vision", "fantasy", "reverie"),
+    "earth": ("soil", "ground", "dirt"),
+    "face": ("visage", "countenance"),
+    "farm": ("ranch", "homestead"),
+    "field": ("meadow", "pasture"),
+    "food": ("fare", "nourishment", "sustenance"),
+    "game": ("match", "contest", "sport"),
+    "hill": ("mound", "knoll", "rise"),
+    "hole": ("gap", "cavity", "opening"),
+    "island": ("isle", "islet"),
+    "king": ("monarch", "ruler", "sovereign"),
+    "lake": ("pond", "lagoon"),
+    "land": ("terrain", "territory", "ground"),
+    "leader": ("chief", "head", "commander"),
+    "letter": ("note", "missive", "epistle"),
+    "map": ("chart", "plan"),
+    "meal": ("repast", "feast"),
+    "meeting": ("assembly", "gathering", "conference"),
+    "noise": ("sound", "racket", "clamor"),
+    "ocean": ("sea", "deep"),
+    "pain": ("ache", "agony", "discomfort"),
+    "paper": ("document", "sheet"),
+    "party": ("celebration", "gathering", "festivity"),
+    "peace": ("calm", "tranquility", "harmony"),
+    "person": ("individual", "human", "being"),
+    "place": ("location", "spot", "site"),
+    "power": ("energy", "force", "might"),
+    "price": ("cost", "charge", "fee"),
+    "prize": ("award", "trophy", "reward"),
+    "question": ("query", "inquiry"),
+    "roof": ("top", "covering"),
+    "room": ("chamber", "space"),
+    "rule": ("regulation", "law", "principle"),
+    "school": ("academy", "institute"),
+    "shop": ("store", "boutique", "market"),
+    "sky": ("heavens", "firmament"),
+    "stone": ("rock", "pebble", "boulder"),
+    "street": ("road", "avenue", "boulevard"),
+    "task": ("chore", "duty", "assignment"),
+    "team": ("squad", "crew", "group"),
+    "time": ("era", "epoch", "period"),
+    "tool": ("instrument", "implement", "utensil"),
+    "trip": ("journey", "voyage", "excursion"),
+    "village": ("hamlet", "settlement"),
+    "wall": ("barrier", "partition"),
+    "war": ("conflict", "combat", "warfare"),
+    "wave": ("ripple", "surge", "swell"),
+    "winner": ("victor", "champion"),
+    "worker": ("laborer", "employee"),
     # a few accented headwords so dictionary + generated forms compose
     "café": ("coffeehouse", "bistro"),
     "naïve": ("innocent", "ingenuous", "unsophisticated"),
     "résumé": ("cv", "vita"),
 }
 
+
+# Part of speech per SYNSETS headword.  A synset's alternates share its
+# POS (that is what makes them substitutable), so one tag per headword
+# covers the whole group.  Morphology is POS-gated: verbs take the full
+# -s/-ed/-ing paradigm, nouns take the plural only, adjectives take
+# -er/-est only where English gradation is regular (monosyllables,
+# consonant-y and -ow disyllables; longer adjectives grade
+# periphrastically with more/most, which is not a wordform) — exactly
+# how a Wiktionary dump ships forms per (lemma, POS) entry.
+_VERB_HEADS = (
+    "merge join sort order scan filter begin start end finish stop "
+    "make build break fix destroy create change move turn pull push "
+    "throw catch hold drop lift carry send receive give take get keep "
+    "lose find search look see watch hear say speak talk tell ask "
+    "answer show hide help hurt walk run jump fall rise grow shrink "
+    "increase decrease buy sell pay work rest sleep wake eat drink "
+    "cook cut think know learn teach remember forget choose decide "
+    "plan try win fail fight argue agree refuse allow forbid need "
+    "want like love hate hope believe doubt close "
+    "accept admit announce arrive attack avoid call cancel check climb "
+    "collect compare connect copy count cover defend deliver demand "
+    "describe divide examine expect explain follow gather guess improve "
+    "invite judge lead lend manage measure mention notice obtain offer "
+    "own perform persuade praise prevent promise protect prove provide "
+    "raise reach reduce remove repair repeat replace reply report "
+    "return save share shout solve spend spread steal suggest supply "
+    "travel visit wait warn wash wear write")
+_ADJ_HEADS = (
+    "fast slow big small key happy sad angry calm smart stupid brave "
+    "afraid strong weak rich poor new old young good bad beautiful "
+    "ugly clean dirty easy hard difficult simple important trivial "
+    "true false real fake whole empty full open near far high "
+    "low wide narrow thick thin hot cold wet dry bright dark loud "
+    "quiet inside outside naïve")
+POS: dict[str, str] = (
+    {h: "v" for h in _VERB_HEADS.split()}
+    | {h: "adj" for h in _ADJ_HEADS.split()})
+# every other headword is a noun
+POS |= {h: "n" for h in SYNSETS if h not in POS}
+
+# Adjective gradation.  English -er/-est is regular ONLY for
+# monosyllables, consonant-y disyllables (happy -> happier), -ow/-le
+# disyllables (narrow, simple) and a couple of lexical stragglers
+# (quiet); everything longer takes periphrastic more/most, which is not
+# a wordform.  Non-gradable adjectives (key, inside) coin nothing.
+ADJ_IRREGULAR: dict[str, tuple[str, ...]] = {
+    "good": ("better", "best"),
+    "bad": ("worse", "worst"),
+    "far": ("farther", "further", "farthest", "furthest"),
+}
+# Gradable but only periphrastically, or not gradable at all.
+ADJ_NO_GRADE = frozenset(
+    "key afraid inside outside naïve beautiful difficult important "
+    "trivial stupid open real fake false whole content sham nearby "
+    "still vast moist".split())
+# Words that do take -er/-est despite failing the shape rules.
+ADJ_GRADE_ALLOW = frozenset("lovely".split())
+
+# Mass / plurale-tantum nouns: no generated plural ("informations",
+# "fundses" are not words).
+NO_FORMS = frozenset(
+    "data information facts figures funds cash money currency grounds "
+    "woods clothes garments attire apparel nourishment sustenance "
+    "peace harmony tranquility heavens firmament soil dirt terrain "
+    "warfare might deep".split())
+
+# Noun irregular plurals (the only IRREGULAR entries a noun context may
+# use; the verb entries below would otherwise attach e.g. "setting" to
+# the noun synset of "set").
+NOUN_IRREGULAR: dict[str, tuple[str, ...]] = {
+    "man": ("men",), "woman": ("women",), "child": ("children",),
+    "foot": ("feet",), "tooth": ("teeth",), "mouse": ("mice",),
+    "person": ("people",),
+}
 
 # Irregular inflections for lemmas that appear in SYNSETS (head or alt).
 # A real Wiktionary dump ships these per-lemma; the regular-orthography
@@ -360,39 +568,160 @@ IRREGULAR: dict[str, tuple[str, ...]] = {
     "set": ("sets", "setting"),
     "put": ("puts", "putting"),
     "shut": ("shuts", "shutting"),
+    # final-stress doubling (the one-vowel-group heuristic below can't
+    # see stress, so multi-syllable doubled verbs are listed)
+    "permit": ("permits", "permitted", "permitting"),
+    "omit": ("omits", "omitted", "omitting"),
+    "transmit": ("transmits", "transmitted", "transmitting"),
+    "remit": ("remits", "remitted", "remitting"),
+    "transfer": ("transfers", "transferred", "transferring"),
+    "abhor": ("abhors", "abhorred", "abhorring"),
+    "concur": ("concurs", "concurred", "concurring"),
+    # round-4 breadth-batch irregular verbs
+    "admit": ("admits", "admitted", "admitting"),
+    "come": ("comes", "came", "coming"),
+    "strike": ("strikes", "struck", "striking"),
+    "split": ("splits", "splitting"),
+    "foresee": ("foresees", "foresaw", "foreseen", "foreseeing"),
+    "lead": ("leads", "led", "leading"),
+    "lend": ("lends", "lent", "lending"),
+    "have": ("has", "had", "having"),
+    "swear": ("swears", "swore", "sworn", "swearing"),
+    "prove": ("proves", "proved", "proven", "proving"),
+    "recur": ("recurs", "recurred", "recurring"),
+    "spend": ("spends", "spent", "spending"),
+    "spread": ("spreads", "spreading"),
+    "strew": ("strews", "strewed", "strewn", "strewing"),
+    "steal": ("steals", "stole", "stolen", "stealing"),
+    "wear": ("wears", "wore", "worn", "wearing"),
+    "write": ("writes", "wrote", "written", "writing"),
+    "echo": ("echoes", "echoed", "echoing"),
+    "annul": ("annuls", "annulled", "annulling"),
+    # irregular pasts that only occur as alternates
+    "bear": ("bears", "bore", "borne", "bearing"),
+    "seek": ("seeks", "sought", "seeking"),
+    "sweep": ("sweeps", "swept", "sweeping"),
+    "strive": ("strives", "strove", "striven", "striving"),
+    "fling": ("flings", "flung", "flinging"),
+    "stride": ("strides", "strode", "striding"),
+    "spring": ("springs", "sprang", "sprung", "springing"),
+    "overhear": ("overhears", "overheard", "overhearing"),
+    "understand": ("understands", "understood", "understanding"),
 }
 
 
-def inflections(word: str) -> tuple[str, ...]:
-    """Deterministic inflected forms of one lowercase lemma.
+_VOWELS = "aeiou"
 
-    Irregulars come from the override table; everything else follows
-    regular English orthography (sibilant ``-es``, consonant-``y`` ->
-    ``-ies``/``-ied``, silent-``e`` drop before ``-ing``).  Multiword or
+
+def _s_form(word: str) -> str:
+    """Regular -s form (noun plural == verb 3rd person)."""
+    if word.endswith(("s", "x", "z", "ch", "sh")):
+        return word + "es"
+    if word.endswith("y") and word[-2] not in _VOWELS:
+        return word[:-1] + "ies"
+    return word + "s"
+
+
+def _vowel_groups(word: str) -> int:
+    """Count runs of vowel letters (orthographic syllable proxy)."""
+    groups = 0
+    prev_vowel = False
+    for ch in word:
+        is_vowel = ch in _VOWELS
+        if is_vowel and not prev_vowel:
+            groups += 1
+        prev_vowel = is_vowel
+    return groups
+
+
+def _one_vowel_group(word: str) -> bool:
+    """Orthographic monosyllable test: exactly one run of vowel letters."""
+    return _vowel_groups(word) == 1
+
+
+def _doubles_final(word: str) -> bool:
+    """Monosyllabic consonant-vowel-consonant words double the final
+    consonant before a vowel suffix (scan -> scanned, hot -> hotter).
+    Stress is invisible to orthography, so multi-syllable doubled verbs
+    (permit) ride the IRREGULAR table instead."""
+    if len(word) < 3 or word[-1] in _VOWELS or word[-1] in "wxy":
+        return False
+    if word[-2] not in _VOWELS or word[-3] in _VOWELS:
+        return False
+    return _one_vowel_group(word)
+
+
+def inflections(word: str, pos: str) -> tuple[str, ...]:
+    """Deterministic inflected forms of one lowercase (lemma, POS).
+
+    Verbs take the full -s/-ed/-ing paradigm; nouns the plural only;
+    adjectives/adverbs coin nothing.  Irregulars come from the override
+    tables (verbs: IRREGULAR; nouns: NOUN_IRREGULAR, so a verb entry
+    like set->setting never attaches to the noun synset of "set").
+    Everything else follows regular English orthography (sibilant
+    ``-es``, consonant-``y`` -> ``-ies``/``-ied``, silent-``e`` drop
+    before ``-ing``, monosyllabic CVC doubling).  Multiword or
     non-ASCII-alpha entries get no forms (same gate as the reference's
     single-word synonym path)."""
+    if pos == "n":
+        if word in NO_FORMS:
+            return ()
+        if word in NOUN_IRREGULAR:
+            return NOUN_IRREGULAR[word]
+        if not word.isascii() or not word.isalpha() or len(word) < 3:
+            return ()
+        return (_s_form(word),)
+    if pos == "adj":
+        if word in ADJ_IRREGULAR:
+            return ADJ_IRREGULAR[word]
+        if (word in ADJ_NO_GRADE or len(word) < 3
+                or not word.isascii() or not word.isalpha()):
+            return ()
+        # -er/-est is regular only where the stem stays one syllable
+        # (orthographically: one vowel-letter group before the suffix
+        # slot) or for -ow disyllables (narrow/hollow/shallow).
+        if word in ADJ_GRADE_ALLOW:
+            gradable = True
+        elif word.endswith("e"):            # wide, brave, simple, little
+            gradable = _vowel_groups(word[:-1]) == 1
+        elif word.endswith("y") and word[-2] not in _VOWELS:
+            gradable = _vowel_groups(word[:-1]) <= 1   # happy, icy, dry
+        elif word.endswith("ow"):
+            gradable = _vowel_groups(word) <= 2        # low, narrow
+        else:
+            gradable = _one_vowel_group(word)          # fast, big, calm
+        if not gradable:
+            return ()
+        if word.endswith("e"):
+            stem = word[:-1]
+        elif word.endswith("y") and word[-2] not in _VOWELS:
+            stem = word[:-1] + "i"
+        elif _doubles_final(word):
+            stem = word + word[-1]
+        else:
+            stem = word
+        return (stem + "er", stem + "est")
+    if pos != "v":
+        return ()
     if word in IRREGULAR:
         return IRREGULAR[word]
     if not word.isascii() or not word.isalpha() or len(word) < 3:
         return ()
-    out: list[str] = []
-    # -s / -es (noun plural == verb 3rd person for regulars)
-    if word.endswith(("s", "x", "z", "ch", "sh")):
-        out.append(word + "es")
-    elif word.endswith("y") and word[-2] not in "aeiou":
-        out.append(word[:-1] + "ies")
-    else:
-        out.append(word + "s")
+    out: list[str] = [_s_form(word)]
     # -ed
     if word.endswith("e"):
         out.append(word + "d")
-    elif word.endswith("y") and word[-2] not in "aeiou":
+    elif word.endswith("y") and word[-2] not in _VOWELS:
         out.append(word[:-1] + "ied")
+    elif _doubles_final(word):
+        out.append(word + word[-1] + "ed")
     else:
         out.append(word + "ed")
     # -ing
     if word.endswith("e") and not word.endswith(("ee", "ye", "oe")):
         out.append(word[:-1] + "ing")
+    elif _doubles_final(word):
+        out.append(word + word[-1] + "ing")
     else:
         out.append(word + "ing")
     return tuple(dict.fromkeys(out))
@@ -412,17 +741,19 @@ def expanded_synsets() -> dict[str, tuple[str, ...]]:
                 lst.append(f)
 
     for head, hand in SYNSETS.items():
+        pos = POS[head]                       # alternates share the POS
         add(head, hand)                       # authored prefix, in order
-        add(head, inflections(head))          # lemma's own wordforms
+        add(head, inflections(head, pos))     # lemma's own wordforms
         for alt in hand:                      # each alternate's wordforms
-            add(head, inflections(alt))
+            add(head, inflections(alt, pos))
     # reverse wordform headwords: merging -> merge + merge's synset
     for head, hand in SYNSETS.items():
-        for form in inflections(head):
+        pos = POS[head]
+        for form in inflections(head, pos):
             if form in out:     # authored headword or an earlier lemma's
                 continue        # wordform — never shadow; first wins
             add(form, (head,))
-            add(form, (f for f in inflections(head) if f != form))
+            add(form, (f for f in inflections(head, pos) if f != form))
             add(form, hand)
     return {t: tuple(a) for t, a in out.items()}
 
