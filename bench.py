@@ -230,8 +230,10 @@ def run_crawl_loop_bench(spark) -> dict:
     - per-round wall seconds split by stage (assemble_wave_write /
       fetch_sim_replies_write / new_requests — the r4-fused action
       boundaries inside CrawlRunner._run_round: wave agg+write are one
-      Observation-carrying job, the replies write materializes the
-      persisted fetch frame the requests job then reuses), and
+      Observation-carrying job, and the replies and requests writes each
+      re-run the DELIBERATELY-unpersisted fetch lineage column-pruned to
+      their own projection — see the "NOT cached" note in
+      pipeline/crawl.py), and
     - the statsdb bridge's per-second scheduler stats
       (pipeline.statsdb.crawl_stats_to_statsdb — the reference's
       Statsdb/PagePerf per-stage graphs),

@@ -27,19 +27,31 @@ from pyspark.sql import functions as F
 from ..config import OVERFLOW_REQUESTS_PER_IP
 
 
-def salted_topk_per_key(df: DataFrame, key: str, order: list[Column], k: int,
-                        salt_col: str = "uh48", n_salts: int = 32,
+def salted_topk_per_key(df: DataFrame, key: str, order: list[Column],
+                        k: int | Column,
+                        salt_col: str | Column = "uh48", n_salts: int = 32,
                         rank_name: str = "ip_rn") -> DataFrame:
     """Top-k rows per ``key`` by ``order``, mega-key-safe.  Returns df with
-    ``rank_name`` (1-based rank within key).  Exact — see module docstring."""
-    salt = (F.col(salt_col) % n_salts).cast("int")
+    ``rank_name`` (1-based rank within key).  Exact — see module docstring.
+
+    ``k`` may be an int or a Column that is CONSTANT within each key
+    (e.g. a per-key cap joined in from a broadcast caps table) — the
+    salted prune stays exact because every salt shard of a key prunes to
+    the same k, so the union of per-salt top-ks still contains the
+    per-key top-k.  ``salt_col`` may be a column name (salted as
+    ``col % n_salts``) or a ready salt Column (``n_salts`` then unused).
+    Shared by F11 winner selection, dkmeans' bounded per-cell training
+    sample, and semdedup's oversized-cluster split sample."""
+    k_col = k if isinstance(k, Column) else F.lit(k)
+    salt = (salt_col if isinstance(salt_col, Column)
+            else (F.col(salt_col) % n_salts).cast("int"))
     w1 = Window.partitionBy(F.col(key), salt).orderBy(*order)
     pruned = (df.withColumn("_srn", F.row_number().over(w1))
-              .filter(F.col("_srn") <= k)
+              .filter(F.col("_srn") <= k_col)
               .drop("_srn"))
     w2 = Window.partitionBy(key).orderBy(*order)
     return (pruned.withColumn(rank_name, F.row_number().over(w2))
-            .filter(F.col(rank_name) <= k))
+            .filter(F.col(rank_name) <= k_col))
 
 
 def spider_shard_col(ip_col: str, n_shards: int) -> Column:

@@ -147,14 +147,16 @@ def verify_integrity(state_dir: str) -> list[str]:
     return problems
 
 
-def vacuum(state_dir: str, m: Manifest) -> list[str]:
+def vacuum(state_dir: str, m: Manifest,
+           tables: tuple[str, ...] = ("requests", "replies", "waves")
+           ) -> list[str]:
     """Remove data dirs not referenced by the committed manifest: orphans
     from crashed rounds and pre-compaction generations.  Safe strictly
     AFTER a commit (Iceberg's expire-snapshots analogue).  Returns the
     removed paths."""
     import shutil
     removed = []
-    for table in ("requests", "replies", "waves"):
+    for table in tables:
         base = os.path.join(state_dir, table)
         if not os.path.isdir(base):
             continue

@@ -132,7 +132,7 @@ class ManifestParquetFormat(TableFormat):
 
     def vacuum(self, m: Manifest, tables: tuple[str, ...] = (
             "requests", "replies", "waves")) -> list[str]:
-        return snap.vacuum(self.state_dir, m)
+        return snap.vacuum(self.state_dir, m, tables=tables)
 
     def fsck(self) -> list[str]:
         return snap.verify_integrity(self.state_dir)

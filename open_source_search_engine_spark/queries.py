@@ -963,55 +963,21 @@ ORDER BY lang, source
 """)
 
 
-def _embed_neardup_allpairs_fixture(spark: SparkSession,
-                                    sf_dir: str) -> DataFrame:
-    """FIXTURE/ORACLE-ONLY (not a catalog key since r4): label-blocked
-    all-pairs embedding-cosine scoring.  Quadratic in the block, so it can
-    never be the plan a driver bench selects at a bigger sf — the catalog
-    name ``dedup_embed_cosine_pairs`` now resolves to the banded sign-LSH
-    plan below (VERDICT r3 item 2).  Kept as the exact side for recall
-    tests: each block's all-pairs Gram matrix is one NumPy (BLAS) matmul
-    inside ``applyInPandas`` over integer-quantized vectors."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
-
-    out_schema = T.StructType([
-        T.StructField("va", T.LongType()),
-        T.StructField("vb", T.LongType()),
-        T.StructField("dot_q", T.LongType()),
-    ])
-
-    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        q = np.stack(pdf["qvec"].values).astype(np.float64)
-        gram = q @ q.T          # |dot| <= 64 * 4000^2 << 2^53: exact in f64
-        ia, ib = np.triu_indices(len(ids), k=1)
-        dots = gram[ia, ib].astype(np.int64)
-        keep = dots >= 150000
-        return pd.DataFrame({"va": ids[ia[keep]], "vb": ids[ib[keep]],
-                             "dot_q": dots[keep]})
-
-    # quantize per VECTOR in Spark (one pass, exact F.round HALF_UP), so the
-    # pair kernel is pure integer matmul with no rounding of its own
-    quant = emb.select(
-        "vec_id", "label",
-        F.transform("embedding",
-                    lambda x: F.round(x.cast("double") * 1000).cast("long"))
-        .alias("qvec"))
-    return (quant.groupBy("label").applyInPandas(_block_pairs, schema=out_schema)
-            .orderBy("va", "vb"))
-
-
 def _embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB embedding near-dup path: banded sign-LSH blocking (no
     label column needed — the block key is derived from the vector) +
-    exact integer-Gram verify per bucket.  Precision is exact; recall is
-    the banding dial (4 bands x 8 planes here)."""
+    exact integer-Gram verify per bucket.  Precision is exact (measured
+    at sf0.01: 0 violations against a DuckDB all-pairs oracle); recall is
+    the banding dial, and it is HIGH only in the near-duplicate regime
+    the banding serves — at cos >= 0.9 (the planted-twin tests' regime)
+    a 4x8 banding catches a pair with p = 1-(1-(1-acos(c)/pi)^8)^4, but
+    against sf0.01's organic moderate-cosine pairs (0.15 <= cos <= 0.51)
+    measured recall is only 0.03-0.08.  That is inherent: no LSH family
+    gives sub-quadratic recall at a 0.15-cosine threshold; callers who
+    mean "find actual near-duplicates" should treat min_dot_q ~ 900000 as
+    the meaningful dial (or use the SimHash c-of-k path, which guarantees
+    recall at a Hamming radius).  The committed golden pins this plan's
+    exact output, not an all-pairs ideal."""
     from .training.simsearch import lsh_neardup_pairs
     register_views(spark, sf_dir)
     return (lsh_neardup_pairs(spark.table("embeddings"),
@@ -1021,44 +987,10 @@ def _embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Since r4 the PLAIN name is the LSH-blocked scale plan (same fn as the
 # _lsh twin, kept for key stability), so no driver sf increase can ever
-# select an O(n^2) plan.  The label-blocked all-pairs form above is the
-# recall-test oracle only.  (VERDICT r3 item 2.)
+# select an O(n^2) plan (VERDICT r3 item 2).  The exact all-pairs side
+# lives ONLY in the recall tests' independent DuckDB oracles
+# (tests/test_training_ops.py::test_embed_cosine_lsh_recall_vs_exact).
 _register_golden("dedup_embed_cosine_pairs", _embed_neardup_lsh, "va, vb")
-
-
-def _token_jaccard_allpairs_fixture(spark: SparkSession,
-                                    sf_dir: str) -> DataFrame:
-    """FIXTURE/ORACLE-ONLY (not a catalog key since r4): (source, lang)-
-    blocked all-pairs unigram-Jaccard — quadratic in the block, and an
-    "en/web" block at 100 TB IS the corpus.  The catalog name
-    ``dedup_ngram_jaccard_pairs`` now resolves to the MinHash-LSH plan
-    below (VERDICT r3 item 2); this exact form remains the recall-test
-    side (tests/test_training_ops.py::test_ngram_jaccard_lsh_recall...)."""
-    register_views(spark, sf_dir)
-    toks = spark.table("documents").select(
-        "doc_id", "source", "lang",
-        F.array_distinct(F.split("text", " ")).alias("toks"))
-    a = toks.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"),
-                    F.col("lang").alias("lga"), F.col("toks").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"),
-                    F.col("lang").alias("lgb"), F.col("toks").alias("tb"))
-    return (
-        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("lga") == F.col("lgb"))
-               & (F.col("da") < F.col("db")))
-        .withColumn("jacc_x10000",
-                    F.round(F.lit(10000.0)
-                            * F.size(F.array_intersect("ta", "tb"))
-                            / F.size(F.array_union("ta", "tb"))).cast("long"))
-        .filter(F.col("jacc_x10000") >= 8000)
-        .select(F.col("da").cast("long").alias("da"),
-                F.col("db").cast("long").alias("db"), "jacc_x10000")
-        .orderBy("da", "db")
-    )
-
-
-# r4: plain name = the LSH-blocked scale plan (registered after
-# _token_jaccard_lsh_spark below); the quadratic form above is kept only
-# as the recall-test oracle side.
 
 
 def _token_jaccard_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,7 +1033,7 @@ def _token_jaccard_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register_golden("dedup_ngram_jaccard_pairs_lsh", _token_jaccard_lsh_spark,
                  "da, db")
-# plain name → same LSH plan (see _token_jaccard_allpairs_fixture note)
+# plain name → same LSH plan (see the dedup_embed_cosine_pairs note)
 _register_golden("dedup_ngram_jaccard_pairs", _token_jaccard_lsh_spark,
                  "da, db")
 

@@ -42,7 +42,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -174,23 +174,21 @@ def _coarse_assign(emb: DataFrame, cents: np.ndarray) -> DataFrame:
 def _bounded_cell_sample(assigned: DataFrame, caps: dict[int, int],
                          n_salts: int = 32) -> DataFrame:
     """<= caps[coarse] training rows per cell, picked by deterministic
-    hash-rank.  Two-phase salted top-K (pipeline.scale shape): a mega-cell
-    never funnels through one sort task, and the per-key cap column is
-    constant within the key so the salted prune stays exact."""
+    hash-rank.  Delegates to pipeline.scale.salted_topk_per_key with a
+    per-key cap column: a mega-cell never funnels through one sort task,
+    and the cap is constant within the key so the salted prune is exact."""
+    from ..pipeline.scale import salted_topk_per_key
+
     spark = assigned.sparkSession
     caps_df = F.broadcast(spark.createDataFrame(
         [(int(c), int(v)) for c, v in sorted(caps.items())],
         "coarse long, _cap int"))          # k1 rows — broadcastable always
-    assigned = assigned.join(caps_df, "coarse")
-    cap_col = F.col("_cap")
     order = [F.xxhash64("vec_id"), F.col("vec_id")]
     salt = F.pmod(F.xxhash64("vec_id", F.lit(1)), F.lit(n_salts)).cast("int")
-    w1 = Window.partitionBy(F.col("coarse"), salt).orderBy(*order)
-    pruned = (assigned.withColumn("_srn", F.row_number().over(w1))
-              .filter(F.col("_srn") <= cap_col).drop("_srn"))
-    w2 = Window.partitionBy("coarse").orderBy(*order)
-    return (pruned.withColumn("_rn", F.row_number().over(w2))
-            .filter(F.col("_rn") <= cap_col).drop("_rn", "_cap"))
+    return (salted_topk_per_key(assigned.join(caps_df, "coarse"), "coarse",
+                                order, F.col("_cap"), salt_col=salt,
+                                rank_name="_rn")
+            .drop("_rn", "_cap"))
 
 
 def two_level_assign(emb: DataFrame, k: int, sim_qscale: int,

@@ -144,7 +144,8 @@ MAX_SPLITS_PER_ROUND = 4096  # largest-first cap on per-round split work
 
 def _split_oversized(quant: DataFrame, max_cluster: int,
                      target: int = AVG_CLUSTER_TARGET,
-                     rounds: int = SPLIT_ROUNDS) -> DataFrame:
+                     rounds: int = SPLIT_ROUNDS,
+                     cache: bool = True) -> DataFrame:
     """Recursive oversized-cluster split (the paper's re-clustering step,
     in code): while any bucket holds more than ``max_cluster`` rows,
     re-cluster its members into ~ceil(size/target) children and reassign.
@@ -166,15 +167,37 @@ def _split_oversized(quant: DataFrame, max_cluster: int,
     centroid (it is the greedy kernel's scan-order key).  A degenerate
     bucket of bit-identical vectors cannot separate; ``rounds`` bounds
     the retry (and the greedy kernel then collapses it to one keeper in
-    a single O(k_i) pass anyway, since every row matches keeper #1)."""
-    from pyspark.sql import Window
+    a single O(k_i) pass anyway, since every row matches keeper #1).
 
+    Cache ownership (``cache=True``): each round runs 3-4 actions over
+    the current table (sizes count, max-id agg, sample collect) and the
+    next round derives from it, so the table is kept persisted — the
+    input must arrive persisted, this function TAKES ownership, each
+    round's sizes scan materializes the new table before the superseded
+    round's cache is released, and the returned frame is persisted with
+    ownership passing back to the caller (semdedup releases it after
+    checkpointing the verdict table).  ``cache=False`` runs the same
+    logic with nothing persisted anywhere (plan-inspection/test mode;
+    lineage may recompute per action)."""
+    from pyspark import StorageLevel
+
+    from ..memutil import safe_unpersist
+    from ..pipeline.scale import salted_topk_per_key
+
+    if cache and not quant.is_cached:
+        quant = quant.persist(StorageLevel.MEMORY_AND_DISK)
+    prev: DataFrame | None = None
     for _ in range(rounds):
         sizes = (quant.groupBy("bucket").count()
                  .filter(F.col("count") > max_cluster)
                  .orderBy(F.desc("count"), "bucket")
                  .limit(MAX_SPLITS_PER_ROUND)
                  .collect())
+        # the sizes scan touched every partition, so the current round's
+        # cache is fully built — the superseded round can go
+        if cache and prev is not None:
+            safe_unpersist(prev)
+            prev = None
         if not sizes:
             break
         next_id = quant.agg(F.max("bucket")).collect()[0][0] + 1
@@ -187,19 +210,16 @@ def _split_oversized(quant: DataFrame, max_cluster: int,
         hot = quant.filter(F.col("bucket").isin(list(fanout)))
         cold = quant.filter(~F.col("bucket").isin(list(fanout)))
 
-        # bounded training sample per hot bucket (32 rows per child)
+        # bounded training sample per hot bucket (32 rows per child) via
+        # the shared mega-key-safe two-phase prune
         caps_df = F.broadcast(quant.sparkSession.createDataFrame(
             [(int(b), 32 * fanout[b]) for b in sorted(fanout)],
             "bucket long, _cap int"))
         order = [F.xxhash64("vec_id"), F.col("vec_id")]
         salt = F.pmod(F.xxhash64("vec_id", F.lit(1)), F.lit(32)).cast("int")
-        w1 = Window.partitionBy(F.col("bucket"), salt).orderBy(*order)
-        w2 = Window.partitionBy("bucket").orderBy(*order)
-        sample = (hot.join(caps_df, "bucket")
-                  .withColumn("_srn", F.row_number().over(w1))
-                  .filter(F.col("_srn") <= F.col("_cap")).drop("_srn")
-                  .withColumn("_rn", F.row_number().over(w2))
-                  .filter(F.col("_rn") <= F.col("_cap"))
+        sample = (salted_topk_per_key(hot.join(caps_df, "bucket"), "bucket",
+                                      order, F.col("_cap"), salt_col=salt,
+                                      rank_name="_rn")
                   .select("bucket", "vec_id", "qnvec"))
         fan_b = dict(fanout)
         cents_rows = []
@@ -239,9 +259,17 @@ def _split_oversized(quant: DataFrame, max_cluster: int,
                 })
 
         cols = ["vec_id", "qnvec", "centroid_sim_q", "bucket"]
-        quant = (hot.select(*cols)
-                 .mapInPandas(_reassign, schema=_SPLIT_SCHEMA)
-                 .unionByName(cold.select(*cols)))
+        reassigned = (hot.select(*cols)
+                      .mapInPandas(_reassign, schema=_SPLIT_SCHEMA)
+                      .unionByName(cold.select(*cols)))
+        if cache:
+            reassigned = reassigned.persist(StorageLevel.MEMORY_AND_DISK)
+        prev, quant = quant, reassigned
+    if cache and prev is not None:
+        # rounds exhausted with the last table never scanned — materialize
+        # it before releasing the round it derives from
+        quant.count()
+        safe_unpersist(prev)
     return quant
 
 
@@ -285,7 +313,8 @@ def _train_children(fanout: dict[int, int]):
 
 def semdedup(emb: DataFrame, eps: float = 0.92,
              n_clusters: int | None = None,
-             max_cluster: int | None = None) -> DataFrame:
+             max_cluster: int | None = None,
+             materialize: bool = True) -> DataFrame:
     """Full SemDeDup verdict table: every vector with its cluster, its
     centroid similarity, whether it survives, and which keeper displaced
     it.  ``eps`` is the paper's similarity threshold (they sweep
@@ -306,7 +335,19 @@ def semdedup(emb: DataFrame, eps: float = 0.92,
 
     Plan: cluster (see above) → quantize/score passes → bounded split
     rounds → ONE shuffle keyed on cluster id → per-cluster greedy
-    kernel.  Nothing all-pairs."""
+    kernel.  Nothing all-pairs.
+
+    ``materialize=True`` (default) computes the verdict table HERE: the
+    wide intermediate quant tables are persisted per stage and released
+    the moment they are superseded, and the narrow (5 scalar columns)
+    result is local-checkpointed, so no internal cache outlives the
+    call.  Release the result's blocks deterministically with
+    ``memutil.release_local_checkpoint`` when done — otherwise the
+    ContextCleaner frees them on driver GC, which (unlike CacheManager
+    entries) does eventually happen.  ``materialize=False`` returns the
+    fully lazy plan with nothing persisted anywhere — for plan
+    inspection and tests; lineage may recompute per action."""
+    from ..memutil import safe_unpersist
     if n_clusters is None:
         n_clusters = max(16, -(-emb.count() // AVG_CLUSTER_TARGET))
     if max_cluster is None:
@@ -319,14 +360,23 @@ def semdedup(emb: DataFrame, eps: float = 0.92,
     else:
         from .dkmeans import two_level_assign
         quant = two_level_assign(emb, n_clusters, sim_qscale=_QSCALE)
-    quant = _split_oversized(quant, max_cluster)
+        if not materialize:
+            # two_level_assign returns its table persisted; lazy mode
+            # wants nothing cached (the frame stays usable, recomputing)
+            safe_unpersist(quant)
+    quant = _split_oversized(quant, max_cluster, cache=materialize)
     eps_q = int(round(eps * _COS_SCALE))
-    return (quant.groupBy("bucket")
-            .applyInPandas(_greedy_kernel(eps_q), schema=SEMDEDUP_SCHEMA))
+    out = (quant.groupBy("bucket")
+           .applyInPandas(_greedy_kernel(eps_q), schema=SEMDEDUP_SCHEMA))
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        safe_unpersist(quant)
+    return out
 
 
 def semdedup_keepers(emb: DataFrame, eps: float = 0.92,
-                     n_clusters: int | None = None) -> DataFrame:
+                     n_clusters: int | None = None,
+                     materialize: bool = True) -> DataFrame:
     """Just the surviving vec_ids (the corpus the trainer keeps)."""
-    return (semdedup(emb, eps, n_clusters)
+    return (semdedup(emb, eps, n_clusters, materialize=materialize)
             .filter(F.col("kept")).select("vec_id"))

@@ -207,24 +207,15 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
     and its committed goldens pin the seed-only centroids.  This whole
     function is the ANN-sized (k <= few hundred) path — SemDeDup-scale k
     uses training/dkmeans.two_level_assign instead."""
+    from .dkmeans import local_kmeans
+
     rows = (emb.orderBy("vec_id").limit(sample)
             .select("embedding").collect())
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    cents = [mat[0]]
-    d2 = ((mat - cents[0]) ** 2).sum(axis=1)
-    for _ in range(1, min(n_centroids, len(mat))):
-        nxt = int(np.argmax(d2))
-        cents.append(mat[nxt])
-        d2 = np.minimum(d2, ((mat - cents[-1]) ** 2).sum(axis=1))
-    c = np.stack(cents)
-    for _ in range(lloyd_iters):
-        cn = (c ** 2).sum(axis=1)
-        assign = (cn[None, :] - 2.0 * (mat @ c.T)).argmin(axis=1)
-        for ci in range(len(c)):            # empty cells keep their seed
-            mask = assign == ci
-            if mask.any():
-                c[ci] = mat[mask].mean(axis=0)
-    return c
+    # same farthest-point seed + fixed-Lloyd kernel (and its
+    # empty-cells-keep-their-seed rule) as the distributed tier's
+    # per-cell trainer — one implementation, bit-identical results
+    return local_kmeans(mat, n_centroids, iters=lloyd_iters)
 
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:

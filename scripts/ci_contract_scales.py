@@ -111,7 +111,7 @@ def main() -> int:
             n = QUERIES[k](spark, "/root/testdata/sf0.1").count()
             good = n > 0
             emit(f"{'OK' if good else 'FAIL'}        {k}  "
-                 f"{{\"sf01_rows\": null, \"sf1_rows\": {n}, "
+                 f"{{\"sf01_rows\": {n}, "
                  f"\"sec\": {time.time() - t0:.1f}}}")
             ok &= good
         except Exception as exc:      # noqa: BLE001 — log and fail the key

@@ -50,12 +50,22 @@ def test_orphan_files_ignored_and_vacuumed(spark, tmp_path_factory):
         for r in want.crawl_order)
     assert got == want_rows
 
-    # vacuum removes exactly the unreferenced dirs
+    # table-scoped vacuum (through the TableFormat seam) touches ONLY the
+    # named table: the waves orphan must survive a requests-only pass
+    from open_source_search_engine_spark.pipeline.tableformat import (
+        ManifestParquetFormat)
+    fmt = ManifestParquetFormat(sd)
     m = snap.load_manifest(sd)
-    removed = snap.vacuum(sd, m)
+    removed = fmt.vacuum(m, tables=("requests",))
     assert any("round=99" in p for p in removed)
-    assert any("round=98" in p for p in removed)
+    assert not any("round=98" in p for p in removed)
     assert not os.path.exists(orphan)
+    assert os.path.exists(orphan_wave)
+
+    # full vacuum removes the remaining unreferenced dirs
+    removed = snap.vacuum(sd, m)
+    assert any("round=98" in p for p in removed)
+    assert not os.path.exists(orphan_wave)
     # committed data untouched; outputs still readable and identical
     got2 = sorted(tuple(r) for r in runner2.crawl_order()
                   .select("round", "seq_in_round", "uh48", "url_norm",

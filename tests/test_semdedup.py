@@ -121,14 +121,47 @@ def test_distinct_vectors_all_survive(spark):
 
 def test_single_exchange_plan(spark):
     rng = np.random.RandomState(3)
+    # materialize=False keeps the full lineage visible (the default
+    # checkpoints the result, which would truncate the plan to a scan)
     df = semdedup(_emb_df(spark, rng.standard_normal((30, DIM))),
-                  eps=0.92, n_clusters=2)
+                  eps=0.92, n_clusters=2, materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # centroid sample + query-vector lookups are bounded collects at
     # build time; the streaming plan itself shuffles once, on the
     # cluster id (plus the vec_id joins feeding it)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_no_cache_outlives_the_call(spark):
+    """Cache-ownership contract: semdedup releases every internal persist
+    before returning; the only surviving blocks are the checkpointed
+    verdict table's own, and release_local_checkpoint frees those.  Runs
+    BOTH clustering tiers (small-k and distributed) and a hot-cluster
+    input that forces split rounds."""
+    from open_source_search_engine_spark.memutil import (
+        release_local_checkpoint)
+
+    def persistent_rdds():
+        return {int(k) for k in
+                spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                .toArray()}
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((400, DIM))
+    hot = rng.standard_normal(DIM)
+    mat = np.vstack([base, hot + 0.001 * rng.standard_normal((200, DIM))])
+    before = persistent_rdds()
+    for kwargs in ({"n_clusters": 4},                     # small-k tier
+                   {"n_clusters": 300},                   # distributed tier
+                   {"n_clusters": 2, "max_cluster": 64}):  # split rounds
+        out = semdedup(_emb_df(spark, mat), eps=0.92, **kwargs)
+        assert out.count() == len(mat)
+        leaked = persistent_rdds() - before
+        release_local_checkpoint(out)
+        # the only post-call blocks were the result's own checkpoint
+        assert persistent_rdds() - before == set(), (
+            f"leaked persistent RDDs beyond the checkpoint: {leaked}")
 
 
 def test_assignment_consistency(spark):
