@@ -152,7 +152,8 @@ def _gumbel_key_q(seed: int):
 
 def dsir_select(docs: DataFrame, target_col: str = "is_target",
                 k: int = 100, n_buckets: int = N_BUCKETS,
-                seed: int = 0x05178) -> DataFrame:
+                seed: int = 0x05178,
+                materialize: bool = True) -> DataFrame:
     """Full DSIR verdict: (doc_id, weight_q, key_q, selected).
 
     ``weight_q`` is the integer-quantized log importance weight,
@@ -164,11 +165,24 @@ def dsir_select(docs: DataFrame, target_col: str = "is_target",
     the bucket aggregate (bounded at n_buckets rows), the ratio join
     (broadcast — n_buckets rows), the per-doc weight aggregate.  The top-k
     boundary is collected (one row) and broadcast as a literal threshold —
-    no global single-partition sort."""
+    no global single-partition sort.
+
+    ``materialize=True`` (default) computes the narrow 4-column verdict
+    HERE (the bucket table and the scored table are each persisted only
+    until superseded, then released; the result is local-checkpointed so
+    no internal cache outlives the call — release its blocks with
+    ``memutil.release_local_checkpoint`` when done).  ``materialize=
+    False`` keeps the plan fully lazy with nothing persisted (plan
+    inspection/tests; the Arrow tokenization pass may rerun per
+    action)."""
+    from ..memutil import safe_unpersist
+
     flags = docs.select("doc_id", F.col(target_col).alias("is_target"))
     # the bucket rows feed the model fit (one action) AND the final
     # weight aggregate — persist so the Arrow tokenization pass runs once
-    buckets = hashed_ngram_buckets(docs, n_buckets).persist()
+    buckets = hashed_ngram_buckets(docs, n_buckets)
+    if materialize:
+        buckets = buckets.persist()
     ratios = dsir_bucket_logratio(buckets, flags, n_buckets)
     weights = (buckets.join(F.broadcast(ratios), "bucket")
                .groupBy("doc_id")
@@ -180,15 +194,25 @@ def dsir_select(docs: DataFrame, target_col: str = "is_target",
                           F.coalesce("weight_q", F.lit(0)).cast("long"))
               .withColumn("key_q", (F.col("weight_q")
                                     + _gumbel_key_q(seed)(F.col("doc_id"))
-                                    ).cast("long"))
-              .persist())                   # boundary collect + final read
+                                    ).cast("long")))
+    if materialize:
+        scored = scored.persist()           # boundary collect + final read
     boundary = (scored.orderBy(F.desc("key_q"), "doc_id")
                 .limit(k).orderBy(F.asc("key_q"), F.desc("doc_id"))
                 .limit(1).collect())
+    # the boundary TakeOrdered materialized every partition of scored,
+    # so the bucket stage it derives from can be released now
+    if materialize:
+        safe_unpersist(buckets)
     if not boundary:
-        return scored.withColumn("selected", F.lit(False))
-    kb, db = boundary[0]["key_q"], boundary[0]["doc_id"]
-    return scored.withColumn(
-        "selected",
-        (F.col("key_q") > kb)
-        | ((F.col("key_q") == kb) & (F.col("doc_id") <= db)))
+        out = scored.withColumn("selected", F.lit(False))
+    else:
+        kb, db = boundary[0]["key_q"], boundary[0]["doc_id"]
+        out = scored.withColumn(
+            "selected",
+            (F.col("key_q") > kb)
+            | ((F.col("key_q") == kb) & (F.col("doc_id") <= db)))
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        safe_unpersist(scored)
+    return out

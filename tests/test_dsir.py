@@ -133,7 +133,28 @@ def test_deterministic_across_runs(spark):
 
 
 def test_plan_no_row_python(spark):
-    df = dsir_select(_corpus(spark), k=4)
+    # materialize=False keeps the lineage visible (the default
+    # checkpoints the verdict, truncating the plan to a scan)
+    df = dsir_select(_corpus(spark), k=4, materialize=False)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_cache_outlives_the_call(spark):
+    """dsir_select releases its bucket and scored persists before
+    returning; the only surviving blocks are the checkpointed verdict's
+    own, freed by release_local_checkpoint."""
+    from open_source_search_engine_spark.memutil import (
+        release_local_checkpoint)
+
+    def persistent_rdds():
+        return {int(k) for k in
+                spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                .toArray()}
+
+    before = persistent_rdds()
+    out = dsir_select(_corpus(spark), k=4)
+    assert out.count() > 0
+    release_local_checkpoint(out)
+    assert persistent_rdds() - before == set()
