@@ -50,6 +50,15 @@ _SUM_QSCALE = 1 << 20       # partial-sum quantization (exact int64 sums)
 SEED_OVERSAMPLE = 4         # seed-sample rows per coarse centroid
 SUB_SAMPLE_FACTOR = 32      # training-sample rows per fine sub-centroid
 LLOYD_ITERS = 3             # fixed iteration count (determinism > argmin)
+K2_MAX = 1024               # sub-centroids per coarse cell: bounds the
+                            # per-cell trainer (one task: local k-means
+                            # over <= 32*1024 sample rows with a serial
+                            # O(sample x k2) farthest-point seed) even
+                            # when a hot cell would proportionally claim
+                            # far more; the under-split cells come out
+                            # oversized and semdedup's _split_oversized
+                            # recursion is the layer that enforces the
+                            # final cluster-size bound
 
 ASSIGN_SIM_SCHEMA = T.StructType([
     T.StructField("vec_id", T.LongType()),
@@ -193,7 +202,8 @@ def _bounded_cell_sample(assigned: DataFrame, caps: dict[int, int],
 
 def two_level_assign(emb: DataFrame, k: int, sim_qscale: int,
                      coarse_k: int | None = None,
-                     iters: int = LLOYD_ITERS) -> DataFrame:
+                     iters: int = LLOYD_ITERS,
+                     materialize: bool = True) -> DataFrame:
     """Cluster ``emb`` (vec_id, embedding) into ~k buckets and return the
     semdedup-ready quant table (vec_id, qnvec, bucket, centroid_sim_q):
 
@@ -209,15 +219,22 @@ def two_level_assign(emb: DataFrame, k: int, sim_qscale: int,
     No collect or closure anywhere is proportional to k — the driver
     holds at most k1 = O(sqrt(k)) rows at a time.
 
-    The returned DataFrame is persisted (it is materialized once here so
-    the coarse-assignment cache can be released); callers that are done
-    with it release it with ``memutil.safe_unpersist``."""
+    With ``materialize=True`` (default) the returned DataFrame is
+    persisted and materialized once here so the internal
+    coarse-assignment cache can be released; callers that are done with
+    it release it with ``memutil.safe_unpersist``.  With
+    ``materialize=False`` nothing is persisted or pre-computed beyond
+    the bounded driver aggregates — the fully lazy plan comes back and
+    the coarse-assign pass reruns per downstream action (plan
+    inspection / test mode)."""
     n = emb.count()
     if coarse_k is None:
         coarse_k = max(4, int(np.ceil(np.sqrt(k))))
     coarse_k = min(coarse_k, k, max(1, n))
     cents = lloyd_fit(emb, coarse_k, iters=iters)
-    assigned = _coarse_assign(emb, cents).persist()
+    assigned = _coarse_assign(emb, cents)
+    if materialize:
+        assigned = assigned.persist()
     try:
         counts = {r["coarse"]: r["cnt"] for r in
                   (assigned.groupBy("coarse")
@@ -225,7 +242,8 @@ def two_level_assign(emb: DataFrame, k: int, sim_qscale: int,
         # dense global id blocks: cell i owns [start_i, start_i + k2_i)
         k2, starts, nxt = {}, {}, 0
         for c in sorted(counts):
-            k2[c] = max(1, int(round(k * counts[c] / max(1, n))))
+            k2[c] = min(K2_MAX,
+                        max(1, int(round(k * counts[c] / max(1, n)))))
             starts[c] = nxt
             nxt += k2[c]
         caps = {c: SUB_SAMPLE_FACTOR * k2[c] for c in k2}
@@ -278,10 +296,12 @@ def two_level_assign(emb: DataFrame, k: int, sim_qscale: int,
         out = (assigned.groupBy("coarse")
                .cogroup(subcents.groupBy("coarse"))
                .applyInPandas(_fine, schema=ASSIGN_SIM_SCHEMA))
-        # materialize before unpersisting the coarse assignment the plan
-        # reads twice (sample/train side and fine-assign side)
-        out = out.persist()
-        out.count()
+        if materialize:
+            # materialize before unpersisting the coarse assignment the
+            # plan reads twice (sample/train side and fine-assign side)
+            out = out.persist()
+            out.count()
         return out
     finally:
-        assigned.unpersist()
+        if materialize:
+            assigned.unpersist()

@@ -139,7 +139,17 @@ AVG_CLUSTER_TARGET = 512     # paper regime: k ~ n / bounded-cluster-size
 SMALL_K_MAX = 256            # above this, clustering goes distributed
 MAX_CLUSTER_FACTOR = 8       # split any cluster above 8x the target
 SPLIT_ROUNDS = 3             # recursive-split depth bound
-MAX_SPLITS_PER_ROUND = 4096  # largest-first cap on per-round split work
+MAX_SPLITS_PER_ROUND = 4096  # largest-first cap on per-round split buckets
+MAX_FANOUT = 64              # children per split bucket per round: bounds
+                             # the per-bucket trainer (sample 32*fanout
+                             # rows, local k-means k<=64) and, with
+                             # MAX_CHILDREN_PER_ROUND, the reassign
+                             # closure; a 1e8-row bucket still reaches
+                             # ~400 rows in 3 rounds (64^3 reduction)
+MAX_CHILDREN_PER_ROUND = 4096  # total new ids per round: bounds the
+                               # child-centroid collect and closure at
+                               # 4096 x d (~2 MB at d=64, ~25 MB at
+                               # d=768), independent of n and k
 
 
 def _split_oversized(quant: DataFrame, max_cluster: int,
@@ -148,26 +158,40 @@ def _split_oversized(quant: DataFrame, max_cluster: int,
                      cache: bool = True) -> DataFrame:
     """Recursive oversized-cluster split (the paper's re-clustering step,
     in code): while any bucket holds more than ``max_cluster`` rows,
-    re-cluster its members into ~ceil(size/target) children and reassign.
+    re-cluster its members into ~ceil(size/child_target) children
+    (child_target = min(target, max_cluster), so a caller's tighter
+    ``max_cluster`` is honored, not just the paper's 512 average) and
+    reassign.
 
     Scale shape per round (a fixed, small number of bounded jobs):
       * one groupBy(bucket).count() aggregate; only buckets above the
         threshold are collected, largest-first, capped at
         MAX_SPLITS_PER_ROUND rows;
+      * per-bucket fanout is capped at MAX_FANOUT and the round's TOTAL
+        children at MAX_CHILDREN_PER_ROUND (largest buckets first, the
+        rest wait for the next round), so the per-bucket trainer (one
+        applyInPandas group over a 32 x fanout row sample running local
+        k-means with k <= MAX_FANOUT), the child-centroid collect, and
+        the reassign closure are all bounded by CONSTANTS — never by
+        the hot bucket's size, n, or k;
       * child centroids are trained on a BOUNDED per-bucket sample
-        (32 x n_children rows via deterministic hash-rank — the salted
+        (32 x fanout rows via deterministic hash-rank — the salted
         two-phase shape, so a mega-bucket never serializes one sort);
-      * the (#split-buckets x fanout) child-centroid dict — bounded by
-        the cap, never by k — rides the reassign closure; rows in
-        un-split buckets pass through untouched.
+      * rows in un-split buckets pass through untouched.
 
-    New bucket ids are dense blocks above the current max id, allocated
-    on the driver from the collected (bucket, size) rows, so ids stay
-    deterministic.  ``centroid_sim_q`` is recomputed against the child
-    centroid (it is the greedy kernel's scan-order key).  A degenerate
-    bucket of bit-identical vectors cannot separate; ``rounds`` bounds
-    the retry (and the greedy kernel then collapses it to one keeper in
-    a single O(k_i) pass anyway, since every row matches keeper #1).
+    New bucket ids are dense blocks above the current max id (computed
+    with ONE full-table aggregate on the first splitting round, then
+    carried forward on the driver — new ids are always allocated above
+    all previous), so ids stay deterministic.  ``centroid_sim_q`` is
+    recomputed against the child centroid (it is the greedy kernel's
+    scan-order key).  A degenerate bucket of bit-identical vectors
+    cannot separate; ``rounds`` bounds the retry (and the greedy kernel
+    then collapses it to one keeper in a single O(k_i) pass anyway,
+    since every row matches keeper #1).  With capped fanout a single
+    hyper-hot bucket shrinks by up to MAX_FANOUT^rounds (~2.6e5 at the
+    defaults), so pathological inputs beyond that remain bounded by
+    ``rounds``, not silently quadratic — the greedy kernel's group is
+    then large but the plan shape is unchanged.
 
     Cache ownership (``cache=True``): each round runs 3-4 actions over
     the current table (sizes count, max-id agg, sample collect) and the
@@ -186,7 +210,9 @@ def _split_oversized(quant: DataFrame, max_cluster: int,
 
     if cache and not quant.is_cached:
         quant = quant.persist(StorageLevel.MEMORY_AND_DISK)
+    child_target = max(1, min(target, max_cluster))
     prev: DataFrame | None = None
+    next_id: int | None = None
     for _ in range(rounds):
         sizes = (quant.groupBy("bucket").count()
                  .filter(F.col("count") > max_cluster)
@@ -200,13 +226,20 @@ def _split_oversized(quant: DataFrame, max_cluster: int,
             prev = None
         if not sizes:
             break
-        next_id = quant.agg(F.max("bucket")).collect()[0][0] + 1
-        fanout, starts = {}, {}
-        for r in sizes:
+        if next_id is None:     # one full-table agg, then driver-carried
+            next_id = quant.agg(F.max("bucket")).collect()[0][0] + 1
+        fanout, starts, children = {}, {}, 0
+        for r in sizes:         # largest-first until the round budget
             b, c = r["bucket"], r["count"]
-            fanout[b] = max(2, -(-c // target))
+            f_b = min(MAX_FANOUT, max(2, -(-c // child_target)))
+            if children + f_b > MAX_CHILDREN_PER_ROUND:
+                break           # the rest stays hot for the next round
+            fanout[b] = f_b
             starts[b] = next_id
-            next_id += fanout[b]
+            next_id += f_b
+            children += f_b
+        if not fanout:
+            break
         hot = quant.filter(F.col("bucket").isin(list(fanout)))
         cold = quant.filter(~F.col("bucket").isin(list(fanout)))
 
@@ -359,11 +392,8 @@ def semdedup(emb: DataFrame, eps: float = 0.92,
         quant = _normalized_quantized(emb, cents, assigned)
     else:
         from .dkmeans import two_level_assign
-        quant = two_level_assign(emb, n_clusters, sim_qscale=_QSCALE)
-        if not materialize:
-            # two_level_assign returns its table persisted; lazy mode
-            # wants nothing cached (the frame stays usable, recomputing)
-            safe_unpersist(quant)
+        quant = two_level_assign(emb, n_clusters, sim_qscale=_QSCALE,
+                                 materialize=materialize)
     quant = _split_oversized(quant, max_cluster, cache=materialize)
     eps_q = int(round(eps * _COS_SCALE))
     out = (quant.groupBy("bucket")

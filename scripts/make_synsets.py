@@ -490,6 +490,8 @@ NOUN_IRREGULAR: dict[str, tuple[str, ...]] = {
     "man": ("men",), "woman": ("women",), "child": ("children",),
     "foot": ("feet",), "tooth": ("teeth",), "mouse": ("mice",),
     "person": ("people",),
+    # velar -ch (/k/): plain -s, not the sibilant -es the rule coins
+    "monarch": ("monarchs",), "epoch": ("epochs",),
 }
 
 # Irregular inflections for lemmas that appear in SYNSETS (head or alt).

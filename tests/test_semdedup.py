@@ -259,6 +259,51 @@ def test_hot_cluster_is_split_before_greedy(spark):
     assert len(sizes) > 2          # the hot cluster was actually split
 
 
+def test_tight_max_cluster_is_honored(spark):
+    """A caller's max_cluster BELOW the paper's 512 target must actually
+    bound the output buckets: the splitter's child target is
+    min(target, max_cluster), not the fixed 512 (which would leave
+    ~300-row children after one split of a 600-row bucket)."""
+    rng = np.random.RandomState(41)
+    mat = rng.standard_normal((600, DIM))           # separable noise
+    out = semdedup(_emb_df(spark, mat), eps=0.999, n_clusters=1,
+                   max_cluster=64).collect()
+    assert len(out) == 600
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert max(sizes.values()) <= 64, sorted(sizes.values())[-5:]
+
+
+def test_split_round_budgets_are_constants(spark):
+    """The per-round split work is bounded by constants, never by the
+    hot bucket's size: fanout <= MAX_FANOUT per bucket and total new ids
+    <= MAX_CHILDREN_PER_ROUND per round (the child-centroid collect and
+    the reassign closure scale with these, so they must not scale with
+    cluster size, n, or k)."""
+    from open_source_search_engine_spark.training.semdedup import (
+        MAX_CHILDREN_PER_ROUND, MAX_FANOUT, SPLIT_ROUNDS)
+    # the invariant the caps protect: a 1e8-row bucket asks for
+    # ceil(1e8/512) ~ 195k children uncapped — the cap holds it at 64
+    # and the round budget bounds the closure at 4096 x d
+    assert MAX_FANOUT * 32 <= 4096          # per-bucket sample rows
+    assert MAX_CHILDREN_PER_ROUND <= 4096   # closure / collect rows
+    assert MAX_FANOUT ** SPLIT_ROUNDS >= 200_000  # still tames 1e8/512
+    # behavioral check at fixture scale: one hot bucket under a tight
+    # bound splits with fanout capped (ids are dense blocks, so the
+    # number of distinct child buckets per round <= the round budget)
+    rng = np.random.RandomState(43)
+    mat = rng.standard_normal((800, DIM))
+    out = semdedup(_emb_df(spark, mat), eps=0.999, n_clusters=1,
+                   max_cluster=8).collect()
+    assert len(out) == 800
+    buckets = {r["bucket"] for r in out}
+    # ceil(800/8)=100 children wanted > MAX_FANOUT=64: round 1 must cap
+    # at 64, later rounds split the still-hot children further
+    assert len(buckets) <= 1 + MAX_CHILDREN_PER_ROUND * SPLIT_ROUNDS
+    assert len(buckets) > 64                # recursion engaged
+
+
 def test_split_determinism_and_degenerate_bucket_terminates(spark):
     """A bucket of bit-identical vectors cannot be separated by k-means;
     the split loop must terminate via its round bound and the greedy
