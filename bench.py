@@ -228,12 +228,13 @@ def run_crawl_loop_bench(spark) -> dict:
     small synthetic corpus and report
 
     - per-round wall seconds split by stage (assemble_wave_write /
-      fetch_sim_replies_write / new_requests — the r4-fused action
-      boundaries inside CrawlRunner._run_round: wave agg+write are one
-      Observation-carrying job, and the replies and requests writes each
-      re-run the DELIBERATELY-unpersisted fetch lineage column-pruned to
-      their own projection — see the "NOT cached" note in
-      pipeline/crawl.py), and
+      replies_and_requests_writes — the r4-fused action boundaries
+      inside CrawlRunner._run_round: wave agg+write are one
+      Observation-carrying job, and the replies and requests writes —
+      each re-running the DELIBERATELY-unpersisted fetch lineage
+      column-pruned to its own projection, see the "NOT cached" note in
+      pipeline/crawl.py — run on concurrent driver threads, so the
+      second stage's wall is max(replies, requests), not the sum), and
     - the statsdb bridge's per-second scheduler stats
       (pipeline.statsdb.crawl_stats_to_statsdb — the reference's
       Statsdb/PagePerf per-stage graphs),

@@ -278,8 +278,13 @@ class CrawlRunner:
             self.robots_refreshes += 1
 
     # ------------------------------------------------------------------ io
-    def _write(self, df: DataFrame, table: str, rnd: int, m: snap.Manifest,
-               partitions: int = 0, extra_metrics=None):
+    def _write_data(self, df: DataFrame, table: str, rnd: int,
+                    partitions: int = 0, extra_metrics=None):
+        """The Spark half of :meth:`_write` — runs the write action and
+        returns ``(n, extras)`` WITHOUT touching the manifest, so
+        independent writes can run on concurrent driver threads and the
+        (driver-local, ordering-sensitive) manifest records happen on the
+        caller's thread after the jobs finish."""
         from pyspark.sql import Observation
         path = self.fmt.data_path(table, rnd)
         if partitions:
@@ -295,9 +300,15 @@ class CrawlRunner:
         df.observe(obs, *metrics).write.mode("overwrite").parquet(path)
         row = obs.get
         n = int(row["n"])
+        return n, {name: row[name] for name in extra}
+
+    def _write(self, df: DataFrame, table: str, rnd: int, m: snap.Manifest,
+               partitions: int = 0, extra_metrics=None):
+        n, extras = self._write_data(df, table, rnd, partitions,
+                                     extra_metrics)
         self.fmt.record_write(m, table, rnd, n)
-        if extra:
-            return n, {name: row[name] for name in extra}
+        if extra_metrics:
+            return n, extras
         return n
 
     def _read_all(self, table: str,
@@ -405,10 +416,14 @@ class CrawlRunner:
         # CURRENT cached robots dim (the oracle checks robots_of(host) at
         # candidate time, and the reference checks its Msg13 robots cache
         # at spider time) — not the creation-time snapshot stored on the
-        # request row, which a TTL refresh may have superseded
+        # request row, which a TTL refresh may have superseded.  The tagdb
+        # site-tags column (S8/Tagdb.cpp, tag: atoms) rides the SAME
+        # hosts-dim projection so the round pays one host-keyed broadcast
+        # build instead of two.
         cur = self.hosts.select(
             "host", F.col("robots_txt").alias("_cur_robots"),
-            F.col("robots_delay_ms").alias("_cur_delay"))
+            F.col("robots_delay_ms").alias("_cur_delay"),
+            F.col("tags").alias("site_tags"))
         deduped = (
             deduped.drop("robots_delay_ms")
             .join(F.broadcast(cur), "host", "left")
@@ -421,11 +436,7 @@ class CrawlRunner:
             .drop("_cur_robots", "_cur_delay"))
         req = (deduped.filter(F.col("_cur_allowed")).drop("_cur_allowed")
                .join(F.broadcast(sni), "host", "left")
-               .fillna({"site_num_inlinks": 0})
-               # tagdb dimension (S8/Tagdb.cpp): site tags for tag: atoms
-               .join(F.broadcast(self.hosts.select(
-                   "host", F.col("tags").alias("site_tags"))),
-                   "host", "left"))
+               .fillna({"site_num_inlinks": 0}))
         # insitelist (Spider.cpp:2418-2441): domain membership in the seed
         # site list; an empty list matches everything
         if self._site_list_empty:
@@ -512,17 +523,36 @@ class CrawlRunner:
         cand = cand.withColumn(
             "site", site_expr(F.col("url"), F.col("host"),
                               F.col("domain")))
-        sitep = (cand.groupBy("site")
-                 .agg(F.count_distinct(
-                     F.when(F.col("is_indexed"), F.col("uh48")))
-                     .alias("site_pages")))
-        domp = (cand.groupBy("domain")
-                .agg(F.count_distinct(
-                    F.when(F.col("is_indexed"), F.col("uh48")))
-                    .alias("domain_pages")))
-        cand = (cand.join(F.broadcast(sitep), "site", "left")
-                .join(F.broadcast(domp), "domain", "left")
-                .fillna({"site_pages": 0, "domain_pages": 0}))
+        if replies is not None:
+            # quota aggregates over a SLIM projection of the post-robots
+            # frontier joined with the latest-reply is_indexed bit — NOT
+            # over ``cand`` itself, whose full join lineage would be
+            # re-executed inside each broadcast build.  Row-for-row
+            # equivalent: every join between ``req`` and this point is a
+            # left join against a unique-keyed right side, so cand rows
+            # == req rows 1:1 and cand.is_indexed == coalesce(rep
+            # .is_indexed, false) exactly as rebuilt here.
+            slim = (req.select("uh48", "url", "host", "domain")
+                    .withColumn("site", site_expr(
+                        F.col("url"), F.col("host"), F.col("domain")))
+                    .join(rep.select("uh48", "is_indexed"), "uh48", "left")
+                    .fillna({"is_indexed": False}))
+            sitep = (slim.groupBy("site")
+                     .agg(F.count_distinct(
+                         F.when(F.col("is_indexed"), F.col("uh48")))
+                         .alias("site_pages")))
+            domp = (slim.groupBy("domain")
+                    .agg(F.count_distinct(
+                        F.when(F.col("is_indexed"), F.col("uh48")))
+                        .alias("domain_pages")))
+            cand = (cand.join(F.broadcast(sitep), "site", "left")
+                    .join(F.broadcast(domp), "domain", "left")
+                    .fillna({"site_pages": 0, "domain_pages": 0}))
+        else:
+            # no replies yet ⇒ nothing is indexed ⇒ both quota counts are
+            # identically zero; skip the two aggregate broadcasts
+            cand = (cand.withColumn("site_pages", F.lit(0).cast("long"))
+                    .withColumn("domain_pages", F.lit(0).cast("long")))
         now_s = wave_start // 1000
         cand = cand.withColumn(
             "ufn", compile_rule_match(cfg.url_filters, now_s))
@@ -884,12 +914,41 @@ class CrawlRunner:
                     new_req, seen, self._bloom).select(*REQUEST_COLS)
             # the replies and requests writes each run the fetch-sim
             # lineage column-pruned to their own projection (cheaper
-            # than persisting the full frame — see _simulate_fetch)
-            self._write(new_replies, "replies", rnd, m)
-            stage_t["fetch_sim_replies_write"] = _time.time() - _t0
-            _t0 = _time.time()
-            n_new = self._write(new_req, "requests", rnd + 1, m)
-            stage_t["new_requests"] = _time.time() - _t0
+            # than persisting the full frame — see _simulate_fetch).
+            # They are INDEPENDENT given the cached wave (different
+            # output tables, different projections), so the two write
+            # jobs run on concurrent driver threads: at fixture scale
+            # the round cost is fixed job-submission + broadcast-build
+            # latency, and overlapping the two pipelines hides one
+            # side's latency behind the other (at cluster scale they
+            # simply share the executor pool, like any two concurrent
+            # Spark jobs under the default FIFO scheduler).  Manifest
+            # records happen on this thread, after both finish, in the
+            # original replies-then-requests order.
+            from pyspark.util import InheritableThread
+            results: dict[str, object] = {}
+
+            def _bg(name: str, df: DataFrame, table: str, r: int) -> None:
+                try:
+                    results[name] = self._write_data(df, table, r)
+                except BaseException as exc:  # surface on the main thread
+                    results[name] = exc
+
+            t_rep = InheritableThread(
+                target=_bg, args=("replies", new_replies, "replies", rnd))
+            t_req = InheritableThread(
+                target=_bg, args=("requests", new_req, "requests", rnd + 1))
+            t_rep.start()
+            t_req.start()
+            t_rep.join()
+            t_req.join()
+            for name in ("replies", "requests"):
+                if isinstance(results[name], BaseException):
+                    raise results[name]
+            self.fmt.record_write(m, "replies", rnd, results["replies"][0])
+            n_new = results["requests"][0]
+            self.fmt.record_write(m, "requests", rnd + 1, n_new)
+            stage_t["replies_and_requests_writes"] = _time.time() - _t0
             self.last_round_timings = stage_t
             if self.use_bloom_seen and n_new:
                 self._bloom.add_df(self.spark.read.parquet(
