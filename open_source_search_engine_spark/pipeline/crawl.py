@@ -307,7 +307,10 @@ class CrawlRunner:
         n, extras = self._write_data(df, table, rnd, partitions,
                                      extra_metrics)
         self.fmt.record_write(m, table, rnd, n)
-        if extra_metrics:
+        # return shape follows the ARGUMENT's presence, not the dict's
+        # truthiness: extra_metrics=None -> n; extra_metrics=dict (even
+        # empty) -> (n, extras)
+        if extra_metrics is not None:
             return n, extras
         return n
 

@@ -28,6 +28,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _plan_lazy() -> bool:
+    """True when the caller wants FULLY LAZY catalog plans.
+
+    The dsir/semdedup kernels localCheckpoint their result by default
+    (materialize=True), which truncates lineage to a ``Scan
+    ExistingRDD`` — correct for execution, but it would BLIND the
+    physical-plan hazard audit (scripts/plan_audit.py /
+    tests/test_plan_audit.py) to everything upstream of the
+    checkpoint.  The audit sets OSSE_PLAN_LAZY=1 so those catalog
+    entries hand back the un-checkpointed plan; execution paths (driver
+    contract, bench) leave it unset and keep the cache-discipline
+    default."""
+    return os.environ.get("OSSE_PLAN_LAZY") == "1"
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -1222,7 +1237,8 @@ def _semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-all-pairs."""
     from .training.semdedup import semdedup
     register_views(spark, sf_dir)
-    return (semdedup(spark.table("embeddings"), eps=0.92, n_clusters=16)
+    return (semdedup(spark.table("embeddings"), eps=0.92, n_clusters=16,
+                     materialize=not _plan_lazy())
             .orderBy("vec_id"))
 
 
@@ -1233,10 +1249,12 @@ def _semdedup_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-centroids applied via cogroup — so the driver-gate pins the
     k~n paper-regime path, not just the ANN-sized quantizer.  Output is
     partition-count-deterministic by construction (integer partial
-    sums), which is what makes a golden safe here."""
+    sums), which is what makes a golden safe here — on a fixed BLAS
+    build; see dkmeans' module docstring for the float-argmin caveat."""
     from .training.semdedup import semdedup
     register_views(spark, sf_dir)
-    return (semdedup(spark.table("embeddings"), eps=0.92, n_clusters=300)
+    return (semdedup(spark.table("embeddings"), eps=0.92, n_clusters=300,
+                     materialize=not _plan_lazy())
             .orderBy("vec_id"))
 
 
@@ -1260,7 +1278,8 @@ def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text",
         (F.col("source") == "src0").alias("is_target"))
-    return dsir_select(docs, k=100).orderBy("doc_id")
+    return dsir_select(docs, k=100,
+                       materialize=not _plan_lazy()).orderBy("doc_id")
 
 
 _register_golden("dsir_importance_select", _dsir_select, "doc_id")

@@ -19,7 +19,13 @@ level 1 — COARSE (k1 ~ sqrt(k) centroids, broadcastable by construction):
   re-centered means are bit-identical under any partitioning, which keeps
   committed goldens stable), then a k1-row groupBy aggregate (map-side
   combined) is collected and re-centered on the driver.  Driver state per
-  iteration: k1 rows.
+  iteration: k1 rows.  Determinism caveat: the integer SUMS are exact
+  under any partitioning, but each row's argmin assignment goes through
+  float BLAS matmuls whose within-dot-product reduction order can vary
+  with batch shape or BLAS build — a vector lying numerically ON a
+  Voronoi boundary could flip cells across environments.  Goldens are
+  therefore pinned per BLAS build (this sandbox), not claimed portable
+  across linear-algebra libraries.
 
 level 2 — FINE (k2_i sub-centroids per coarse cell, sum k2_i ~ k):
   per-cell local k-means trained on a BOUNDED per-cell sample
@@ -118,7 +124,9 @@ def lloyd_fit(emb: DataFrame, k: int, iters: int = LLOYD_ITERS,
     and closure state are k x d, never n).  Deterministic: assignment is a
     pure row function of the float centroids, and re-centering sums
     integer-quantized vectors (order-independent), so the result is
-    bit-identical under any partitioning or core count."""
+    bit-identical under any partitioning or core count ON A FIXED BLAS
+    build (see the module docstring's caveat: the per-row float dot
+    products are not reduction-order-portable across BLAS libraries)."""
     seed_rows = seed_rows or max(64, SEED_OVERSAMPLE * k)
     c = local_kmeans(_seed_sample(emb, seed_rows), k, iters=0)
     k = len(c)
@@ -180,21 +188,25 @@ def _coarse_assign(emb: DataFrame, cents: np.ndarray) -> DataFrame:
         _assign, schema=schema)
 
 
-def _bounded_cell_sample(assigned: DataFrame, caps: dict[int, int],
-                         n_salts: int = 32) -> DataFrame:
-    """<= caps[coarse] training rows per cell, picked by deterministic
+def bounded_cell_sample(assigned: DataFrame, caps: dict[int, int],
+                        key: str = "coarse",
+                        n_salts: int = 32) -> DataFrame:
+    """<= caps[key] training rows per cell, picked by deterministic
     hash-rank.  Delegates to pipeline.scale.salted_topk_per_key with a
     per-key cap column: a mega-cell never funnels through one sort task,
-    and the cap is constant within the key so the salted prune is exact."""
+    and the cap is constant within the key so the salted prune is exact.
+    Shared by the two-level trainer here (key='coarse') and semdedup's
+    oversized-cluster splitter (key='bucket') so the salting/cap
+    semantics cannot drift between the two tiers."""
     from ..pipeline.scale import salted_topk_per_key
 
     spark = assigned.sparkSession
     caps_df = F.broadcast(spark.createDataFrame(
         [(int(c), int(v)) for c, v in sorted(caps.items())],
-        "coarse long, _cap int"))          # k1 rows — broadcastable always
+        f"{key} long, _cap int"))          # k1 rows — broadcastable always
     order = [F.xxhash64("vec_id"), F.col("vec_id")]
     salt = F.pmod(F.xxhash64("vec_id", F.lit(1)), F.lit(n_salts)).cast("int")
-    return (salted_topk_per_key(assigned.join(caps_df, "coarse"), "coarse",
+    return (salted_topk_per_key(assigned.join(caps_df, key), key,
                                 order, F.col("_cap"), salt_col=salt,
                                 rank_name="_rn")
             .drop("_rn", "_cap"))
@@ -203,7 +215,8 @@ def _bounded_cell_sample(assigned: DataFrame, caps: dict[int, int],
 def two_level_assign(emb: DataFrame, k: int, sim_qscale: int,
                      coarse_k: int | None = None,
                      iters: int = LLOYD_ITERS,
-                     materialize: bool = True) -> DataFrame:
+                     materialize: bool = True,
+                     n_rows: int | None = None) -> DataFrame:
     """Cluster ``emb`` (vec_id, embedding) into ~k buckets and return the
     semdedup-ready quant table (vec_id, qnvec, bucket, centroid_sim_q):
 
@@ -226,8 +239,12 @@ def two_level_assign(emb: DataFrame, k: int, sim_qscale: int,
     ``materialize=False`` nothing is persisted or pre-computed beyond
     the bounded driver aggregates — the fully lazy plan comes back and
     the coarse-assign pass reruns per downstream action (plan
-    inspection / test mode)."""
-    n = emb.count()
+    inspection / test mode).
+
+    ``n_rows``: the corpus row count, if the caller already paid for it
+    (semdedup's auto-k sizing does) — skips a redundant full-corpus
+    count() action here."""
+    n = n_rows if n_rows is not None else emb.count()
     if coarse_k is None:
         coarse_k = max(4, int(np.ceil(np.sqrt(k))))
     coarse_k = min(coarse_k, k, max(1, n))
@@ -247,7 +264,7 @@ def two_level_assign(emb: DataFrame, k: int, sim_qscale: int,
             starts[c] = nxt
             nxt += k2[c]
         caps = {c: SUB_SAMPLE_FACTOR * k2[c] for c in k2}
-        sample = _bounded_cell_sample(assigned, caps)
+        sample = bounded_cell_sample(assigned, caps)
         k2_b, starts_b = dict(k2), dict(starts)   # tiny (k1 entries)
 
         def _train(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -206,7 +206,6 @@ def _split_oversized(quant: DataFrame, max_cluster: int,
     from pyspark import StorageLevel
 
     from ..memutil import safe_unpersist
-    from ..pipeline.scale import salted_topk_per_key
 
     if cache and not quant.is_cached:
         quant = quant.persist(StorageLevel.MEMORY_AND_DISK)
@@ -244,15 +243,13 @@ def _split_oversized(quant: DataFrame, max_cluster: int,
         cold = quant.filter(~F.col("bucket").isin(list(fanout)))
 
         # bounded training sample per hot bucket (32 rows per child) via
-        # the shared mega-key-safe two-phase prune
-        caps_df = F.broadcast(quant.sparkSession.createDataFrame(
-            [(int(b), 32 * fanout[b]) for b in sorted(fanout)],
-            "bucket long, _cap int"))
-        order = [F.xxhash64("vec_id"), F.col("vec_id")]
-        salt = F.pmod(F.xxhash64("vec_id", F.lit(1)), F.lit(32)).cast("int")
-        sample = (salted_topk_per_key(hot.join(caps_df, "bucket"), "bucket",
-                                      order, F.col("_cap"), salt_col=salt,
-                                      rank_name="_rn")
+        # the SAME mega-key-safe two-phase prune the two-level trainer
+        # uses (dkmeans.bounded_cell_sample) — one implementation, so
+        # the salting/cap semantics cannot drift between the tiers
+        from .dkmeans import bounded_cell_sample
+        sample = (bounded_cell_sample(
+                      hot, {int(b): 32 * fanout[b] for b in fanout},
+                      key="bucket")
                   .select("bucket", "vec_id", "qnvec"))
         fan_b = dict(fanout)
         cents_rows = []
@@ -381,8 +378,10 @@ def semdedup(emb: DataFrame, eps: float = 0.92,
     fully lazy plan with nothing persisted anywhere — for plan
     inspection and tests; lineage may recompute per action."""
     from ..memutil import safe_unpersist
+    n_rows = None
     if n_clusters is None:
-        n_clusters = max(16, -(-emb.count() // AVG_CLUSTER_TARGET))
+        n_rows = emb.count()
+        n_clusters = max(16, -(-n_rows // AVG_CLUSTER_TARGET))
     if max_cluster is None:
         max_cluster = MAX_CLUSTER_FACTOR * AVG_CLUSTER_TARGET
     if n_clusters <= SMALL_K_MAX:
@@ -393,7 +392,7 @@ def semdedup(emb: DataFrame, eps: float = 0.92,
     else:
         from .dkmeans import two_level_assign
         quant = two_level_assign(emb, n_clusters, sim_qscale=_QSCALE,
-                                 materialize=materialize)
+                                 materialize=materialize, n_rows=n_rows)
     quant = _split_oversized(quant, max_cluster, cache=materialize)
     eps_q = int(round(eps * _COS_SCALE))
     out = (quant.groupBy("bucket")

@@ -124,6 +124,11 @@ def audit_plan(plan: str) -> list[str]:
 def main(argv: list[str] | None = None) -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    # hand the audit FULLY LAZY catalog plans: without this the
+    # dsir/semdedup entries localCheckpoint eagerly and their executed
+    # plan is just "Scan ExistingRDD" — every hazard upstream of the
+    # checkpoint would be invisible (see queries._plan_lazy)
+    os.environ["OSSE_PLAN_LAZY"] = "1"
     from open_source_search_engine_spark.queries import QUERIES
     from open_source_search_engine_spark.session import get_spark
 

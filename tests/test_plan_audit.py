@@ -86,7 +86,11 @@ def test_pair_dedup_catalog_names_resolve_to_lsh_plans(spark):
 
 
 @pytest.mark.slow
-def test_catalog_plans_are_hazard_free(spark):
+def test_catalog_plans_are_hazard_free(spark, monkeypatch):
+    # lazy mode: without it the dsir/semdedup entries localCheckpoint
+    # eagerly and the audit would see only "Scan ExistingRDD" for them
+    # (no hazard coverage upstream of the checkpoint)
+    monkeypatch.setenv("OSSE_PLAN_LAZY", "1")
     from open_source_search_engine_spark.queries import QUERIES
     sf_dir = "/root/testdata/sf0.001"
     failures = {}
@@ -96,3 +100,19 @@ def test_catalog_plans_are_hazard_free(spark):
         if hazards:
             failures[k] = hazards
     assert failures == {}
+
+
+def test_plan_lazy_exposes_checkpointed_lineage(spark, monkeypatch):
+    """The audit must see the REAL dsir/semdedup plans, not the
+    checkpoint scan their execution default hands back."""
+    from open_source_search_engine_spark.queries import QUERIES
+    sf_dir = "/root/testdata/sf0.001"
+    monkeypatch.setenv("OSSE_PLAN_LAZY", "1")
+    # the corpus lineage (parquet scan) must be visible; a checkpointed
+    # result would show ONLY a Scan ExistingRDD root.  (A bounded model
+    # table — the n_buckets-row logratio relation — legitimately appears
+    # as a local-relation scan inside the plan.)
+    plan = _plan(QUERIES["dsir_importance_select"](spark, sf_dir))
+    assert "parquet" in plan, plan
+    plan = _plan(QUERIES["dedup_semantic_keepers"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
