@@ -58,18 +58,23 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default=None,
                     help="tee the log here (e.g. BENCH/ci_scales_r03.log)")
+    ap.add_argument("--all", action="store_true",
+                    help="check EVERY catalog key at both scales, not "
+                         "just the heavy set (full-catalog sf0.1 "
+                         "evidence; slower)")
     args = ap.parse_args()
 
     from open_source_search_engine_spark.queries import (GOLDEN_QUERIES,
                                                          QUERIES)
     golden = {name for name, _, _ in GOLDEN_QUERIES}
-    keys = [k for k in HEAVY_KEYS if k in QUERIES and k not in golden]
+    base = sorted(QUERIES) if args.all else HEAVY_KEYS
+    keys = [k for k in base if k in QUERIES and k not in golden]
     # golden-backed keys: their oracle IS an sf0.01 materialization, so
     # the value check only exists at sf0.01; at sf0.1 they are EXECUTED
     # (rows + wall logged, rows>0 asserted) to catch scale-dependent
     # plan/row blow-ups the one-scale driver gate can't see (r3 #3)
-    golden_keys = [k for k in HEAVY_KEYS if k in QUERIES and k in golden]
-    missing = [k for k in HEAVY_KEYS if k not in QUERIES]
+    golden_keys = [k for k in base if k in QUERIES and k in golden]
+    missing = [k for k in base if k not in QUERIES]
 
     lines: list[str] = []
 
