@@ -330,3 +330,36 @@ def test_auto_cluster_scaling(spark):
     assert len(out) == 40
     assert len({r["vec_id"] for r in out}) == 40
     assert len({r["bucket"] for r in out}) <= 16   # small corpus -> k=16
+
+
+def test_bounded_cell_sample_caps_and_partition_determinism(spark):
+    """The shared two-phase prune (dkmeans.bounded_cell_sample — used by
+    the level-2 trainer keyed on 'coarse' and by semdedup's oversized
+    splitter keyed on 'bucket') must (a) honor the per-key cap exactly,
+    (b) pick the SAME rows under any input partitioning (hash-rank
+    order, no RNG), and (c) work for any key column name."""
+    from open_source_search_engine_spark.training.dkmeans import (
+        bounded_cell_sample)
+
+    rows = [(int(v), int(v) % 3) for v in range(200)]
+    caps = {0: 5, 1: 200, 2: 1}
+
+    def _run(parts, key):
+        df = (spark.createDataFrame(rows, ["vec_id", key])
+              .repartition(parts))
+        out = bounded_cell_sample(df, caps, key=key).collect()
+        return sorted((r["vec_id"], r[key]) for r in out)
+
+    a = _run(3, "bucket")
+    by_key = {}
+    for vid, b in a:
+        by_key.setdefault(b, []).append(vid)
+    # cap honored exactly: group sizes are 67/67/66, so keys 0 and 2 are
+    # clipped to their caps and key 1 keeps every row
+    assert len(by_key[0]) == 5
+    assert len(by_key[1]) == 67
+    assert len(by_key[2]) == 1
+    # partition-count determinism (selection is pure hash-rank)
+    assert a == _run(11, "bucket")
+    # key-name parameterization picks identical vec_ids
+    assert [v for v, _ in a] == [v for v, _ in _run(7, "coarse")]
