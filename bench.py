@@ -390,9 +390,12 @@ def run_scaling(n_small: int = 4, reps: int = 3) -> dict:
         spark.stop()
         return times
 
+    steal_before = _steal_control()
     measure(32, 2)                       # global heap/codegen warm-up
     t_n = measure(n_small, reps + 1)[1:]
-    t_4n = measure(n_small * 4, reps + 1)[1:]
+    steal_mid = _steal_control()         # weather SHIFT between the two
+    t_4n = measure(n_small * 4, reps + 1)[1:]  # phases skews the ratio
+    steal_after = _steal_control()
     tp_n = round(n_rows / min(t_n), 1)
     tp_4n = round(n_rows / min(t_4n), 1)
     eff = (tp_4n / tp_n) / 4
@@ -408,6 +411,14 @@ def run_scaling(n_small: int = 4, reps: int = 3) -> dict:
         "frontier_rows": n_rows,
         "gate": 0.8,
         "pass": eff >= 0.8,
+        # the efficiency is a ratio, so uniform host slowdown cancels —
+        # but a steal episode starting or ending BETWEEN the N and 4N
+        # phases does not; these three thermometer readings say whether
+        # the ratio was measured under stable weather (BENCH/BASELINE.md
+        # round-4 scatter disclosure)
+        "steal_control_loop_sec": [round(steal_before, 3),
+                                   round(steal_mid, 3),
+                                   round(steal_after, 3)],
     }
 
 
