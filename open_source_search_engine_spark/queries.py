@@ -2807,7 +2807,7 @@ def _text_site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("source").alias("site"))
     secs = build_sections(hdocs)
     dup = site_dup_sections(secs, min_docs=2)
-    out = strip_site_boilerplate(hdocs, dup)
+    out = strip_site_boilerplate(hdocs, dup, sections=secs)
     return (out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.substring("text", 1, 48).alias("text_head"),
