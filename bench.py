@@ -136,17 +136,20 @@ def _steal_control() -> float:
     for _ in range(3):
         t0 = time.perf_counter()
         s = 0
-        for i in range(5_000_000):
+        for i in range(10_000_000):
             s += i
         best = min(best, time.perf_counter() - t0)
-    return best * 2          # scaled to the 10M-iteration figure the
-                             # BASELINE.md disclosure quotes
+    return best               # the 10M-iteration loop BASELINE.md's
+                              # thresholds were quoted against (r5: was
+                              # a 5M loop scaled x2)
 
 
 def run_bench() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_rows = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROWS", "5000000"))
+    # clamped: 0/negative would leave per-op best=None below (ADVICE r4)
+    bench_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     steal = _steal_control()
 
     from open_source_search_engine_spark.queries import QUERIES
@@ -238,7 +241,7 @@ def run_bench() -> dict:
         # scatter disclosure: identical code measured 22.7-46.2 s totals
         # across one afternoon) — min-of-3 is the steal-robust estimator
         best = None
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
+        for _ in range(bench_reps):
             t0 = time.time()
             QUERIES[key](spark, sf_dir).count()
             dt = time.time() - t0
@@ -258,6 +261,7 @@ def run_bench() -> dict:
         "wave_rows": wave_rows,
         "urls_scheduled_per_sec": round(urls_per_sec, 1),
         "cpus": cpus,
+        "bench_reps": bench_reps,
         "steal_control_loop_sec": round(steal, 3),
         "jvm_control_sec": round(jvm_control, 3),
         "crawl_loop": crawl,

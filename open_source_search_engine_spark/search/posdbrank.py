@@ -1151,7 +1151,9 @@ def posdb_rank_search(index: DataFrame, doc_meta: DataFrame | None,
 def parsed_rank_search(index: DataFrame, doc_meta: DataFrame | None,
                        query: str, num_docs: int, k: int = 10,
                        qlang: str | None = None,
-                       wiki_titles: set | None = None) -> DataFrame:
+                       wiki_titles: set | None = None,
+                       capped: bool = False,
+                       candidate_cap: int = 100) -> DataFrame:
     """Q1 → full Posdb ranking: parse the query (boolean grammar,
     Query.cpp) and, for the AND/phrase shapes PosdbTable scores
     natively, run the min-term-pair ranker with per-term query
@@ -1185,6 +1187,13 @@ def parsed_rank_search(index: DataFrame, doc_meta: DataFrame | None,
                 "parsed_rank_search handles AND/phrase queries; use "
                 "queryparse.search_query for boolean/field operators")
     wids = wiki_phrase_ids(terms, wiki_titles) if wiki_titles else None
+    if capped:
+        # the admissible-bound two-phase plan (the production serve
+        # path at corpus scale) — result-equal to the full scan
+        return posdb_rank_search_capped(
+            index, doc_meta, terms, num_docs, k=k,
+            candidate_cap=candidate_cap, qlang=qlang,
+            quoted_ids=quoted_ids, qpos=qpos, wiki_ids=wids)
     return posdb_rank_search(index, doc_meta, terms, num_docs, k=k,
                              quoted_ids=quoted_ids, qpos=qpos,
                              wiki_ids=wids, qlang=qlang)
@@ -1212,7 +1221,13 @@ def posdb_rank_search_capped(index: DataFrame,
                              doc_meta: DataFrame | None,
                              terms: list[str], num_docs: int,
                              k: int = 10, candidate_cap: int = 1000,
-                             qlang: str | None = None) -> DataFrame:
+                             qlang: str | None = None,
+                             quoted: bool = False,
+                             quoted_ids: list[int] | None = None,
+                             qpos: list[int] | None = None,
+                             wiki_ids: list[int] | None = None,
+                             synonyms: dict[str, list[str]] | None = None
+                             ) -> DataFrame:
     """The 100 TB two-phase plan for :func:`posdb_rank_search`: a cheap
     JVM-side ADMISSIBLE upper bound prunes the candidate set before the
     per-doc Python kernel runs.
@@ -1230,27 +1245,91 @@ def posdb_rank_search_capped(index: DataFrame,
     Docs are scored in bound order; if the k-th kernel score clears the
     best UNSCORED bound the result is provably exact, otherwise the cap
     doubles and the scan continues (never wrong, just slower on
-    adversarial inputs).  Eager: returns a small materialized frame."""
+    adversarial inputs).  Eager: returns a small materialized frame.
+
+    r5: supports the FULL posdb_rank_search feature surface.  Synonym
+    forms join their base term's group (bound per GROUP, the base
+    term's freq weight — the QueryTermInfo sublist mini-merge shape).
+    The bound needs NO query-feature adjustment because the kernel's
+    final ``min_score = min(min_pair, min_single)`` (score_doc) is
+    always <= the single-term score the bound dominates — quoted
+    spacing gates, qpos targets and query-side wiki-phrase weights all
+    act on PAIR scores only, and the index-side wiki-bigram factor on
+    singles is already in _occ_bound_col.  Quoted phrases additionally
+    get a JVM-side candidate PREFILTER: a doc whose quoted pair has no
+    in-order occurrence pair within +-1 of the query spacing provably
+    kernel-scores 0 (the _pair_score_for_any gate zeroes the pair, and
+    the quoted pair participates in min_pair), so it is dropped before
+    any Python runs — the join-form of the bigram-termlist trick.
+    Equality at caps 3/10/100 is pinned for every configuration in
+    tests/test_posdbrank.py."""
     spark = index.sparkSession
     terms = [t.lower() for t in terms]
     nt = len(terms)
-    tl = index.filter(F.col("term").isin(terms))
-    cand = (tl.groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("_n"))
+    group_of: dict[str, tuple[int, int]] = {
+        t: (i, 0) for i, t in enumerate(terms)}
+    if synonyms:
+        for base, alts in synonyms.items():
+            bi = group_of.get(base.lower())
+            if bi is None:
+                continue
+            for a in alts:
+                group_of.setdefault(a.lower(), (bi[0], 1))
+    all_terms = list(group_of)
+    from pyspark import StorageLevel
+
+    from ..memutil import safe_unpersist
+    # persist the query terms' postings ONCE: every structure below —
+    # the AND, the bound aggregate, the phrase prefilter and each
+    # bound-ordered kernel page — reads this slice, and its lineage ends
+    # in the expensive index-build Arrow stage that must never re-run
+    # per page.  Released before returning (the result is collected).
+    tl = index.filter(F.col("term").isin(all_terms)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    grp = F.lit(None).cast("int")
+    for t, (gi, _isyn) in reversed(group_of.items()):
+        grp = F.when(F.col("term") == t, F.lit(gi)).otherwise(grp)
+    tl_g = tl.withColumn("_grp", grp)
+    cand = (tl_g.groupBy("doc_id")
+            .agg(F.count_distinct("_grp").alias("_n"))
             .filter(F.col("_n") == nt)
             .select("doc_id"))
-    matched = tl.join(cand, "doc_id")
+    if quoted_ids is None and quoted:
+        quoted_ids = [0] * nt
+    if quoted_ids is not None and qpos is not None \
+            and any(q >= 0 for q in quoted_ids):
+        # quoted-phrase prefilter (see docstring): consecutive quoted
+        # pair (a,b) at query distance qd must align somewhere in-order
+        # within the +-1 gate, else the doc scores exactly 0
+        qgroups: dict[int, list[int]] = {}
+        for i, q in enumerate(quoted_ids):
+            if q >= 0:
+                qgroups.setdefault(q, []).append(i)
+        for idxs in qgroups.values():
+            idxs.sort(key=lambda i: qpos[i])
+            for a, b in zip(idxs, idxs[1:]):
+                qd = qpos[b] - qpos[a]
+                pa = tl.filter(F.col("term") == terms[a]).select(
+                    "doc_id", F.col("pos").alias("_p1"))
+                pb = tl.filter(F.col("term") == terms[b]).select(
+                    "doc_id", F.col("pos").alias("_p2"))
+                ok = (pa.join(pb, "doc_id")
+                      .filter((F.col("_p2") - F.col("_p1"))
+                              .between(max(qd - 1, 0), qd + 1))
+                      .select("doc_id").distinct())
+                cand = cand.join(ok, "doc_id", "left_semi")
+    matched = tl_g.join(cand, "doc_id")
     dfreq = {r["term"]: r["df"] for r in
              tl.groupBy("term").agg(
                  F.count_distinct("doc_id").alias("df")).collect()}
     freq_ws = [term_freq_weight(dfreq.get(t, 0), num_docs) for t in terms]
     fw_col = F.lit(None).cast("double")
-    for t, fw in zip(terms, freq_ws):
-        fw_col = F.when(F.col("term") == t, F.lit(fw * fw)) \
+    for gi, fw in enumerate(freq_ws):
+        fw_col = F.when(F.col("_grp") == gi, F.lit(fw * fw)) \
                   .otherwise(fw_col)
     per_term = (matched
                 .withColumn("_ob", _occ_bound_col())
-                .groupBy("doc_id", "term")
+                .groupBy("doc_id", "_grp")
                 .agg(F.aggregate(
                     F.slice(F.reverse(F.array_sort(
                         F.collect_list("_ob"))), 1, MAX_TOP),
@@ -1278,29 +1357,38 @@ def posdb_rank_search_capped(index: DataFrame,
         mult = mult * SAME_LANG_WEIGHT
     bounds = (per_term.select(
         "doc_id", (F.col("_minsingle") * mult).alias("_bound"))
-        .orderBy(F.desc("_bound"), "doc_id"))
+        .orderBy(F.desc("_bound"), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
     scored: dict[int, float] = {}
     offset = 0
     cap = candidate_cap
-    while True:
-        page = bounds.offset(offset).limit(cap + 1).collect()
-        batch = [r["doc_id"] for r in page[:cap]]
-        next_bound = page[cap]["_bound"] if len(page) > cap else None
-        if batch:
-            got = posdb_rank_search(
-                index.join(F.broadcast(
-                    spark.createDataFrame([(int(d),) for d in batch],
-                                          "doc_id long")), "doc_id"),
-                doc_meta, terms, num_docs, k=len(batch),
-                qlang=qlang, dfreq=dfreq).collect()
-            for r in got:
-                scored[r["doc_id"]] = r["score"]
-        top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
-        kth = top[k - 1][1] if len(top) >= k else None
-        if next_bound is None or (kth is not None and kth >= next_bound):
-            return spark.createDataFrame(
-                [(int(d), float(s)) for d, s in top],
-                "doc_id long, score double")
-        offset += cap
-        cap *= 2     # adversarial gap: widen and continue
+    try:
+        while True:
+            page = bounds.offset(offset).limit(cap + 1).collect()
+            batch = [r["doc_id"] for r in page[:cap]]
+            next_bound = page[cap]["_bound"] if len(page) > cap else None
+            if batch:
+                got = posdb_rank_search(
+                    tl.join(F.broadcast(
+                        spark.createDataFrame([(int(d),) for d in batch],
+                                              "doc_id long")), "doc_id"),
+                    doc_meta, terms, num_docs, k=len(batch),
+                    qlang=qlang, dfreq=dfreq, quoted=quoted,
+                    quoted_ids=quoted_ids, qpos=qpos, wiki_ids=wiki_ids,
+                    synonyms=synonyms).collect()
+                for r in got:
+                    scored[r["doc_id"]] = r["score"]
+            top = sorted(scored.items(), key=lambda x: (-x[1], x[0]))[:k]
+            kth = top[k - 1][1] if len(top) >= k else None
+            if next_bound is None or (kth is not None
+                                      and kth >= next_bound):
+                return spark.createDataFrame(
+                    [(int(d), float(s)) for d, s in top],
+                    "doc_id long, score double")
+            offset += cap
+            cap *= 2     # adversarial gap: widen and continue
+    finally:
+        # internal caches never outlive the call (result is local rows)
+        safe_unpersist(bounds)
+        safe_unpersist(tl)

@@ -91,13 +91,16 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
 
 
 def audio_neardup_pairs(media: DataFrame,
-                        max_hamming: int = 6) -> DataFrame:
+                        max_hamming: int = 6,
+                        materialize: bool = True) -> DataFrame:
     """(doc_a, doc_b, hamming) audio near-dup pairs — decode+hash map
     stage, then the c-of-k blocked Hamming join (never all-pairs; keep
-    max_hamming <= 6 at scale, same budget as the text/image paths)."""
+    max_hamming <= 6 at scale, same budget as the text/image paths).
+    ``materialize`` follows the simhash_near_dups cache contract."""
     from .dedup import simhash_near_dups
     return simhash_near_dups(audio_fingerprints(media),
-                             max_hamming=max_hamming)
+                             max_hamming=max_hamming,
+                             materialize=materialize)
 
 
 # --------------------------------------------------------------- fixtures

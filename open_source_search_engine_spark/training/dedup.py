@@ -230,28 +230,42 @@ def minhash_signatures(docs: DataFrame, shingle_k: int = 3) -> DataFrame:
         _fn, schema=SIG_SCHEMA)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5,
+                        materialize: bool = True) -> DataFrame:
     """Banded LSH: explode 16 bands, bucket-join, estimate Jaccard as the
     fraction of matching minhashes; keep pairs >= threshold.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
 
-    ``sigs`` is persisted first for the same reason simhash_near_dups
-    persists its fingerprints: the band self-join reads the lineage once
-    per side with no ReusedExchange, and the usual lineage ends in the
-    minhash Arrow map over the full corpus text — the one stage worth
-    never running twice.  The cached relation is (doc_id, N_HASHES=64
-    minhashes), ~0.25 KB/doc, disk-spillable.
+    ``sigs`` is persisted during the run for the same reason
+    simhash_near_dups persists its fingerprints: the band self-join
+    reads the lineage once per side with no ReusedExchange, and the
+    usual lineage ends in the minhash Arrow map over the full corpus
+    text — the one stage worth never running twice.  The cached
+    relation is (doc_id, N_HASHES=64 minhashes), ~0.25 KB/doc,
+    disk-spillable.
 
-    Cache ownership: ``persist`` registers on the CALLER's ``sigs``
-    DataFrame (a deliberate side effect — any other reader of the same
-    signatures also hits the cache).  A long-lived session that calls
-    this repeatedly should release the entry after materializing the
-    pairs with ``memutil.safe_unpersist(sigs)``; one-shot catalog/bench
-    runs let session teardown reclaim it.
+    Cache ownership (same contract as semdedup/dsir_select, ADVICE r4):
+    with ``materialize=True`` (default) the pairs are computed eagerly
+    (``localCheckpoint``), the internal signature persist is RELEASED
+    before returning, and the only surviving blocks are the returned
+    frame's own — free them with ``memutil.release_local_checkpoint``
+    when done.  ``materialize=False`` returns the fully lazy plan with
+    nothing persisted anywhere (plan-inspection/test mode).
     """
+    if not materialize:
+        return _lsh_pairs_plan(sigs, threshold)
     from pyspark import StorageLevel
+
+    from ..memutil import safe_unpersist
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    out = _lsh_pairs_plan(sigs, threshold).localCheckpoint(eager=True)
+    safe_unpersist(sigs)
+    return out
+
+
+def _lsh_pairs_plan(sigs: DataFrame, threshold: float) -> DataFrame:
+    """The banded-LSH pair plan itself (no caching decisions)."""
     bands = sigs.select(
         "doc_id", "sig",
         F.posexplode(
@@ -394,25 +408,42 @@ def _simhash_block_tables(max_hamming: int,
 
 
 def simhash_near_dups(fps: DataFrame, max_hamming: int = 3,
-                      blocks_per_key: int | None = None) -> DataFrame:
+                      blocks_per_key: int | None = None,
+                      materialize: bool = True) -> DataFrame:
     """Simhash near-dup pairs via c-of-k block LSH (see
     _simhash_block_tables), bucket-join per table key, verify with
     bit_count.  Recall is exact at the threshold; precision comes from the
     popcount verify.  At 100 TB keep max_hamming <= 6 so keys stay >= 20
     bits wide and buckets stay O(cluster size), not O(corpus).
 
-    The signature table is persisted before the self-join: both join
-    sides read the same lineage, and for every real caller that lineage
-    ends in an expensive Arrow map stage (text simhash, image decode →
+    The signature table is persisted during the run: both join sides
+    read the same lineage, and for every real caller that lineage ends
+    in an expensive Arrow map stage (text simhash, image decode →
     dHash, audio decode → spectral hash) which would otherwise run once
-    PER SIDE (no ReusedExchange fires across the explode).  As in
-    :func:`lsh_candidate_pairs`, the persist lands on the caller's
-    ``fps`` — long-lived callers release it with
-    ``memutil.safe_unpersist(fps)`` after materializing.  The cached
+    PER SIDE (no ReusedExchange fires across the explode).  The cached
     relation is (doc_id, simhash) — 16 bytes/doc, disk-spillable, tiny
-    next to the corpus it fingerprints."""
+    next to the corpus it fingerprints.
+
+    Cache ownership: same contract as :func:`lsh_candidate_pairs` —
+    ``materialize=True`` (default) checkpoints the pairs eagerly and
+    releases the internal persist before returning (free the result
+    with ``memutil.release_local_checkpoint``); ``materialize=False``
+    returns the fully lazy plan with nothing persisted."""
+    if not materialize:
+        return _simhash_pairs_plan(fps, max_hamming, blocks_per_key)
     from pyspark import StorageLevel
+
+    from ..memutil import safe_unpersist
     fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    out = _simhash_pairs_plan(fps, max_hamming, blocks_per_key) \
+        .localCheckpoint(eager=True)
+    safe_unpersist(fps)
+    return out
+
+
+def _simhash_pairs_plan(fps: DataFrame, max_hamming: int,
+                        blocks_per_key: int | None) -> DataFrame:
+    """The c-of-k block-LSH Hamming-join plan itself (no caching)."""
     blocks, tables = _simhash_block_tables(max_hamming, blocks_per_key)
     block_cols = [
         F.shiftrightunsigned("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
@@ -605,13 +636,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     return labels
 
 
-def dedup_keepers(docs: DataFrame, threshold: float = 0.85) -> DataFrame:
+def dedup_keepers(docs: DataFrame, threshold: float = 0.85,
+                  materialize: bool = True) -> DataFrame:
     """End-to-end near-dup dedup: MinHash -> LSH candidates -> exact
     verify -> connected components -> keep the lowest doc_id per duplicate
     CLUSTER (not per pair: a chain a~b~c keeps only a, and never drops a
-    doc whose only duplicate was itself dropped).  Returns (doc_id, keep)."""
+    doc whose only duplicate was itself dropped).  Returns (doc_id, keep).
+    ``materialize`` follows the lsh_candidate_pairs cache contract."""
     sigs = minhash_signatures(docs)
-    cand = lsh_candidate_pairs(sigs, threshold=threshold * 0.8)
+    cand = lsh_candidate_pairs(sigs, threshold=threshold * 0.8,
+                               materialize=materialize)
     verified = verify_pairs_exact(docs, cand, threshold=threshold)
     comp = connected_components(verified)
     dropped = (comp.filter(F.col("doc_id") != F.col("component"))

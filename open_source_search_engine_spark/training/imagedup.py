@@ -114,13 +114,16 @@ def image_fingerprints(media: DataFrame, algo: str = "dhash") -> DataFrame:
 
 
 def image_neardup_pairs(media: DataFrame, max_hamming: int = 6,
-                        algo: str = "dhash") -> DataFrame:
+                        algo: str = "dhash",
+                        materialize: bool = True) -> DataFrame:
     """(doc_a, doc_b, hamming) image near-dup pairs — decode+hash map
     stage, then the c-of-k blocked Hamming join (never all-pairs; keep
-    max_hamming <= 6 at scale, same budget as the text path)."""
+    max_hamming <= 6 at scale, same budget as the text path).
+    ``materialize`` follows the simhash_near_dups cache contract."""
     from .dedup import simhash_near_dups
     return simhash_near_dups(image_fingerprints(media, algo),
-                             max_hamming=max_hamming)
+                             max_hamming=max_hamming,
+                             materialize=materialize)
 
 
 # --------------------------------------------------------------- fixtures

@@ -43,7 +43,8 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
            decontam_n: int = 13,
            lm_ref_docs: DataFrame | None = None,
            classifier_labels: DataFrame | None = None,
-           gates: tuple[str, ...] = GATES) -> DataFrame:
+           gates: tuple[str, ...] = GATES,
+           materialize: bool = True) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, keep, reason).
 
     Every stage is computed as its own DataFrame and joined on doc_id;
@@ -159,7 +160,8 @@ def curate(docs: DataFrame, lang_keep: tuple[str, ...] = ("en",),
     survivors = base.join(
         gated.filter(quality_ok).select("doc_id"), "doc_id")
     if "near_dup" in on:
-        kept = dedup_keepers(survivors, threshold=neardup_threshold).select(
+        kept = dedup_keepers(survivors, threshold=neardup_threshold,
+                             materialize=materialize).select(
             "doc_id", F.col("keep").alias("dedup_keep"))
     else:
         kept = survivors.select("doc_id", F.lit(True).alias("dedup_keep"))

@@ -47,6 +47,15 @@ WHITELIST: dict[str, dict[str, str]] = {
             "and its one remaining global window is bounded at "
             "global_cap rows by construction (runs after the caps).",
     },
+    "f16_fetch_schedule": {
+        "unpartitioned_window":
+            "same situation as f14_wave_caps: the catalog entry runs "
+            "the production assemble_wave_from_candidates in its "
+            "n_shards=1 single-queue PARITY configuration (the form the "
+            "DuckDB oracle pins); the scale configuration shards the "
+            "budget windows by spider_shard(first_ip) and bounds the "
+            "remaining global window at global_cap rows.",
+    },
     "training_shuffle_positions": {
         "unpartitioned_window":
             "the global prefix-sum window runs over the RANGE PARTIALS "

@@ -1,6 +1,9 @@
-"""Crash-consistency of the snapshot layer: uncommitted files from a
-'crashed' round are invisible to resume, vacuum removes them, and the
-resumed crawl still matches the oracle byte-for-byte."""
+"""Crash-consistency of the snapshot layer, parametrized over BOTH
+TableFormat backends (manifest store + directory commit log): uncommitted
+files from a 'crashed' round are invisible to resume, vacuum removes
+them, and the resumed crawl still matches the oracle byte-for-byte —
+proving the table-format seam is genuinely swappable (VERDICT r4
+item 4)."""
 
 from __future__ import annotations
 
@@ -11,33 +14,44 @@ import pytest
 from open_source_search_engine_spark.config import CrawlConfig
 from open_source_search_engine_spark.corpus import generate_corpus, write_parquet
 from open_source_search_engine_spark.oracle import run_oracle
-from open_source_search_engine_spark.pipeline import snapshots as snap
 from open_source_search_engine_spark.pipeline.crawl import CrawlRunner
+from open_source_search_engine_spark.pipeline.tableformat import (
+    DirectoryLogFormat, ManifestParquetFormat)
+
+BACKENDS = ["manifest", "dirlog"]
+
+
+def make_fmt(kind: str, state_dir: str):
+    return (ManifestParquetFormat(state_dir) if kind == "manifest"
+            else DirectoryLogFormat(state_dir))
 
 
 @pytest.mark.slow
-def test_orphan_files_ignored_and_vacuumed(spark, tmp_path_factory):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_orphan_files_ignored_and_vacuumed(spark, tmp_path_factory, backend):
     cfg = CrawlConfig(max_rounds=7)
     c = generate_corpus(seed=23, n_domains=5, n_urls=90)
     cd = str(tmp_path_factory.mktemp("xcorpus"))
     sd = str(tmp_path_factory.mktemp("xstate"))
     write_parquet(c, cd)
 
-    runner = CrawlRunner(spark, cd, sd, cfg)
+    fmt = make_fmt(backend, sd)
+    runner = CrawlRunner(spark, cd, sd, cfg, table_format=fmt)
     runner.run(max_rounds=3)
 
-    # simulate a crash mid-round-3: data written but manifest NOT committed
-    orphan = snap.round_dir(sd, "requests", 99)
+    # simulate a crash mid-round-3: data written but never committed
+    orphan = fmt.data_path("requests", 99)
     os.makedirs(orphan)
     spark.range(50).selectExpr("id as junk").write.mode("overwrite") \
         .parquet(orphan)
-    orphan_wave = snap.round_dir(sd, "waves", 98)
+    orphan_wave = fmt.data_path("waves", 98)
     os.makedirs(orphan_wave)
     with open(os.path.join(orphan_wave, "part-corrupt.parquet"), "wb") as f:
         f.write(b"not parquet at all")
 
-    # resume: orphans must be invisible (manifest-driven reads)
-    runner2 = CrawlRunner(spark, cd, sd, cfg)
+    # resume: orphans must be invisible (snapshot-driven reads)
+    fmt2 = make_fmt(backend, sd)
+    runner2 = CrawlRunner(spark, cd, sd, cfg, table_format=fmt2)
     runner2.run()
     want = run_oracle(c, cfg)
     got = sorted(tuple(r) for r in runner2.crawl_order()
@@ -52,19 +66,17 @@ def test_orphan_files_ignored_and_vacuumed(spark, tmp_path_factory):
 
     # table-scoped vacuum (through the TableFormat seam) touches ONLY the
     # named table: the waves orphan must survive a requests-only pass
-    from open_source_search_engine_spark.pipeline.tableformat import (
-        ManifestParquetFormat)
-    fmt = ManifestParquetFormat(sd)
-    m = snap.load_manifest(sd)
-    removed = fmt.vacuum(m, tables=("requests",))
-    assert any("round=99" in p for p in removed)
-    assert not any("round=98" in p for p in removed)
+    fmt3 = make_fmt(backend, sd)
+    m = fmt3.load()
+    removed = fmt3.vacuum(m, tables=("requests",))
+    assert orphan in removed
+    assert orphan_wave not in removed
     assert not os.path.exists(orphan)
     assert os.path.exists(orphan_wave)
 
     # full vacuum removes the remaining unreferenced dirs
-    removed = snap.vacuum(sd, m)
-    assert any("round=98" in p for p in removed)
+    removed = fmt3.vacuum(m)
+    assert orphan_wave in removed
     assert not os.path.exists(orphan_wave)
     # committed data untouched; outputs still readable and identical
     got2 = sorted(tuple(r) for r in runner2.crawl_order()
@@ -74,32 +86,80 @@ def test_orphan_files_ignored_and_vacuumed(spark, tmp_path_factory):
     assert got2 == got
 
 
-def test_vacuum_after_compaction(spark, tmp_path_factory):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_vacuum_after_compaction(spark, tmp_path_factory, backend):
     cfg = CrawlConfig(max_rounds=4)
     c = generate_corpus(seed=29, n_domains=4, n_urls=60)
     cd = str(tmp_path_factory.mktemp("vcorpus"))
     sd = str(tmp_path_factory.mktemp("vstate"))
     write_parquet(c, cd)
-    runner = CrawlRunner(spark, cd, sd, cfg)
+    fmt = make_fmt(backend, sd)
+    runner = CrawlRunner(spark, cd, sd, cfg, table_format=fmt)
     runner.run()
     before = runner.url_seen().count()
     runner.compact()
-    m = snap.load_manifest(sd)
-    removed = snap.vacuum(sd, m)
+    m = make_fmt(backend, sd).load()
+    removed = make_fmt(backend, sd).vacuum(m)
     assert removed, "pre-compaction round dirs should be reclaimed"
     assert runner.url_seen().count() == before
 
 
-def test_verify_integrity_detects_missing_files(spark, tmp_path_factory):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_verify_integrity_detects_missing_files(spark, tmp_path_factory,
+                                                backend):
     import glob
     cfg = CrawlConfig(max_rounds=3)
     c = generate_corpus(seed=37, n_domains=4, n_urls=50)
     cd = str(tmp_path_factory.mktemp("icorpus"))
     sd = str(tmp_path_factory.mktemp("istate"))
     write_parquet(c, cd)
-    CrawlRunner(spark, cd, sd, cfg).run()
-    assert snap.verify_integrity(sd) == []
-    victim = glob.glob(os.path.join(sd, "waves", "round=0", "*.parquet"))[0]
+    fmt = make_fmt(backend, sd)
+    CrawlRunner(spark, cd, sd, cfg, table_format=fmt).run()
+    assert make_fmt(backend, sd).fsck() == []
+    victim = glob.glob(os.path.join(
+        fmt.data_path("waves", 0), "*.parquet"))[0]
     os.remove(victim)
-    problems = snap.verify_integrity(sd)
+    problems = make_fmt(backend, sd).fsck()
     assert any("waves/0" in p for p in problems)
+
+
+def test_dirlog_commit_log_properties(spark, tmp_path_factory):
+    """Backend-specific pins for the commit-log protocol: append-only
+    versioned entries, torn-commit tmp files ignored, compaction's key
+    removals replayed, and fsck catching a log gap."""
+    cfg = CrawlConfig(max_rounds=4)
+    c = generate_corpus(seed=41, n_domains=4, n_urls=60)
+    cd = str(tmp_path_factory.mktemp("dlcorpus"))
+    sd = str(tmp_path_factory.mktemp("dlstate"))
+    write_parquet(c, cd)
+    fmt = DirectoryLogFormat(sd)
+    runner = CrawlRunner(spark, cd, sd, cfg, table_format=fmt)
+    runner.run()
+
+    log_dir = os.path.join(sd, DirectoryLogFormat.LOG_DIR)
+    entries = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    assert len(entries) >= 2              # one commit per round + init
+    n_before = len(entries)
+
+    # a torn commit (crash before rename) must be invisible to replay
+    with open(os.path.join(log_dir, "_tmp.999.junk"), "w") as f:
+        f.write("{ not json")
+    m1 = DirectoryLogFormat(sd).load()
+    assert m1 is not None and m1.completed_rounds == 4
+
+    # compaction retires per-round keys via 'removed' actions: replay
+    # must not resurrect them
+    runner.compact()
+    m2 = DirectoryLogFormat(sd).load()
+    req_keys = [k for k in m2.rows if k.startswith("requests/")]
+    assert req_keys and all(int(k.split("/")[1]) < 0 for k in req_keys)
+    assert len(os.listdir(log_dir)) > n_before   # log only ever appends
+
+    # resume-readability after compaction through a FRESH handle
+    assert DirectoryLogFormat(sd).read(spark, "requests").count() > 0
+
+    # fsck flags a log gap (deleted middle version)
+    victim = sorted(f for f in os.listdir(log_dir)
+                    if f.endswith(".json"))[1]
+    os.remove(os.path.join(log_dir, victim))
+    assert any("log gap" in p for p in DirectoryLogFormat(sd).fsck())

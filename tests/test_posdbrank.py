@@ -464,3 +464,51 @@ class TestCappedSearch:
                      for r in capped]
                     == [(r["doc_id"], round(r["score"], 9))
                         for r in full]), f"cap={cap}"
+
+    def test_capped_equals_full_feature_surface(self, spark):
+        """r5: the catalog serve keys route through the capped plan, so
+        equality must hold for every feature configuration they use —
+        synonym sublists (group-keyed bound), quoted phrases (gates only
+        reduce), and wiki-phrase ids (bound inflated by the max pair
+        boost)."""
+        from open_source_search_engine_spark.search.posdbrank import (
+            build_posdb_index, posdb_rank_search, posdb_rank_search_capped)
+        rows = []
+        words = ["spark", "query", "engine", "fast", "data",
+                 "table", "scan", "hash", "automobile", "car"]
+        for d in range(40):
+            body = " ".join(words[(d + i) % len(words)]
+                            for i in range(30))
+            rows.append((d, "<html><title>%s</title><body><p>%s.</p>"
+                            "</body></html>"
+                         % (words[d % len(words)], body), "en", d % 10))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, content string, lang string, "
+                  "site_rank int")
+        idx = build_posdb_index(docs).cache()
+
+        def eq(kwargs, label):
+            full = posdb_rank_search(
+                idx, docs, kwargs.pop("_terms"), num_docs=40, k=10,
+                qlang="en", **kwargs).collect()
+            for cap in (3, 10, 100):
+                capped = posdb_rank_search_capped(
+                    idx, docs, label[1], num_docs=40, k=10,
+                    candidate_cap=cap, qlang="en", **kwargs).collect()
+                assert ([(r["doc_id"], round(r["score"], 9))
+                         for r in capped]
+                        == [(r["doc_id"], round(r["score"], 9))
+                            for r in full]), f"{label[0]} cap={cap}"
+
+        # synonym sublist: car ~ automobile
+        eq({"_terms": ["car", "engine"],
+            "synonyms": {"car": ["automobile"]}},
+           ("synonyms", ["car", "engine"]))
+        # quoted phrase at query spacing
+        eq({"_terms": ["data", "table"],
+            "quoted_ids": [0, 0], "qpos": [0, 2]},
+           ("quoted", ["data", "table"]))
+        # wiki phrase: 'hash table' as one unit, 'scan' independent
+        eq({"_terms": ["hash", "table", "scan"],
+            "qpos": [0, 2, 4], "wiki_ids": [0, 0, -1]},
+           ("wiki", ["hash", "table", "scan"]))

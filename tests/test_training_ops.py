@@ -424,9 +424,13 @@ def test_lsh_self_joins_read_cached_signatures(spark):
     persist the Arrow map feeding the signatures (text simhash, image
     dHash, audio spectral hash, minhash over full text) runs once PER
     JOIN SIDE — measured 14.3 s -> 2.5 s on dedup_audio_fp_pairs at
-    sf0.1.  Assert the physical plan shows a cache scan on each side."""
+    sf0.1.  The public wrappers persist the signatures for exactly the
+    duration of their eager checkpoint (see the cache-ownership
+    contract), so the pin is on the internal pair plan over a persisted
+    input: each join side must resolve to the cache."""
+    from open_source_search_engine_spark.memutil import safe_unpersist
     from open_source_search_engine_spark.training.dedup import (
-        N_HASHES, lsh_candidate_pairs, simhash_near_dups)
+        N_HASHES, _lsh_pairs_plan, _simhash_pairs_plan)
 
     def _assert_cached_per_side(df):
         # Pin on the OPTIMIZED logical plan: each join side must resolve
@@ -441,13 +445,49 @@ def test_lsh_self_joins_read_cached_signatures(spark):
         assert phys.count("InMemoryTableScan") >= 2, phys
 
     fps = spark.createDataFrame([(1, 7), (2, 5), (3, 7)],
-                                ["doc_id", "simhash"])
-    _assert_cached_per_side(simhash_near_dups(fps, max_hamming=6))
+                                ["doc_id", "simhash"]).persist()
+    _assert_cached_per_side(_simhash_pairs_plan(fps, 6, None))
+    safe_unpersist(fps)
 
     sigs = spark.createDataFrame(
         [(1, list(range(N_HASHES))), (2, list(range(N_HASHES)))],
-        ["doc_id", "sig"])
-    _assert_cached_per_side(lsh_candidate_pairs(sigs, threshold=0.5))
+        ["doc_id", "sig"]).persist()
+    _assert_cached_per_side(_lsh_pairs_plan(sigs, 0.5))
+    safe_unpersist(sigs)
+
+
+def test_no_cache_outlives_pair_calls(spark):
+    """lsh_candidate_pairs / simhash_near_dups release their internal
+    signature persist before returning (same contract as semdedup /
+    dsir_select, ADVICE r4): after a call the only surviving blocks are
+    the returned checkpointed pairs' own, freed by
+    release_local_checkpoint — so a catalog/bench pass leaves storage
+    empty once results are released."""
+    from open_source_search_engine_spark.memutil import (
+        release_local_checkpoint)
+    from open_source_search_engine_spark.training.dedup import (
+        lsh_candidate_pairs, minhash_signatures, simhash_fingerprints,
+        simhash_near_dups)
+
+    def persistent_rdds():
+        return {int(k) for k in
+                spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                .toArray()}
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared tokens plus doc {i % 4}") for i in range(16)],
+        ["doc_id", "text"])
+    before = persistent_rdds()
+
+    pairs = lsh_candidate_pairs(minhash_signatures(docs), threshold=0.3)
+    pairs.count()
+    release_local_checkpoint(pairs)
+    assert persistent_rdds() - before == set()
+
+    nd = simhash_near_dups(simhash_fingerprints(docs), max_hamming=6)
+    nd.count()
+    release_local_checkpoint(nd)
+    assert persistent_rdds() - before == set()
 
 
 def test_ngram_jaccard_lsh_recall_vs_exact(spark):
