@@ -100,12 +100,95 @@ GENERAL_TITLES = [
 ]
 
 
+# --- programmatic tail --------------------------------------------------
+# The reference's dump has ~millions of titles; a 200-row fixture gives
+# the phrase matcher unrealistically high miss rates and near-zero
+# multi-title queries.  Compose a few thousand additional plausible
+# encyclopedia-style titles from small public-knowledge seed lists x
+# templates (deterministic, no external data).  Every composed title is
+# *shaped* like a real article title ("history of <place>", "<place>
+# national football team", "<surname> theorem"); exact-dump fidelity is
+# not the goal — realistic size, word-length mix and hit/miss behavior
+# for Wiki::getNumWordsInWikiPhrase-style probing is.
+
+_PLACES = [
+    "france", "germany", "italy", "spain", "portugal", "greece",
+    "austria", "belgium", "netherlands", "switzerland", "sweden",
+    "norway", "denmark", "finland", "iceland", "ireland", "scotland",
+    "wales", "england", "poland", "hungary", "romania", "bulgaria",
+    "croatia", "serbia", "ukraine", "russia", "turkey", "egypt",
+    "morocco", "algeria", "tunisia", "nigeria", "ghana", "kenya",
+    "ethiopia", "tanzania", "uganda", "senegal", "cameroon", "angola",
+    "mozambique", "zimbabwe", "botswana", "namibia", "madagascar",
+    "india", "pakistan", "bangladesh", "nepal", "bhutan", "myanmar",
+    "thailand", "vietnam", "cambodia", "laos", "malaysia", "singapore",
+    "indonesia", "philippines", "japan", "china", "mongolia", "korea",
+    "taiwan", "australia", "fiji", "samoa", "tonga", "canada",
+    "mexico", "guatemala", "honduras", "nicaragua", "panama", "cuba",
+    "jamaica", "haiti", "colombia", "venezuela", "ecuador", "peru",
+    "bolivia", "chile", "argentina", "uruguay", "paraguay", "brazil",
+    "texas", "california", "florida", "ohio", "michigan", "oregon",
+    "arizona", "colorado", "georgia", "virginia", "vermont", "maine",
+]
+
+_PLACE_TOPICS = [
+    "history of", "geography of", "economy of", "politics of",
+    "culture of", "demographics of", "climate of", "transport in",
+    "education in", "cinema of", "music of", "religion in",
+    "architecture of", "tourism in", "agriculture in", "energy in",
+    "healthcare in", "languages of", "flag of", "coat of arms of",
+]
+
+_PLACE_SUFFIXES = [
+    "national football team", "national anthem", "general election",
+    "presidential election", "war of independence", "civil war",
+    "grand prix", "stock exchange", "air force", "navy", "army",
+    "supreme court", "national museum", "national library",
+    "national park", "olympic committee", "premier league",
+    "independence day", "armed forces", "central bank",
+]
+
+_UNI_TEMPLATES = ["university of {p}", "{p} state university",
+                  "{p} institute of technology"]
+
+# historical mathematicians / physicists x the concepts named after
+# them — standard public-knowledge naming pattern ("euler theorem")
+_SCIENTISTS = [
+    "euler", "gauss", "newton", "fourier", "laplace", "fermat",
+    "pascal", "bernoulli", "lagrange", "legendre", "poisson",
+    "cauchy", "riemann", "hilbert", "cantor", "godel", "turing",
+    "shannon", "markov", "chebyshev", "kolmogorov", "bayes",
+    "boole", "hamming", "dijkstra", "kruskal", "huffman",
+]
+_STEM_CONCEPTS = [
+    "theorem", "conjecture", "equation", "distribution", "transform",
+    "matrix", "polynomial", "inequality", "constant", "function",
+    "series", "integral", "algorithm", "number", "method",
+]
+
+
+def _programmatic_titles() -> list[str]:
+    out: list[str] = []
+    for p in _PLACES:
+        for t in _PLACE_TOPICS:
+            out.append(f"{t} {p}")
+        for s in _PLACE_SUFFIXES:
+            out.append(f"{p} {s}")
+        for tmpl in _UNI_TEMPLATES:
+            out.append(tmpl.format(p=p))
+    for s in _SCIENTISTS:
+        for c in _STEM_CONCEPTS:
+            out.append(f"{s} {c}")
+    return out
+
+
 def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "fixtures", "wikititles")
     os.makedirs(out_dir, exist_ok=True)
-    titles = sorted(set(CORPUS_TITLES) | set(GENERAL_TITLES))
+    titles = sorted(set(CORPUS_TITLES) | set(GENERAL_TITLES)
+                    | set(_programmatic_titles()))
     for t in titles:
         assert t == t.lower().strip() and "  " not in t, t
         assert 2 <= len(t.split()) <= 12, t

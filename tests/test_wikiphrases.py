@@ -21,11 +21,38 @@ from open_source_search_engine_spark.search.wikiphrases import (
 class TestFixture:
     def test_loads_and_shape(self):
         titles = load_wiki_titles()
-        assert len(titles) >= 100
+        # r5: a few thousand entries (programmatic template tail),
+        # approaching realistic probe hit/miss behavior
+        assert len(titles) >= 4000
         for t in titles:
             assert isinstance(t, tuple) and 2 <= len(t) <= 12
             for w in t:
                 assert w and w == w.lower() and " " not in w
+        # realistic word-length mix: 2..5-word titles all present
+        lens = {len(t) for t in titles}
+        assert {2, 3, 4, 5} <= lens
+
+    def test_phrase_coverage_counts(self):
+        """Pinned coverage over fixed probe queries (VERDICT r4 #8):
+        how many words land inside a wiki phrase, per query."""
+        titles = load_wiki_titles()
+        probes = {
+            # corpus title + miss word
+            ("hash", "table", "scan"): 2,
+            # 3-word template title ("history of france")
+            ("history", "of", "france", "today"): 3,
+            # suffix template ("japan national football team")
+            ("japan", "national", "football", "team"): 4,
+            # scientist x concept ("euler theorem")
+            ("the", "euler", "theorem", "states"): 2,
+            # two separate phrases in one query
+            ("merge", "sort", "beats", "binary", "search"): 4,
+            # all-miss query
+            ("zebra", "quux", "flarp"): 0,
+        }
+        for words, want in probes.items():
+            ids = wiki_phrase_ids(list(words), titles)
+            assert sum(1 for i in ids if i > 0) == want, (words, ids)
 
     def test_corpus_vocabulary_titles_present(self):
         titles = load_wiki_titles()
