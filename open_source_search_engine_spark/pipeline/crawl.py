@@ -223,6 +223,11 @@ class CrawlRunner:
             else ManifestParquetFormat(state_dir)
         self.use_bloom_seen = use_bloom_seen
         self._bloom = None   # incremental BloomState, built on first use
+        # background OR-merge of the round's appended keys into _bloom
+        # (r5): joined before every bloom access; its exception (if any)
+        # surfaces at the join point
+        self._bloom_thread = None
+        self._bloom_thread_exc: BaseException | None = None
         # per-stage wall clocks of the most recent round (_run_round) —
         # the statsdb/PagePerf-style breakdown bench.py reports
         self.last_round_timings: dict[str, float] = {}
@@ -417,6 +422,18 @@ class CrawlRunner:
         return out
 
     # ------------------------------------------------------------- assembly
+    def _join_bloom_thread(self) -> None:
+        """Serialize with the background bloom maintenance thread (if
+        one is in flight) and re-raise anything it threw."""
+        t = self._bloom_thread
+        if t is not None:
+            t.join()
+            self._bloom_thread = None
+        exc = self._bloom_thread_exc
+        if exc is not None:
+            self._bloom_thread_exc = None
+            raise exc
+
     def _dedup_requests(self, requests: DataFrame) -> DataFrame:
         """F7 merge keep-rule: per uh48 keep min (hopCount, discoveryTime,
         parent, round) — Spider.cpp:3883-3922 / SpiderColl.cpp:3125-3164."""
@@ -433,7 +450,8 @@ class CrawlRunner:
                 .filter(F.col("_rn") == 1).drop("_rn"))
 
     def _candidates(self, requests: DataFrame, replies: DataFrame | None,
-                    wave_start: int) -> DataFrame:
+                    wave_start: int,
+                    lr: DataFrame | None = None) -> DataFrame:
         cfg = self.cfg
         deduped = self._dedup_requests(requests)
         # sniTable analogue (SpiderColl.cpp:580-610): siteNumInlinks per
@@ -478,7 +496,8 @@ class CrawlRunner:
                        "in_site_list", F.lit(True))), "domain", "left")
                    .fillna({"in_site_list": False}))
         if replies is not None:
-            rep = self._latest_reply(replies).select(
+            rep = (lr if lr is not None
+                   else self._latest_reply(replies)).select(
                 "uh48", "err_code", "err_count", "http_status", "is_indexed",
                 "percent_changed_per_day",
                 F.col("spidered_time").alias("last_spider_time_s"))
@@ -602,16 +621,21 @@ class CrawlRunner:
 
     # ---------------------------------------------------------------- fetch
     def _simulate_fetch(self, wave: DataFrame, replies: DataFrame | None,
-                        rnd: int) -> tuple[DataFrame, DataFrame]:
+                        rnd: int,
+                        lr: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
         """F25: deterministic fetch over the docs/outcomes tables; returns
         (new_replies, new_requests[outlinks]).  Both derive from one
         lazy fetch frame that each write job re-runs COLUMN-PRUNED (the
         cached wave feeds both, so the prune reaches the scans) — see
-        the in-body note for why this beats persisting the frame."""
+        the in-body note for why this beats persisting the frame.
+        ``lr`` is the round's shared persisted latest-reply frame (r5:
+        without it, the latest-reply window over the whole reply log
+        re-shuffles once per consumer per write job)."""
         cfg = self.cfg
         prev_errs = None
         if replies is not None:
-            prev_errs = self._latest_reply(replies).select(
+            prev_errs = (lr if lr is not None
+                         else self._latest_reply(replies)).select(
                 "uh48", F.col("err_count").alias("prev_err_count"),
                 F.col("content_hash32").alias("prev_hash32"),
                 F.col("spidered_time").alias("prev_spidered_s"))
@@ -707,7 +731,7 @@ class CrawlRunner:
         # >= this page's current rank ("he was here first").  Root URLs
         # are never discarded (Parms.cpp:8644).
         if cfg.deduping_enabled and replies is not None:
-            idx = (self._latest_reply(replies)
+            idx = ((lr if lr is not None else self._latest_reply(replies))
                    .filter(F.col("is_indexed"))
                    .select(F.col("uh48").alias("idx_uh48"),
                            F.col("content_hash32").alias("content_hash32"),
@@ -875,7 +899,16 @@ class CrawlRunner:
         import time as _time
         stage_t: dict[str, float] = {}
         _t0 = _time.time()
-        cand = self._candidates(requests, replies, wave_start).cache()
+        # the round's SHARED latest-reply frame (F8), persisted once: it
+        # feeds _candidates' rep, both write jobs' prev_errs and the
+        # EDOCDUP index — five per-uh48 window shuffles over the growing
+        # reply log per round without it (r5, VERDICT r4 item 3).  The
+        # wave-write action (first job) materializes it as a side effect
+        # of cand, so the persist costs no extra serial job.
+        lr = (self._latest_reply(replies).persist()
+              if replies is not None else None)
+        cand = self._candidates(requests, replies, wave_start,
+                                lr=lr).cache()
         wave = None
         try:
             eligible = cand.filter(F.col("eligible_ms") <= wave_start)
@@ -908,7 +941,8 @@ class CrawlRunner:
                 return RoundStats(rnd, 0, 0, jumped=not m.finished)
 
             _t0 = _time.time()
-            new_replies, new_req = self._simulate_fetch(wave, replies, rnd)
+            new_replies, new_req = self._simulate_fetch(wave, replies, rnd,
+                                                        lr=lr)
             if self.use_bloom_seen:
                 # F5 scale path: Bloom-prefilter new outlinks against the
                 # URL-seen set with exact hop-aware fallback (seen.py —
@@ -917,8 +951,21 @@ class CrawlRunner:
                 # the frontier once (or on resume), then OR-updated with
                 # each round's appended keys — no per-round rebuild.
                 from .seen import BloomState, filter_new_requests_incremental
-                seen = self._dedup_requests(requests).select(
-                    "uh48", "first_ip", "hop_count", "discovery_time")
+                # exact-fallback seen set: the keep-rule comparison only
+                # needs min (hop_count, discovery_time) per uh48 — a
+                # partial-aggregating groupBy (map-side combine) instead
+                # of the full F7 row_number window (r5): same values the
+                # window's first row carries for those two fields, one
+                # cheaper shuffle over the frontier inside the requests
+                # write job.
+                seen = (requests.groupBy("uh48")
+                        .agg(F.min(F.struct("hop_count", "discovery_time"))
+                             .alias("_m"))
+                        .select("uh48",
+                                F.col("_m.hop_count").alias("hop_count"),
+                                F.col("_m.discovery_time")
+                                .alias("discovery_time")))
+                self._join_bloom_thread()
                 if self._bloom is None or self._bloom.overfull():
                     # size the (re)build from the observed frontier so a
                     # rebuild can't be immediately overfull again
@@ -983,9 +1030,25 @@ class CrawlRunner:
             stage_t["replies_and_requests_writes"] = _time.time() - _t0
             self.last_round_timings = stage_t
             if self.use_bloom_seen and n_new:
-                self._bloom.add_df(self.spark.read.parquet(
+                # Bloom maintenance off the round's critical path (r5):
+                # the OR-merge + eager checkpoint of the appended keys is
+                # only needed by the NEXT round's probe, so it overlaps
+                # the manifest commit and the next round's candidate
+                # build; _join_bloom_thread() re-serializes before any
+                # bloom access (probe/rebuild/release).
+                delta = (self.spark.read.parquet(
                     self.fmt.data_path("requests", rnd + 1))
                     .select("uh48", "first_ip"))
+
+                def _bloom_bg(bloom=self._bloom, df=delta) -> None:
+                    try:
+                        bloom.add_df(df)
+                    except BaseException as exc:
+                        self._bloom_thread_exc = exc
+
+                t_bloom = InheritableThread(target=_bloom_bg)
+                t_bloom.start()
+                self._bloom_thread = t_bloom
             m.completed_rounds = rnd + 1
             # next round's clock: prior fetches done, and no earlier than
             # the micro-batch trigger cadence (round_interval_ms — the
@@ -999,6 +1062,8 @@ class CrawlRunner:
             cand.unpersist()
             if wave is not None:
                 wave.unpersist()
+            if lr is not None:
+                lr.unpersist()
 
     def close(self) -> None:
         """Release every block-manager resource this runner holds: the
@@ -1010,6 +1075,7 @@ class CrawlRunner:
         safe_unpersist(self.hosts)
         safe_unpersist(self.outcomes)
         safe_unpersist(self.site_list_domains)
+        self._join_bloom_thread()
         if self._bloom is not None:
             self._bloom.release()
             self._bloom = None
@@ -1023,6 +1089,9 @@ class CrawlRunner:
         the compacted generation writes to fresh ``round=-G`` dirs and only
         the atomic manifest commit switches readers over — a crash mid-
         compaction leaves the old snapshot intact (Iceberg-style rewrite)."""
+        # an in-flight background bloom add reads the newest requests dir
+        # — finish it before rewriting the table underneath it
+        self._join_bloom_thread()
         m = self.fmt.load()
         if m is None or self._read_all("requests", m) is None:
             return    # nothing committed yet — compaction is a no-op
