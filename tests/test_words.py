@@ -121,6 +121,29 @@ class TestUnicode:
         # ascii alnum accumulates regardless of current script
         assert alnum_words("αβa") == ["αβa"]
 
+    def test_long_tail_scripts_break_on_change(self):
+        # r5: long-tail blocks carry their own script id, so adjacent
+        # different-script runs break like Greek|Cyrillic does —
+        # Tamil|Bengali, Georgian|Cyrillic, Khmer|Thai
+        ta, bn = "கங", "বং"          # Tamil, Bengali
+        assert alnum_words(ta + bn) == [ta, bn]
+        ka, ru = "აბ", "аб"          # Georgian, Cyrillic
+        assert alnum_words(ka + ru) == [ka, ru]
+        km, lo = "កខ", "ກຂ"          # Khmer, Lao
+        assert alnum_words(km + lo) == [km, lo]
+        # a BREAK-script char (Thai) is include-then-break (Words.cpp
+        # checks UC_THAI before the script-change test), so it joins
+        # the preceding Khmer run and the break lands after it
+        assert alnum_words(km + "ก") == [km + "ก"]
+
+    def test_long_tail_scripts_keep_whole_runs(self):
+        # same-script runs stay one word (no per-char break: these are
+        # NOT in the UC_IDEOGRAPH/HIRAGANA/THAI break set)
+        for run in ("கஙச",      # Tamil
+                    "ကခဂ",      # Myanmar
+                    "ሀሁሂ"):     # Ethiopic
+            assert alnum_words(run) == [run]
+
 
 class TestUCPropTableVectors:
     """Adversarial codepoints where Python's unicodedata and the
