@@ -101,6 +101,28 @@ _WAVE_SCHED_COLS = [
 ]
 
 
+def dedup_requests(requests: DataFrame) -> DataFrame:
+    """F7 merge keep-rule: per uh48 keep min (hopCount, discoveryTime,
+    parent, round) — Spider.cpp:3883-3922 / SpiderColl.cpp:3125-3164.
+    Module-level (r5) so the catalog's ``f7_request_dedup`` driver gate
+    runs THIS production code; ``CrawlRunner._dedup_requests``
+    delegates here."""
+    w = Window.partitionBy("uh48").orderBy(
+        "hop_count", "discovery_time", "parent_uh48", "round")
+    return (requests.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def latest_reply(replies: DataFrame) -> DataFrame:
+    """F8: only the newest reply per uh48 survives (Spider.cpp:664-667).
+    Module-level (r5) for the ``f8_latest_reply_join`` driver gate;
+    ``CrawlRunner._latest_reply`` delegates here."""
+    w = Window.partitionBy("uh48").orderBy(
+        F.desc("download_end_ms"), F.desc("round"))
+    return (replies.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def eligible_ms_expr(crawl_delay_cap_ms: int) -> F.Column:
     """F10 next-eligible-time (SpiderColl.cpp:4083-4180): greatest() of
     the scheduling clocks — add time, per-IP politeness, the clamped
@@ -435,19 +457,10 @@ class CrawlRunner:
             raise exc
 
     def _dedup_requests(self, requests: DataFrame) -> DataFrame:
-        """F7 merge keep-rule: per uh48 keep min (hopCount, discoveryTime,
-        parent, round) — Spider.cpp:3883-3922 / SpiderColl.cpp:3125-3164."""
-        w = Window.partitionBy("uh48").orderBy(
-            "hop_count", "discovery_time", "parent_uh48", "round")
-        return (requests.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+        return dedup_requests(requests)
 
     def _latest_reply(self, replies: DataFrame) -> DataFrame:
-        """F8: only the newest reply per uh48 survives (Spider.cpp:664-667)."""
-        w = Window.partitionBy("uh48").orderBy(
-            F.desc("download_end_ms"), F.desc("round"))
-        return (replies.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+        return latest_reply(replies)
 
     def _candidates(self, requests: DataFrame, replies: DataFrame | None,
                     wave_start: int,

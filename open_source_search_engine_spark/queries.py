@@ -111,7 +111,31 @@ def _shared(name: str, sql: str) -> None:
 # F7 — spiderdb merge-time dedup: per uh keep min (hop, added_time)
 # (Spider.cpp:3883-3922 keep-rule; duplicate requests synthesized by % 180)
 # ---------------------------------------------------------------------------
-_shared("f7_request_dedup", FRONTIER_CTE + """
+# Spark side runs the PRODUCTION merge keep-rule (pipeline.crawl.
+# dedup_requests — the exact window the crawl runner dedups with, r5)
+# over the derived frontier mapped onto the production column names
+# (parent_uh48 := uh makes the production (hop, disc, parent, round)
+# tie-break provably equal to the oracle's (hop, added_time, uh));
+# DuckDB pins it with the plain ROW_NUMBER formulation.
+
+def _f7_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.crawl import dedup_requests
+    register_views(spark, sf_dir)
+    fr = spark.sql(FRONTIER_CTE + """
+SELECT uh, url, hop_count, added_time FROM frontier""")
+    req = fr.select(
+        (F.col("uh") % 180).alias("uh48"), "uh", "url", "hop_count",
+        F.col("added_time").alias("discovery_time"),
+        F.col("uh").alias("parent_uh48"),
+        F.lit(0).alias("round"))
+    return (dedup_requests(req)
+            .select(F.col("uh48").alias("dup_key"), "uh", "url",
+                    "hop_count",
+                    F.col("discovery_time").alias("added_time"))
+            .orderBy("dup_key"))
+
+
+_register("f7_request_dedup", _f7_prod, FRONTIER_CTE + """
 SELECT dup_key, uh, url, hop_count, added_time
 FROM (
   SELECT uh % 180 AS dup_key, uh, url, hop_count, added_time,
@@ -126,7 +150,34 @@ ORDER BY dup_key
 # F8 — request ⨝ latest-reply as-of join (Spider.cpp:664-667: newest reply
 # per uh survives; SpiderColl.cpp:2535-2685 cursor → batch max_by)
 # ---------------------------------------------------------------------------
-_shared("f8_latest_reply_join", FRONTIER_CTE + REPLIES_CTE + """
+# Spark side runs the PRODUCTION newest-reply window (pipeline.crawl.
+# latest_reply — exactly what the crawl runner's F8 join uses, r5) with
+# (download_end_ms, round) := (spidered_time, reply_id); DuckDB pins it
+# with the plain ROW_NUMBER + LEFT JOIN formulation.
+
+def _f8_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.crawl import latest_reply
+    register_views(spark, sf_dir)
+    fr = spark.sql(FRONTIER_CTE + """
+SELECT uh, url FROM frontier WHERE uh < 200""")
+    rep = spark.sql(FRONTIER_CTE + REPLIES_CTE + """
+SELECT uh, reply_id, spidered_time, err_code, err_count FROM replies""")
+    lr = latest_reply(rep.select(
+        F.col("uh").alias("uh48"),
+        F.col("spidered_time").alias("download_end_ms"),
+        F.col("reply_id").alias("round"),
+        "spidered_time", "err_code", "err_count"))
+    return (fr.join(lr.select(F.col("uh48").alias("uh"),
+                              F.col("spidered_time")
+                              .alias("last_spider_time"),
+                              "err_code", "err_count"),
+                    "uh", "left")
+            .select("uh", "url", "last_spider_time", "err_code",
+                    "err_count")
+            .orderBy("uh"))
+
+
+_register("f8_latest_reply_join", _f8_prod, FRONTIER_CTE + REPLIES_CTE + """
 SELECT f.uh, f.url, r.spidered_time AS last_spider_time,
        r.err_code, r.err_count
 FROM frontier f
