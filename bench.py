@@ -351,7 +351,8 @@ def run_crawl_loop_bench(spark) -> dict:
     }
 
 
-def run_scaling(n_small: int = 4, reps: int = 3) -> dict:
+def run_scaling(n_small: int = 4, reps: int = 3,
+                interleave: bool = False) -> dict:
     """BASELINE.md sandbox scaling protocol: same job, same input, local[N]
     vs local[4N], one process.
 
@@ -396,9 +397,20 @@ def run_scaling(n_small: int = 4, reps: int = 3) -> dict:
 
     steal_before = _steal_control()
     measure(32, 2)                       # global heap/codegen warm-up
-    t_n = measure(n_small, reps + 1)[1:]
-    steal_mid = _steal_control()         # weather SHIFT between the two
-    t_4n = measure(n_small * 4, reps + 1)[1:]  # phases skews the ratio
+    if interleave:
+        # alternate N,4N,N,4N,… (the r5 A/B discipline): a weather
+        # episode hits both arms equally instead of skewing whichever
+        # phase it lands on; each context restart pays one throwaway
+        # run so the measured run is warm
+        t_n, t_4n = [], []
+        for _ in range(reps):
+            t_n.append(measure(n_small, 2)[1])
+            t_4n.append(measure(n_small * 4, 2)[1])
+        steal_mid = _steal_control()
+    else:
+        t_n = measure(n_small, reps + 1)[1:]
+        steal_mid = _steal_control()     # weather SHIFT between the two
+        t_4n = measure(n_small * 4, reps + 1)[1:]  # phases skews the ratio
     steal_after = _steal_control()
     tp_n = round(n_rows / min(t_n), 1)
     tp_4n = round(n_rows / min(t_4n), 1)
@@ -423,6 +435,7 @@ def run_scaling(n_small: int = 4, reps: int = 3) -> dict:
         "steal_control_loop_sec": [round(steal_before, 3),
                                    round(steal_mid, 3),
                                    round(steal_after, 3)],
+        "protocol": "interleaved" if interleave else "sequential",
     }
 
 

@@ -44,12 +44,16 @@ def main() -> int:
                     help="N in the N->4N comparison (4->16 avoids "
                          "gating on SMT; see bench.run_scaling)")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--interleave", action="store_true",
+                    help="alternate N,4N,N,4N runs (weather hits both "
+                         "arms equally — the r5 A/B discipline)")
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_FRONTIER_ROWS"] = str(args.rows)
     from bench import run_scaling
 
-    result = run_scaling(n_small=args.n_small, reps=args.reps)
+    result = run_scaling(n_small=args.n_small, reps=args.reps,
+                         interleave=args.interleave)
     line = json.dumps(result)
     print(line)
     if args.out:
